@@ -1,0 +1,251 @@
+"""SparkEngine — the single "database" backing every operator.
+
+Plays the role of the reference's ``BaseDatabase``
+(``python-sdk/src/astro/databases/base.py``, 944 LoC) with Spark SQL as the
+warehouse. Everything relational goes through Catalyst; the engine adds only
+the orchestration the reference implements by hand: table lifecycle,
+templated-SQL execution, merge rewrite, temp-table registry, import/export.
+
+Scale notes (100 TB):
+- tables are managed parquet tables — scans get predicate pushdown, column
+  pruning, and partition pruning for free;
+- ``load_file_to_table`` is executor-parallel (spark.read over a glob splits
+  per file / rowgroup) — the reference's "native path" always;
+- nothing here collects data to the driver except explicit result fetches
+  (``fetch_all_rows`` with a limit, DataFrame handoffs are lazy).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from astro_sdk_spark.files import File, FileType
+from astro_sdk_spark.table import BaseTable, Metadata, Table
+from astro_sdk_spark.templating import quote_identifier, render_sql
+
+# Reference: CREATE/DROP statement shapes databases/base.py:56-58
+_CTAS = "CREATE TABLE IF NOT EXISTS {table} AS {select}"
+_DROP = "DROP TABLE IF EXISTS {table}"
+_CREATE_DB = "CREATE DATABASE IF NOT EXISTS {db}"
+
+LOAD_TABLE_AUTODETECT_ROWS_COUNT = 1000  # parity: settings.py:69-71
+
+
+@dataclass
+class QueryModifier:
+    """Pre/post statement hooks — reference ``src/astro/query_modifier.py:6-29``."""
+
+    pre_queries: list[str] = field(default_factory=list)
+    post_queries: list[str] = field(default_factory=list)
+
+
+class SparkEngine:
+    """One engine per SparkSession; replaces ``create_database(conn_id)``
+    dispatch (reference ``databases/__init__.py:15-52``)."""
+
+    # illegal-char replacement used when flattening ndjson keys —
+    # reference: postgres.py:31-32 / bigquery.py:88-89
+    illegal_column_name_chars: list[str] = [".", " ", ":", "-"]
+    illegal_column_name_chars_replacement: list[str] = ["_", "_", "_", "_"]
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._temp_tables: list[BaseTable] = []
+
+    # ------------------------------------------------------------------ SQL
+    def run_sql(
+        self,
+        sql: str,
+        parameters: dict[str, Any] | None = None,
+        query_modifier: QueryModifier | None = None,
+    ) -> DataFrame:
+        """Render template → spark.sql. Reference ``base.py:130-172``."""
+        if query_modifier:
+            for q in query_modifier.pre_queries:
+                self.spark.sql(q).collect()
+        rendered = render_sql(sql, parameters, resolve_table=self._resolve_handle)
+        result = self.spark.sql(rendered)
+        if query_modifier:
+            for q in query_modifier.post_queries:
+                self.spark.sql(q).collect()
+        return result
+
+    def _resolve_handle(self, value: Any) -> str | None:
+        if isinstance(value, BaseTable):
+            return value.qualified_name
+        return None
+
+    # -------------------------------------------------------------- catalog
+    def table_exists(self, table: BaseTable) -> bool:
+        return self.spark.catalog.tableExists(table.qualified_name)
+
+    def columns_exist(self, table: BaseTable, columns: Sequence[str]) -> bool:
+        existing = {f.name.lower() for f in self.spark.table(table.qualified_name).schema.fields}
+        return all(c.lower() in existing for c in columns)
+
+    def schema_exists(self, schema: str) -> bool:
+        return self.spark.catalog.databaseExists(schema)
+
+    def create_schema_if_applicable(self, schema: str | None) -> None:
+        """Reference ``base.py:776-790``."""
+        if schema and not self.schema_exists(schema):
+            self.spark.sql(_CREATE_DB.format(db=quote_identifier(schema)))
+
+    def row_count(self, table: BaseTable) -> int:
+        return self.spark.table(table.qualified_name).count()
+
+    def fetch_all_rows(self, table: BaseTable, row_limit: int = -1) -> list:
+        df = self.spark.table(table.qualified_name)
+        if row_limit >= 0:
+            df = df.limit(row_limit)
+        return df.collect()
+
+    # ---------------------------------------------------------------- DDL
+    def create_table_using_columns(self, table: BaseTable) -> None:
+        """DDL from an explicit StructType — reference ``base.py:257-268``."""
+        if table.columns is None:
+            raise ValueError(f"Table {table.name} has no columns schema")
+        self.create_schema_if_applicable(table.metadata.spark_database)
+        empty = self.spark.createDataFrame([], table.columns)
+        empty.write.mode("ignore").saveAsTable(table.qualified_name)
+
+    def create_table_from_select_statement(
+        self,
+        statement: str,
+        table: BaseTable,
+        parameters: dict[str, Any] | None = None,
+        query_modifier: QueryModifier | None = None,
+    ) -> None:
+        """CTAS — reference ``base.py:363-381``; drop-first semantics match
+        ``TransformOperator.execute`` (``transform.py:55-72``)."""
+        self.create_schema_if_applicable(table.metadata.spark_database)
+        self.drop_table(table)
+        select = render_sql(statement, parameters, resolve_table=self._resolve_handle)
+        sql = _CTAS.format(table=quote_identifier(table.qualified_name), select=select)
+        if query_modifier:
+            for q in query_modifier.pre_queries:
+                self.spark.sql(q).collect()
+        self.spark.sql(sql)
+        if query_modifier:
+            for q in query_modifier.post_queries:
+                self.spark.sql(q).collect()
+        self._register_temp(table)
+
+    def drop_table(self, table: BaseTable) -> None:
+        """Reference ``base.py:383-390`` / ``sql/operators/drop.py``."""
+        self.spark.sql(_DROP.format(table=quote_identifier(table.qualified_name)))
+
+    # ------------------------------------------------------------- temp reg
+    def _register_temp(self, table: BaseTable) -> None:
+        if table.temp:
+            self._temp_tables.append(table)
+
+    @property
+    def temp_tables(self) -> list[BaseTable]:
+        return list(self._temp_tables)
+
+    def cleanup_temp_tables(self, tables: Sequence[BaseTable] | None = None) -> list[str]:
+        """Drop temp tables — reference ``sql/operators/cleanup.py:55-301``
+        minus the Airflow DAG-polling (no scheduler here)."""
+        targets = list(tables) if tables is not None else list(self._temp_tables)
+        dropped = []
+        for t in targets:
+            if t.temp:
+                self.drop_table(t)
+                dropped.append(t.qualified_name)
+                if t in self._temp_tables:
+                    self._temp_tables.remove(t)
+        return dropped
+
+    # ---------------------------------------------------------------- read
+    def read_file(self, file: File) -> DataFrame:
+        """File → DataFrame. SURVEY §2.4 format matrix; executor-parallel for
+        csv/json/ndjson/parquet, driver-side pandas for xlsx (documented
+        small-file path, reference ``files/types/excel.py``)."""
+        ftype = file.type
+        path = file.staged_path()
+        opts = dict(file.load_options)
+        if ftype == FileType.PARQUET:
+            return self.spark.read.options(**opts).parquet(path)
+        if ftype == FileType.CSV:
+            return self.spark.read.options(
+                header=True, inferSchema=True, **opts
+            ).csv(path)
+        if ftype == FileType.JSON:
+            # array-of-records JSON needs multiLine; reference uses
+            # pd.read_json (files/types/json.py:14-55)
+            return self.spark.read.options(multiLine=True, **opts).json(path)
+        if ftype == FileType.NDJSON:
+            return self.spark.read.options(**opts).json(path)
+        if ftype in (FileType.XLSX, FileType.XLS):
+            import pandas as pd
+
+            pdf = pd.read_excel(path)
+            return self.spark.createDataFrame(pdf)
+        raise ValueError(f"Unsupported file type: {ftype}")
+
+    # --------------------------------------------------------------- write
+    def load_dataframe_to_table(
+        self,
+        df: DataFrame,
+        table: BaseTable,
+        if_exists: str = "replace",
+    ) -> None:
+        """DataFrame → managed table. Reference orchestration
+        ``base.py:474-542`` (replace ⇒ drop first, ``base.py:418-419``)."""
+        if if_exists not in ("replace", "append"):
+            raise ValueError(f"if_exists must be 'replace' or 'append', got {if_exists!r}")
+        self.create_schema_if_applicable(table.metadata.spark_database)
+        if table.columns is not None and if_exists == "replace":
+            # explicit schema wins over inference (reference base.py:257-268)
+            df = self._cast_to_schema(df, table.columns)
+        mode = "overwrite" if if_exists == "replace" else "append"
+        if if_exists == "append" and self.table_exists(table):
+            # align column order by name for positional insertInto safety
+            target_cols = self.spark.table(table.qualified_name).columns
+            df = df.select(*[F.col(c) for c in target_cols])
+        df.write.mode(mode).format("parquet").saveAsTable(table.qualified_name)
+        self._register_temp(table)
+
+    @staticmethod
+    def _cast_to_schema(df: DataFrame, schema: StructType) -> DataFrame:
+        cols = []
+        for f2 in schema.fields:
+            if f2.name in df.columns:
+                cols.append(F.col(f2.name).cast(f2.dataType).alias(f2.name))
+            else:
+                cols.append(F.lit(None).cast(f2.dataType).alias(f2.name))
+        return df.select(*cols)
+
+    def export_table_to_pandas_dataframe(self, table: BaseTable):
+        """Reference ``base.py:734-751``. Driver-side materialization —
+        only for explicitly small results."""
+        return self.spark.table(table.qualified_name).toPandas()
+
+    # -------------------------------------------------------------- append
+    def append_table(
+        self,
+        source_table: BaseTable,
+        target_table: BaseTable,
+        source_to_target_columns_map: dict[str, str] | None = None,
+    ) -> None:
+        """INSERT INTO target SELECT cols FROM source —
+        reference ``base.py:666-696``."""
+        src = self.spark.table(source_table.qualified_name)
+        tgt_schema = self.spark.table(target_table.qualified_name).schema
+        cmap = source_to_target_columns_map or {}
+        if cmap:
+            src = src.select(*[F.col(s).alias(t) for s, t in cmap.items()])
+        # align to target schema: missing cols → NULL, order by target
+        aligned = []
+        for f2 in tgt_schema.fields:
+            if f2.name in src.columns:
+                aligned.append(F.col(f2.name).cast(f2.dataType).alias(f2.name))
+            else:
+                aligned.append(F.lit(None).cast(f2.dataType).alias(f2.name))
+        src.select(*aligned).write.mode("append").insertInto(target_table.qualified_name)

@@ -1,0 +1,106 @@
+"""File references and format dispatch — SURVEY §2.4.
+
+Mirrors the reference's ``File`` (``python-sdk/src/astro/files/base.py:19-250``)
+and its type-by-extension factory (``files/types/__init__.py:17-60``).
+Spark natively reads globs and directories, so the reference's
+pattern-resolution machinery (``files/base.py:253-286``) collapses to
+"pass the glob to spark.read".
+
+Supported formats: csv, json (array-of-records), ndjson (line-delimited),
+parquet, xlsx/xls (driver-side pandas — documented small-file path).
+Locations: local paths plus any scheme Spark's Hadoop FS understands
+(s3a://, gs://, wasbs://, abfss://). HTTP(S) is fetched on the driver to a
+staging dir (Spark cannot split or glob HTTP), matching the reference's
+smart_open behavior (``files/locations/http.py``).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import tempfile
+import urllib.request
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class FileType(str, Enum):
+    CSV = "csv"
+    JSON = "json"
+    NDJSON = "ndjson"
+    PARQUET = "parquet"
+    XLSX = "xlsx"
+    XLS = "xls"
+
+
+_EXTENSION_TO_TYPE = {
+    ".csv": FileType.CSV,
+    ".json": FileType.JSON,
+    ".ndjson": FileType.NDJSON,
+    ".jsonl": FileType.NDJSON,
+    ".parquet": FileType.PARQUET,
+    ".pq": FileType.PARQUET,
+    ".xlsx": FileType.XLSX,
+    ".xls": FileType.XLS,
+}
+
+
+def filetype_from_path(path: str) -> FileType:
+    """Extension → FileType — reference ``files/types/__init__.py:17-60``."""
+    suffix = pathlib.PurePosixPath(path.split("?")[0]).suffix.lower()
+    if suffix in _EXTENSION_TO_TYPE:
+        return _EXTENSION_TO_TYPE[suffix]
+    raise ValueError(
+        f"Unsupported filetype '{suffix}' from file '{path}'. "
+        f"Supported: {sorted(s for s in _EXTENSION_TO_TYPE)}"
+    )
+
+
+@dataclass
+class File:
+    """Path + optional explicit filetype + ndjson normalize config —
+    reference ``files/base.py:19-110``."""
+
+    path: str
+    conn_id: str = ""  # parity; unused
+    filetype: FileType | None = None
+    normalize_config: dict | None = None
+    load_options: dict = field(default_factory=dict)
+
+    @property
+    def type(self) -> FileType:
+        return self.filetype or filetype_from_path(self.path)
+
+    def is_pattern(self) -> bool:
+        """True when the path has no suffix (reference ``base.py:109-115``)
+        or contains glob metacharacters."""
+        has_glob = any(ch in self.path for ch in "*?[")
+        has_suffix = bool(pathlib.PurePosixPath(self.path.split("?")[0]).suffix)
+        return has_glob or not has_suffix
+
+    def is_local(self) -> bool:
+        return "://" not in self.path or self.path.startswith("file://")
+
+    def is_http(self) -> bool:
+        return self.path.startswith(("http://", "https://"))
+
+    def exists(self) -> bool:
+        if self.is_local():
+            p = self.path.removeprefix("file://")
+            if self.is_pattern():
+                import glob as _glob
+
+                return bool(_glob.glob(p) or _glob.glob(os.path.join(p, "*")))
+            return os.path.exists(p)
+        return True  # remote existence is checked by the reader
+
+    def staged_path(self) -> str:
+        """Path Spark can read. HTTP(S) is downloaded to a temp file on the
+        driver first (Spark can't glob or split HTTP streams)."""
+        if self.is_http():
+            suffix = pathlib.PurePosixPath(self.path.split("?")[0]).suffix or ".dat"
+            fd, local = tempfile.mkstemp(suffix=suffix, prefix="astro_http_")
+            os.close(fd)
+            urllib.request.urlretrieve(self.path, local)  # noqa: S310 - user-supplied source
+            return local
+        return self.path

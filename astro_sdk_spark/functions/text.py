@@ -1,0 +1,121 @@
+"""Text analysis for training-data pipelines: token stats, quality scoring,
+language-ID, document fingerprinting.
+
+No reference counterpart (extensions mandated alongside SURVEY §2).
+Everything here is built-in-function compositions (JVM-side, codegen) —
+no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WS = " "
+
+
+def token_count(text) -> Column:
+    """Whitespace token count. Empty string counts as 1 ('' token) to match
+    split semantics across engines; callers may zero it with when()."""
+    return F.size(F.split(text, _WS))
+
+
+def distinct_token_count(text) -> Column:
+    return F.size(F.array_distinct(F.split(text, _WS)))
+
+
+def type_token_ratio(text) -> Column:
+    """Distinct/total tokens — a standard lexical-diversity quality signal."""
+    return distinct_token_count(text) / token_count(text)
+
+
+def avg_token_length(text) -> Column:
+    """(chars - separators) / tokens."""
+    n = token_count(text)
+    return (F.length(text) - (n - F.lit(1))) / n
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics in one projection pass."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars_actual"),
+        token_count(t).alias("n_tokens"),
+        distinct_token_count(t).alias("n_distinct_tokens"),
+        F.round(type_token_ratio(t), 4).alias("ttr"),
+        F.round(avg_token_length(t), 4).alias("avg_token_len"),
+    )
+
+
+# A small deterministic English stopword list for quality scoring.
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+
+def stopword_ratio(text, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords — array built-ins only."""
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    toks = F.split(text, _WS)
+    n_stop = F.size(F.filter(toks, lambda tkn: F.array_contains(sw, tkn)))
+    return n_stop / F.size(toks)
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1]: length band + lexical diversity +
+    stopword presence (a Gopher-rules-style heuristic filter)."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    length_ok = (n_tok >= 5) & (n_tok <= 100000)
+    ttr = type_token_ratio(t)
+    sw = stopword_ratio(t)
+    score = (
+        length_ok.cast("double") * 0.4
+        + F.least(ttr * 2, F.lit(1.0)) * 0.3
+        + F.least(sw * 10, F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(ttr, 4).alias("ttr"),
+        F.round(sw, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+# Language-ID: tiny per-language marker-token table (n-gram heuristic).
+# Deterministic and fully JVM-side; a real model would slot in as a
+# pandas_udf with the same output contract.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "es": ["el", "la", "de", "que"],
+    "fr": ["le", "la", "et", "les"],
+    "de": ["der", "die", "und", "das"],
+    "zh": ["的", "是", "了", "在"],
+}
+
+
+def lang_id(text) -> Column:
+    """Best-scoring language by marker-token hits; 'und' when no marker."""
+    toks = F.split(text, _WS)
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda tkn: F.array_contains(marker_arr, tkn)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(text, bits: int = 64) -> Column:
+    """Stable document fingerprint via xxhash64 of normalized text (rolling-
+    hash replacement — xxhash64 is Spark-native and shuffle-friendly)."""
+    normalized = F.lower(F.regexp_replace(text, r"\s+", " "))
+    return F.xxhash64(normalized)
+
+
+def bpe_ish_token_count(text) -> Column:
+    """Sub-word-ish token estimate: words + punctuation marks counted
+    separately (a BPE-like regex tokenizer, built-ins only)."""
+    words = F.size(F.split(F.trim(text), r"\s+"))
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return words + punct

@@ -1,0 +1,116 @@
+"""export_to_file — table/DataFrame → single file.
+
+Reference: ``python-sdk/src/astro/sql/operators/export_to_file.py:18-183``
+(``if_exists ∈ {replace, exception}``, ``constants.py:88``), engine path
+``databases/base.py:753-770`` (via pandas).
+
+Spark-first: ``df.write`` produces a *directory* of part files (the correct
+shape at 100 TB). The reference's contract is a *single file*, so for parity
+we ``coalesce(1)`` and move the part file to the exact path — documented as
+the small-result path. ``export_to_dir`` is the scale path (partitioned,
+executor-parallel).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from astro_sdk_spark.engine import SparkEngine
+from astro_sdk_spark.files import File, FileType
+from astro_sdk_spark.session import default_session
+from astro_sdk_spark.table import BaseTable
+
+
+def _resolve_df(input_data, eng: SparkEngine) -> DataFrame:
+    if isinstance(input_data, BaseTable):
+        return eng.spark.table(input_data.qualified_name)
+    if isinstance(input_data, DataFrame):
+        return input_data
+    if isinstance(input_data, pd.DataFrame):
+        return eng.spark.createDataFrame(input_data)
+    raise ValueError(f"input_data must be Table/DataFrame, got {type(input_data).__name__}")
+
+
+def export_to_file(
+    input_data,
+    output_file: File,
+    if_exists: str = "exception",
+    engine: SparkEngine | None = None,
+    spark: SparkSession | None = None,
+) -> File:
+    """Write a single file at output_file.path (csv/json/ndjson/parquet/xlsx)."""
+    if if_exists not in ("replace", "exception"):
+        raise ValueError(f"if_exists must be 'replace' or 'exception', got {if_exists!r}")
+    eng = engine or SparkEngine(spark or default_session())
+    df = _resolve_df(input_data, eng)
+    path = output_file.path.removeprefix("file://")
+    if os.path.exists(path):
+        if if_exists == "exception":
+            raise FileExistsError(f"{output_file.path} already exists and if_exists='exception'")
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        else:
+            os.remove(path)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    ftype = output_file.type
+    if ftype in (FileType.XLSX, FileType.XLS):
+        # driver-side small-file path (reference files/types/excel.py)
+        df.toPandas().to_excel(path, index=False)
+        return output_file
+
+    tmpdir = tempfile.mkdtemp(prefix="astro_export_")
+    out_dir = os.path.join(tmpdir, "out")
+    writer = df.coalesce(1).write.mode("overwrite")
+    if ftype == FileType.CSV:
+        writer.option("header", True).csv(out_dir)
+        pattern = "part-*.csv"
+    elif ftype == FileType.PARQUET:
+        writer.parquet(out_dir)
+        pattern = "part-*.parquet"
+    elif ftype in (FileType.NDJSON, FileType.JSON):
+        writer.json(out_dir)
+        pattern = "part-*.json"
+    else:
+        raise ValueError(f"Unsupported export type: {ftype}")
+    parts = glob.glob(os.path.join(out_dir, pattern))
+    if not parts:  # empty DataFrame writes no part file for csv/json
+        open(path, "w").close()
+    else:
+        shutil.move(parts[0], path)
+    shutil.rmtree(tmpdir, ignore_errors=True)
+
+    if ftype == FileType.JSON:
+        # reference JSON export is an array of records (to_json
+        # orient="records", files/types/json.py:41-55); Spark writes ndjson —
+        # convert on the driver for parity.
+        with open(path) as fh:
+            lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+        with open(path, "w") as fh:
+            fh.write("[" + ",".join(lines) + "]")
+    return output_file
+
+
+def export_to_dir(
+    input_data,
+    output_dir: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    engine: SparkEngine | None = None,
+    spark: SparkSession | None = None,
+) -> str:
+    """The scale path: partitioned, executor-parallel directory write."""
+    eng = engine or SparkEngine(spark or default_session())
+    df = _resolve_df(input_data, eng)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    getattr(writer, fmt)(output_dir)
+    return output_dir

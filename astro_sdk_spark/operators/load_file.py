@@ -1,0 +1,62 @@
+"""load_file — file(s)/pattern → table or DataFrame.
+
+Reference: ``python-sdk/src/astro/sql/operators/load_file.py:37-394``
+(table path ``:140-169``, dataframe path ``:171-203``) and
+``databases/base.py:474-542``.
+
+Spark-first design: ``spark.read.format(...).load(glob)`` already *is* the
+reference's "native path" — executors pull file splits in parallel straight
+from the object store; there is no pandas fallback because there is no
+slower second path. ndjson flattening (``load_file.py:205-243``) is applied
+post-read as an explicit DataFrame transform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from astro_sdk_spark.engine import SparkEngine
+from astro_sdk_spark.files import File, FileType
+from astro_sdk_spark.functions.flatten import flatten
+from astro_sdk_spark.session import default_session
+from astro_sdk_spark.table import BaseTable
+
+
+def apply_columns_names_capitalization(df: DataFrame, mode: str | None) -> DataFrame:
+    """'upper' | 'lower' | 'original' — reference ``constants.py:93``,
+    ``utils/dataframe.py:17-33``."""
+    if mode in (None, "original"):
+        return df
+    if mode == "lower":
+        return df.toDF(*[c.lower() for c in df.columns])
+    if mode == "upper":
+        return df.toDF(*[c.upper() for c in df.columns])
+    raise ValueError(f"columns_names_capitalization must be upper/lower/original, got {mode!r}")
+
+
+def load_file(
+    input_file: File,
+    output_table: BaseTable | None = None,
+    if_exists: str = "replace",
+    ndjson_normalize_sep: str = "_",
+    use_native_support: bool = True,  # parity; Spark is always native
+    columns_names_capitalization: str | None = "original",
+    engine: SparkEngine | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame | BaseTable:
+    """Load file(s) into a table (returns the handle) or, with no
+    ``output_table``, return the DataFrame (reference ``:171-203``)."""
+    eng = engine or SparkEngine(spark or default_session())
+    df = eng.read_file(input_file)
+    if input_file.type in (FileType.NDJSON, FileType.JSON):
+        df = flatten(
+            df,
+            sep=ndjson_normalize_sep,
+            illegal_chars=eng.illegal_column_name_chars,
+            replacements=eng.illegal_column_name_chars_replacement,
+        )
+    df = apply_columns_names_capitalization(df, columns_names_capitalization)
+    if output_table is None:
+        return df
+    eng.load_dataframe_to_table(df, output_table, if_exists=if_exists)
+    return output_table

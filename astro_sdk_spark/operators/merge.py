@@ -1,0 +1,147 @@
+"""merge — upsert source into target with conflict strategies.
+
+Reference dispatcher: ``python-sdk/src/astro/sql/operators/merge.py:16-200``;
+per-dialect semantics in SURVEY §2.3 (Snowflake ``MERGE INTO``
+``databases/snowflake.py:860-1006``, Postgres/SQLite/DuckDB
+``ON CONFLICT DO NOTHING/UPDATE``, Redshift staged rewrite
+``databases/aws/redshift.py:169-307``, Delta ``databricks/delta.py:357-441``).
+
+Unified contract (all dialects collapse to this):
+  rows matching on ``target_conflict_columns`` →
+    ``ignore``    : keep the target row;
+    ``update``    : overwrite *mapped* columns from source, preserve
+                    unmapped target columns;
+    ``exception`` : raise on any duplicate key;
+  non-matching source rows → insert (mapped columns; rest NULL).
+
+Spark implementation = join rewrite on parquet-backed tables:
+- ``ignore``    : append ``src ANTI JOIN tgt`` — insert-only, no rewrite of
+                  existing data (cheapest possible plan; target scan is
+                  key-columns-only thanks to column pruning).
+- ``update``    : staged full rewrite (the Redshift strategy, which is also
+                  what Delta does under the hood without a transaction log):
+                  unchanged = ``tgt ANTI src``; updated = ``tgt JOIN src``
+                  taking source values for mapped cols; inserted =
+                  ``src ANTI tgt``; union → staging table → swap.
+- ``exception`` : ``src SEMI JOIN tgt`` non-empty → raise, else append.
+
+At scale: the ignore/exception paths shuffle only on the key columns and
+append; update rewrites the table once (unavoidable without a
+transaction-log format — on Delta this becomes a single ``MERGE INTO``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from astro_sdk_spark.engine import SparkEngine
+from astro_sdk_spark.operators.append import normalize_columns
+from astro_sdk_spark.session import default_session
+from astro_sdk_spark.table import BaseTable, TempTable
+
+
+class MergeConflictException(RuntimeError):
+    """Duplicate key under if_conflicts='exception' (parity with the
+    unique-constraint violation the reference dialects raise)."""
+
+
+def _mapped_source(src, cmap: dict[str, str], tgt_schema):
+    """Project source to target shape: mapped columns renamed/cast, unmapped
+    target columns NULL."""
+    cols = []
+    for f in tgt_schema.fields:
+        src_col = next((s for s, t in cmap.items() if t == f.name), None)
+        if src_col is not None:
+            cols.append(F.col(src_col).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return src.select(*cols)
+
+
+def merge_insert_plan(tgt, src, cmap: dict[str, str], keys: list[str]):
+    """Rows to APPEND under if_conflicts='ignore': source rows whose keys are
+    absent from the target (pure plan — shared by the operator and the
+    correctness harness)."""
+    src_shaped = _mapped_source(src, cmap, tgt.schema)
+    new_rows = src_shaped.join(tgt.select(*keys), on=keys, how="left_anti")
+    return new_rows.select(*tgt.columns)
+
+
+def merge_update_plan(tgt, src, cmap: dict[str, str], keys: list[str]):
+    """Full post-merge contents under if_conflicts='update': matched rows get
+    mapped columns from source (unmapped preserved), unmatched target rows
+    unchanged, new source rows inserted."""
+    src_shaped = _mapped_source(src, cmap, tgt.schema)
+    mapped_tgt_cols = set(cmap.values())
+    unchanged = tgt.join(src_shaped.select(*keys), on=keys, how="left_anti")
+    matched = (
+        tgt.alias("t")
+        .join(src_shaped.alias("s"), on=keys, how="inner")
+        .select(
+            *[
+                (F.col(f"s.{c}") if c in mapped_tgt_cols and c not in keys else F.col(f"t.{c}")).alias(c)
+                for c in tgt.columns
+            ]
+        )
+    )
+    inserted = src_shaped.join(tgt.select(*keys), on=keys, how="left_anti").select(*tgt.columns)
+    return unchanged.unionByName(matched).unionByName(inserted)
+
+
+def merge(
+    source_table: BaseTable,
+    target_table: BaseTable,
+    columns,
+    target_conflict_columns: list[str],
+    if_conflicts: str = "exception",
+    engine: SparkEngine | None = None,
+    spark: SparkSession | None = None,
+) -> BaseTable:
+    if if_conflicts not in ("ignore", "update", "exception"):
+        raise ValueError(f"if_conflicts must be ignore/update/exception, got {if_conflicts!r}")
+    eng = engine or SparkEngine(spark or default_session())
+    s = eng.spark
+    tgt = s.table(target_table.qualified_name)
+    src = s.table(source_table.qualified_name)
+    cmap = normalize_columns(columns)
+    if not cmap:
+        cmap = {c: c for c in src.columns if c in set(tgt.columns)}
+    keys = list(target_conflict_columns)
+    missing = [k for k in keys if k not in tgt.columns]
+    if missing:
+        raise ValueError(f"Conflict columns not in target: {missing}")
+
+    src_shaped = _mapped_source(src, cmap, tgt.schema)
+
+    if if_conflicts == "exception":
+        n_dup = src_shaped.join(tgt.select(*keys), on=keys, how="left_semi").limit(1).count()
+        if n_dup:
+            raise MergeConflictException(
+                f"Merge would violate unique constraint on {keys} "
+                f"(source has keys already present in {target_table.qualified_name})"
+            )
+        src_shaped.write.mode("append").format("parquet").saveAsTable(
+            target_table.qualified_name
+        )
+        return target_table
+
+    if if_conflicts == "ignore":
+        merge_insert_plan(tgt, src, cmap, keys).write.mode("append").format(
+            "parquet"
+        ).saveAsTable(target_table.qualified_name)
+        return target_table
+
+    # update: staged rewrite (Redshift-style, redshift.py:169-307)
+    result = merge_update_plan(tgt, src, cmap, keys)
+
+    # Spark cannot overwrite a table it is reading from in the same plan —
+    # stage the result, then swap (two sequential writes; on Delta this
+    # whole branch is a single MERGE INTO).
+    staging = TempTable()
+    result.write.mode("overwrite").format("parquet").saveAsTable(staging.qualified_name)
+    s.table(staging.qualified_name).write.mode("overwrite").format("parquet").saveAsTable(
+        target_table.qualified_name
+    )
+    eng.drop_table(staging)
+    return target_table

@@ -1,0 +1,773 @@
+"""Query registry — the correctness + benchmark surface.
+
+Each entry pairs a Spark DataFrame program (the engine under test) with an
+ANSI/DuckDB oracle SQL string. Names, output column names, and value shapes
+are aligned exactly (the driver hash-compares values after sorting columns
+by name — see repo README / driver contract).
+
+Determinism rules used throughout:
+- every float output is ``round(x, N)`` in BOTH engines;
+- every top-k is ordered with a unique-key tiebreak;
+- rank-on-rounded for similarity scores so both engines rank identically.
+
+Coverage map (SURVEY §2.5 + extensions):
+  scans/filter/project  → q_filter_project
+  aggregation           → q_pricing_summary (flagship), q_distinct_counts,
+                          q_group_having, q_rollup, q_cube
+  joins                 → q_join_agg (broadcast dim), q_region_revenue
+                          (multi-join), q_semi_anti_join
+  windows               → q_window_topk, q_window_running
+  sort/limit            → q_topk_order
+  set ops               → q_set_ops
+  scalar functions      → q_scalar_funcs, q_date_funcs, q_json_extract
+  merge/append semantics→ q_merge_update, q_merge_ignore, q_append_map
+  events (time series)  → q_events_tumbling, q_events_sessions
+  dedup                 → q_dedup_exact (oracle), minhash/simhash (rows-only)
+  text analysis         → q_token_stats, q_quality_score
+  similarity search     → q_embedding_topk (oracle), LSH ANN (rows-only)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from astro_sdk_spark.functions.dedup import exact_dedup, minhash_near_dup, simhash_near_dup
+from astro_sdk_spark.functions.similarity import cosine_topk, lsh_bucket_join
+from astro_sdk_spark.functions.text import (
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from astro_sdk_spark.operators.merge import merge_insert_plan, merge_update_plan
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (direct parquet scan → full pushdown).
+
+    events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
+    reader rejects; read it as long nanos (legacy conf) and expose BOTH a
+    µs-truncated TIMESTAMP_NTZ ``ts`` (matches what DuckDB sees) and the raw
+    ``ts_ns`` for exact epoch arithmetic. Session tz pinned to UTC so
+    LTZ→NTZ conversion is wall-clock-stable regardless of host tz.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.select(
+            "event_id",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz").alias("ts"),
+            F.col("ts").alias("ts_ns"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+# --------------------------------------------------------------------------
+# 1. Aggregation — flagship: TPC-H Q1-style pricing summary
+
+
+@q(
+    "q_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)       AS sum_qty,
+           round(sum(l_extendedprice), 2)  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)       AS avg_qty,
+           round(avg(l_extendedprice), 4)  AS avg_price,
+           round(avg(l_discount), 4)       AS avg_disc,
+           count(*)                        AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q_filter_project",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+      AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+    """,
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_totalprice") > 100000)
+            & (F.col("o_orderdate").cast("date") >= F.lit("1995-01-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+@q(
+    "q_distinct_counts",
+    """
+    SELECT count(DISTINCT o_custkey)       AS n_cust,
+           count(DISTINCT o_orderpriority) AS n_prio,
+           count(*)                        AS n_orders
+    FROM orders
+    """,
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@q(
+    "q_group_having",
+    """
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    """,
+)
+def q_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@q(
+    "q_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+@q(
+    "q_cube",
+    """
+    SELECT l_returnflag, l_linestatus, round(avg(l_discount), 4) AS avg_disc
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.avg("l_discount"), 4).alias("avg_disc")
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. Joins
+
+
+@q(
+    "q_join_agg",
+    """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (
+        o.filter(F.col("o_orderdate").cast("date") >= F.lit("1995-01-01").cast("date"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@q(
+    "q_region_revenue",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    """,
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name").isin("ASIA", "EUROPE"))),
+              n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "q_semi_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(urgent, F.col("c_custkey") == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. Window functions
+
+
+@q(
+    "q_window_topk",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
+    )
+
+
+@q(
+    "q_window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           lag(o_orderkey) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_orderkey
+    FROM orders
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    ordering = [F.col("o_orderdate").cast("date"), F.col("o_orderkey")]
+    w = Window.partitionBy("o_custkey").orderBy(*ordering)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(wsum), 2).alias("running_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+@q(
+    "q_topk_order",
+    """
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def q_topk_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(20)
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. Set operations
+
+
+@q(
+    "q_set_ops",
+    """
+    SELECT 'union' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION
+      SELECT c_custkey FROM customer WHERE c_acctbal > 7000)
+    UNION ALL
+    SELECT 'intersect' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 7000)
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 7000)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 7000).select("c_custkey")
+    return (
+        building.union(rich).distinct().select(F.lit("union").alias("op"), "c_custkey")
+        .unionByName(
+            building.intersect(rich).select(F.lit("intersect").alias("op"), "c_custkey")
+        )
+        .unionByName(
+            building.exceptAll(rich).distinct().select(F.lit("except").alias("op"), "c_custkey")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. Scalar functions
+
+
+@q(
+    "q_scalar_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_brand)                       AS brand_u,
+           substr(p_name, 1, 10)                AS name10,
+           length(p_type)                       AS type_len,
+           round(p_retailprice * 1.1, 2)        AS inflated,
+           CASE WHEN p_size > 25 THEN 'L'
+                WHEN p_size > 10 THEN 'M'
+                ELSE 'S' END                    AS size_class,
+           concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size
+    FROM part
+    """,
+)
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 10).alias("name10"),
+        F.length("p_type").alias("type_len"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("inflated"),
+        F.when(F.col("p_size") > 25, "L")
+        .when(F.col("p_size") > 10, "M")
+        .otherwise("S")
+        .alias("size_class"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+    )
+
+
+@q(
+    "q_date_funcs",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@q(
+    "q_json_extract",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 6. Events / time series (batch equivalents of the streaming ops)
+
+
+@q(
+    "q_events_tumbling",
+    """
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").start.alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@q(
+    "q_events_sessions",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+      FROM events),
+    flags AS (
+      SELECT user_id,
+             CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1
+                  ELSE 0 END AS is_new
+      FROM gaps)
+    SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM flags GROUP BY user_id
+    """,
+)
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap). Epoch seconds via floor — identical
+    boundary semantics in both engines (ns div 1e9 == floor(epoch(µs)))."""
+    e = T(spark, sf_dir, "events").withColumn(
+        "sec", F.expr("ts_ns div 1000000000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_sec", F.lag("sec").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_sec").isNull() | ((F.col("sec") - F.col("prev_sec")) > 1800), 1
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_new").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 7. Merge / append semantics (operator plans vs SQL oracles)
+
+_MERGE_ORACLE_UPDATE = """
+    WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+    src AS (
+      SELECT o_orderkey, round(o_totalprice * 2, 2) AS new_price
+      FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT t.o_orderkey,
+           round(CASE WHEN s.o_orderkey IS NOT NULL THEN s.new_price
+                      ELSE t.o_totalprice END, 2) AS o_totalprice,
+           t.o_orderstatus
+    FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+    UNION ALL
+    SELECT s.o_orderkey, round(s.new_price, 2) AS o_totalprice,
+           NULL AS o_orderstatus
+    FROM src s WHERE NOT EXISTS (
+      SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+"""
+
+
+@q("q_merge_update", _MERGE_ORACLE_UPDATE)
+def q_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises merge_update_plan (the real operator's plan builder) against
+    a pure-SQL oracle. Docstring parity: SURVEY §2.3 'update' semantics."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    tgt = o.filter(F.col("o_orderkey") % 2 == 0)
+    src = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", F.round(F.col("o_totalprice") * 2, 2).alias("new_price"))
+    )
+    merged = merge_update_plan(
+        tgt,
+        src,
+        cmap={"o_orderkey": "o_orderkey", "new_price": "o_totalprice"},
+        keys=["o_orderkey"],
+    )
+    return merged.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "o_orderstatus"
+    )
+
+
+_MERGE_ORACLE_IGNORE = """
+    WITH tgt AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+    src AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM tgt
+    UNION ALL
+    SELECT s.o_orderkey, round(s.o_totalprice, 2) AS o_totalprice FROM src s
+    WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+"""
+
+
+@q("q_merge_ignore", _MERGE_ORACLE_IGNORE)
+def q_merge_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tgt = o.filter(F.col("o_orderkey") % 2 == 0)
+    src = o.filter(F.col("o_orderkey") % 3 == 0)
+    inserted = merge_insert_plan(
+        tgt, src, cmap={c: c for c in tgt.columns}, keys=["o_orderkey"]
+    )
+    return tgt.unionByName(inserted).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+@q(
+    "q_append_map",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           NULL AS o_orderstatus
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_append_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append with a column map: unmapped target columns → NULL
+    (reference semantics databases/base.py:666-696)."""
+    o = T(spark, sf_dir, "orders")
+    tgt = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    src = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_totalprice")
+    appended = src.withColumn("o_orderstatus", F.lit(None).cast("string"))
+    return tgt.unionByName(appended).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "o_orderstatus"
+    )
+
+
+# --------------------------------------------------------------------------
+# 8. Dedup / text / similarity extensions
+
+
+@q(
+    "q_dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(T(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_token_stats",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           array_length(string_split(text, ' ')) AS n_tokens,
+           array_length(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           round(array_length(list_distinct(string_split(text, ' ')))
+                 / CAST(array_length(string_split(text, ' ')) AS DOUBLE), 4) AS ttr,
+           round((length(text) - (array_length(string_split(text, ' ')) - 1))
+                 / CAST(array_length(string_split(text, ' ')) AS DOUBLE), 4) AS avg_token_len
+    FROM documents
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(T(spark, sf_dir, "documents"))
+
+
+_QUALITY_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             array_length(string_split(text, ' ')) AS n_tokens,
+             array_length(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents),
+    scored AS (
+      SELECT doc_id, n_tokens,
+             n_distinct / CAST(n_tokens AS DOUBLE) AS ttr,
+             len(list_filter(toks, t -> list_contains(
+               ['the','a','of','and','to','in','is','it','for','on'], t)))
+               / CAST(n_tokens AS DOUBLE) AS sw,
+             CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END AS len_ok
+      FROM tok)
+    SELECT doc_id, n_tokens, round(ttr, 4) AS ttr, round(sw, 4) AS stopword_ratio,
+           round(len_ok * 0.4 + least(ttr * 2, 1.0) * 0.3
+                 + least(sw * 10, 1.0) * 0.3, 4) AS quality_score
+    FROM scored
+"""
+
+
+@q("q_quality_score", _QUALITY_ORACLE)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(T(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_embedding_topk",
+    """
+    WITH qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cosine
+      FROM qs q JOIN embeddings c ON q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT query_id, cand_id, cosine,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb.filter(F.col("vec_id") < 8), emb, k=10, round_digits=4
+    )
+
+
+@q(
+    "q_lang_distribution",
+    """
+    SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("n_chars"), 4).alias("avg_chars")
+    )
+
+
+# ---- rows-only entries (no SQL oracle; driver records weaker check) ------
+
+
+@q("q_minhash_neardup", None)
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, jaccard ≥ 0.5 (non-SQL-expressible at
+    reasonable oracle cost — rows-only check)."""
+    return minhash_near_dup(
+        T(spark, sf_dir, "documents"), num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+@q("q_simhash_neardup", None)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dup(T(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@q("q_lang_id", None)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@q("q_ann_lsh", None)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return lsh_bucket_join(
+        emb.filter(F.col("vec_id") < 8), emb, dim=dim, bits=8, bands=4, k=10
+    )

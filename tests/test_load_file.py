@@ -1,0 +1,88 @@
+import json
+import os
+
+import pytest
+
+from astro_sdk_spark import File, Table, load_file
+from astro_sdk_spark.files import FileType, filetype_from_path
+
+
+def test_filetype_from_extension():
+    assert filetype_from_path("a/b.csv") == FileType.CSV
+    assert filetype_from_path("s3://x/y.parquet") == FileType.PARQUET
+    assert filetype_from_path("z.ndjson") == FileType.NDJSON
+    assert filetype_from_path("z.jsonl") == FileType.NDJSON
+    with pytest.raises(ValueError):
+        filetype_from_path("a.unknown")
+
+
+def test_is_pattern():
+    assert File("/data/dir").is_pattern()
+    assert File("/data/*.csv").is_pattern()
+    assert not File("/data/f.csv").is_pattern()
+
+
+def test_load_parquet_to_table(engine, sf_dir):
+    t = load_file(File(f"{sf_dir}/region.parquet"), Table(name="t_region"), engine=engine)
+    assert engine.row_count(t) == 5
+    engine.drop_table(t)
+
+
+def test_load_parquet_returns_dataframe(engine, sf_dir):
+    df = load_file(File(f"{sf_dir}/nation.parquet"), engine=engine)
+    assert df.count() == 25
+    assert "n_name" in df.columns
+
+
+def test_load_csv_with_header_and_inference(engine, tmp_path):
+    p = tmp_path / "homes.csv"
+    p.write_text("sell,list,age\n142,160,60\n175,180,12\n")
+    df = load_file(File(str(p)), engine=engine)
+    assert df.count() == 2
+    assert dict(df.dtypes)["sell"] == "int"
+
+
+def test_load_ndjson_flattens_nested(engine, tmp_path):
+    p = tmp_path / "nested.ndjson"
+    rows = [
+        {"id": 1, "payload": {"commit": {"author": "a"}, "ref": "r1"}},
+        {"id": 2, "payload": {"commit": {"author": "b"}, "ref": "r2"}},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    df = load_file(File(str(p)), engine=engine)
+    assert set(df.columns) == {"id", "payload_commit_author", "payload_ref"}
+
+
+def test_load_json_array(engine, tmp_path):
+    p = tmp_path / "sample.json"
+    p.write_text(json.dumps([{"id": 1, "name": "First"}, {"id": 2, "name": "पांचाल"}]))
+    df = load_file(File(str(p)), engine=engine)
+    assert df.count() == 2
+    names = {r["name"] for r in df.collect()}
+    assert "पांचाल" in names
+
+
+def test_if_exists_append_vs_replace(engine, sf_dir):
+    t = Table(name="t_region_app")
+    load_file(File(f"{sf_dir}/region.parquet"), t, engine=engine)
+    load_file(File(f"{sf_dir}/region.parquet"), t, if_exists="append", engine=engine)
+    assert engine.row_count(t) == 10
+    load_file(File(f"{sf_dir}/region.parquet"), t, if_exists="replace", engine=engine)
+    assert engine.row_count(t) == 5
+    engine.drop_table(t)
+
+
+def test_columns_names_capitalization(engine, sf_dir):
+    df = load_file(
+        File(f"{sf_dir}/region.parquet"),
+        columns_names_capitalization="upper",
+        engine=engine,
+    )
+    assert df.columns == ["R_REGIONKEY", "R_NAME"]
+
+
+def test_glob_pattern_load(engine, tmp_path):
+    for i in range(3):
+        (tmp_path / f"part_{i}.csv").write_text(f"a,b\n{i},{i * 2}\n")
+    df = load_file(File(str(tmp_path / "part_*.csv")), engine=engine)
+    assert df.count() == 3

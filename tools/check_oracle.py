@@ -1,0 +1,111 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB at the same sf, compare row count +
+column names + order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(rows, columns):
+    """Sort columns by name, canonicalize values, sort rows."""
+    idx = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        canon = []
+        for i in idx:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = f"{v:.6f}"
+            elif hasattr(v, "isoformat"):
+                v = v.isoformat()
+            canon.append(str(v))
+        out.append("\x1f".join(canon))
+    return sorted(out)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from astro_sdk_spark import get_session
+    from astro_sdk_spark.queries import oracle_queries, spark_queries
+
+    spark = get_session(shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    oracles = oracle_queries()
+    failures = []
+    for name, fn in spark_queries().items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok*   {name}: rows-only, {len(srows)} rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        if sorted(scols) != sorted(ocols):
+            failures.append(name)
+            print(f"FAIL  {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+            continue
+        if len(srows) != len(orows):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+            continue
+        sn, on_ = normalize(srows, scols), normalize(orows, ocols)
+        if sn != on_:
+            failures.append(name)
+            ndiff = sum(1 for a, b in zip(sn, on_) if a != b)
+            print(f"FAIL  {name}: {ndiff}/{len(sn)} rows differ")
+            for a, b in list(zip(sn, on_))[:200]:
+                if a != b:
+                    print(f"  spark : {a}")
+                    print(f"  oracle: {b}")
+                    break
+        else:
+            print(f"ok    {name}: {len(srows)} rows match")
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("all queries match")
+
+
+if __name__ == "__main__":
+    main()
