@@ -185,7 +185,14 @@ class SparkEngine:
         if ftype in (FileType.XLSX, FileType.XLS):
             import pandas as pd
 
-            pdf = pd.read_excel(path)
+            try:
+                pdf = pd.read_excel(path)
+            except ImportError as e:  # openpyxl/xlrd not installed
+                raise NotImplementedError(
+                    "Excel support requires openpyxl/xlrd (not installed in "
+                    "this environment); reference parity path "
+                    "files/types/excel.py is driver-side pandas"
+                ) from e
             return self.spark.createDataFrame(pdf)
         raise ValueError(f"Unsupported file type: {ftype}")
 

@@ -1,0 +1,21 @@
+"""Multimodal columns (extension — no reference counterpart)."""
+
+from astro_sdk_spark.multimodal.ops import (
+    MEDIA_SCHEMA,
+    attach_media_metadata,
+    decode_image_batch,
+    extract_image_features,
+    frame_sample_video,
+    media_table_from_files,
+    resize_images,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "media_table_from_files",
+    "attach_media_metadata",
+    "decode_image_batch",
+    "extract_image_features",
+    "resize_images",
+    "frame_sample_video",
+]

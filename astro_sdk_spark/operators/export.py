@@ -62,7 +62,12 @@ def export_to_file(
     ftype = output_file.type
     if ftype in (FileType.XLSX, FileType.XLS):
         # driver-side small-file path (reference files/types/excel.py)
-        df.toPandas().to_excel(path, index=False)
+        try:
+            df.toPandas().to_excel(path, index=False)
+        except ImportError as e:
+            raise NotImplementedError(
+                "Excel export requires openpyxl/xlsxwriter (not installed)"
+            ) from e
         return output_file
 
     tmpdir = tempfile.mkdtemp(prefix="astro_export_")
