@@ -18,6 +18,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread_by_id(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition by the doc id BEFORE per-document heavy expressions
+    (shingling, hashing).
+
+    Two wins: (1) a documents table often arrives as few large files, so
+    the expensive per-row work would otherwise run on a handful of tasks —
+    this spreads it across the cluster; (2) the hash partitioning on the id
+    column is exactly what the downstream groupBy(id) requires, so Catalyst
+    inserts NO second exchange — the only thing shuffled is the raw
+    (id, text) pair, once, before any expression work."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return df.repartition(n, F.col(id_col))
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -50,17 +64,55 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, minhash array<long>): h_i(doc) = min over shingles of
-    xxhash64(shingle, seed=i). Seeded xxhash64 is emulated by hashing the
-    shingle with a per-function salt literal."""
-    sh = shingles_col(F.col(text_col), shingle_k).alias("_sh")
-    base = df.select(F.col(id_col), sh)
+    """(id, minhash array<long>): h_i(doc) = min over shingles of a seeded
+    64-bit hash of the shingle.
 
-    def _minhash(i: int):
-        return F.array_min(F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(i))))
+    Vectorized shape: explode shingles ONCE, hash each shingle string ONCE
+    (xxhash64 over the text), then derive the ``num_hashes`` seeded hashes
+    from the 8-byte hash (xxhash64(h, i) — 16 bytes in, not the whole
+    string) inside a single grouped aggregation with ``num_hashes`` min
+    slots. One shuffle on the doc id, map-side partial aggregation, all
+    whole-stage codegen. (The naive per-row form — N × array_min(transform)
+    lambdas over the shingle array — recomputes the shingle array N times
+    because Catalyst does not CSE subexpressions across lambda boundaries;
+    measured ~10× slower at sf0.1.)
+    """
+    exploded = _spread_by_id(df, id_col).select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_k)).alias("_sh")
+    ).select(F.col(id_col), F.xxhash64("_sh").alias("_h"))
+    mins = exploded.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("minhash")
+    )
 
-    mh = F.array(*[_minhash(i) for i in range(num_hashes)])
-    return base.select(F.col(id_col), mh.alias("minhash"))
+
+def _bucket_pairs(grouped: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """Expand per-bucket member lists (column ``_ms``, array<struct>) into
+    ordered candidate pairs (_a, _b struct columns), one row per pair.
+
+    This is the skew-safe alternative to a bucket self-join: the expensive
+    upstream (signatures) is referenced ONCE — a self-join would evaluate
+    the whole signature subtree on both sides, because Spark only reuses
+    exchanges for byte-identical subplans, which aliased join branches are
+    not. Buckets above ``bucket_cap`` are dropped before pair expansion, so
+    the worst case per bucket is cap²/2 pairs (a duplicate-heavy corpus
+    otherwise makes this quadratic — pre-dedup exact copies first)."""
+    sized = grouped.filter(F.size("_ms") > 1)
+    if bucket_cap is not None:
+        sized = sized.filter(F.size("_ms") <= bucket_cap)
+    ms = F.array_sort("_ms")
+    pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.size(ms) - i - 1),
+                lambda y: F.struct(x.alias("_a"), y.alias("_b")),
+            ),
+        )
+    )
+    return sized.select(F.explode(pairs).alias("_p")).select("_p._a", "_p._b")
 
 
 def minhash_lsh_candidates(
@@ -68,9 +120,11 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     bands: int = 16,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Banded LSH over minhash signatures → candidate near-dup pairs
-    (id_a < id_b). Pairs sharing ≥1 band bucket survive."""
+    (id_a < id_b). Pairs sharing ≥1 band bucket survive. ``bucket_cap``
+    drops degenerate mega-buckets (see _bucket_pairs)."""
     rows_per_band = num_hashes // bands
     banded = sigs.select(
         F.col(id_col),
@@ -92,12 +146,12 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("_id"))).alias("_ms")
+    )
     return (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        _bucket_pairs(grouped, bucket_cap)
+        .select(F.col("_a._id").alias("id_a"), F.col("_b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -110,8 +164,27 @@ def jaccard_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| via
-    array_intersect/array_union (verification pass after LSH)."""
-    sh = df.select(F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("_sh"))
+    array_intersect/array_union (verification pass after LSH).
+
+    Shingles are computed ONLY for documents that appear in a candidate
+    pair: the ids on each side of ``pairs`` are collected into a semi-join
+    prune of ``df`` before the (expensive) shingling expression runs.
+    Candidates are a vanishing fraction of the corpus, so this turns a
+    2×full-corpus shingle pass into a 2×|candidates| one.
+
+    ``pairs`` is persisted first: the verify plan references it three times
+    (the join spine + both sides of the id-prune union), and Spark would
+    otherwise re-evaluate the whole LSH subtree for each reference. The
+    candidate set is small by construction (post-LSH, bucket-capped), so
+    memory cost is negligible at any scale."""
+    pairs = pairs.persist()
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .dropDuplicates([id_col])
+    )
+    pruned = df.join(cand_ids, on=id_col, how="left_semi")
+    sh = pruned.select(F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("_sh"))
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sa"), on="id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sb"), on="id_b")
@@ -135,11 +208,23 @@ def minhash_near_dup(
     bands: int = 16,
     threshold: float = 0.7,
     shingle_k: int = 3,
+    bucket_cap: int | None = 500,
+    pre_dedup: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: minhash → banded LSH → exact Jaccard verify.
-    Returns (id_a, id_b, jaccard) pairs above threshold."""
+    Returns (id_a, id_b, jaccard) pairs above threshold.
+
+    100 TB shape: ``pre_dedup=True`` collapses exact-duplicate texts to one
+    representative (min id) before LSH — web-crawl corpora are dominated by
+    exact dups, which otherwise all land in the same buckets in every band
+    and blow up the candidate self-join quadratically. Combine with
+    ``exact_dedup`` output to recover the identical groups. ``bucket_cap``
+    bounds whatever skew remains."""
+    if pre_dedup:
+        reps = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+        df = reps.select(id_col, text_col)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
+    cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands, bucket_cap)
     return jaccard_pairs(df, cands, text_col, id_col, shingle_k).filter(
         F.col("jaccard") >= threshold
     )
@@ -150,28 +235,41 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, simhash): 64-bit SimHash over word shingles.
+    """(id, simhash): SimHash over word shingles.
 
-    Implemented as explode → xxhash64 once per shingle → ONE vectorized
-    hash-aggregate with 64 per-bit vote sums (Σ of bit ? 1 : -1), then the
+    Implemented as explode → hash once per shingle → ONE vectorized
+    hash-aggregate with per-bit vote sums (Σ of bit ? 1 : -1), then the
     bits are packed. Single shuffle on the doc id; per-bit work stays inside
     whole-stage codegen. (A per-row 64×aggregate-over-array expression is
     ~100× slower — Catalyst does not CSE the shingle array across lambdas.)
+
+    ``hash_fn``: ``xxhash64`` (64-bit, fastest — the production path) or
+    ``md5`` (60 bits from the first 15 hex digits of md5 — slower, but
+    computable identically in other engines, which is what lets the DuckDB
+    correctness oracle replicate the signature bit-for-bit).
     """
-    exploded = df.select(
+    if hash_fn == "xxhash64":
+        n_bits, hashed_col = 64, F.xxhash64("_sh")
+    elif hash_fn == "md5":
+        n_bits = 60
+        hashed_col = F.conv(F.substring(F.md5("_sh"), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    exploded = _spread_by_id(df, id_col).select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_k)).alias("_sh")
-    ).select(F.col(id_col), F.xxhash64("_sh").alias("_h"))
+    ).select(F.col(id_col), hashed_col.alias("_h"))
     votes = exploded.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"_v{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     out = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         # shiftleft instead of a lit(1 << i): 1 << 63 overflows a JVM long
         bit = F.shiftleft(F.lit(1).cast("long"), i)
         out = out + F.when(F.col(f"_v{i}") > 0, bit).otherwise(F.lit(0).cast("long"))
@@ -184,11 +282,16 @@ def simhash_near_dup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     shingle_k: int = 2,
+    bucket_cap: int | None = 500,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup: block on 4 x 16-bit sub-keys (any pair within
     hamming distance 3 must agree exactly on ≥1 of 4 blocks — pigeonhole),
-    verify candidates with exact popcount."""
-    hashed = simhash_signatures(df, text_col, id_col, shingle_k)
+    verify candidates with exact popcount. For ``max_hamming`` > 3 the
+    4-block scheme is a high-recall heuristic, not exhaustive (exhaustive
+    needs max_hamming+1 blocks). ``bucket_cap`` drops degenerate blocks
+    (see _bucket_pairs)."""
+    hashed = simhash_signatures(df, text_col, id_col, shingle_k, hash_fn)
     blocked = hashed.select(
         id_col,
         "simhash",
@@ -201,12 +304,19 @@ def simhash_near_dup(
             )
         ).alias("block", "key"),
     )
-    a = blocked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "block", "key")
-    b = blocked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "block", "key")
+    grouped = blocked.groupBy("block", "key").agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("_id"), F.col("simhash").alias("_h"))
+        ).alias("_ms")
+    )
     cands = (
-        a.join(b, on=["block", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b")
+        _bucket_pairs(grouped, bucket_cap)
+        .select(
+            F.col("_a._id").alias("id_a"),
+            F.col("_b._id").alias("id_b"),
+            F.col("_a._h").alias("h_a"),
+            F.col("_b._h").alias("h_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     xor = F.col("h_a").bitwiseXOR(F.col("h_b"))
@@ -218,44 +328,38 @@ def simhash_near_dup(
 
 def embedding_near_dup(
     df: DataFrame,
+    dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
     bits: int = 12,
     bands: int = 4,
     seed: int = 42,
-    dim: int | None = None,
+    bucket_cap: int | None = 500,
 ) -> DataFrame:
-    """Embedding-cosine near-dup via the similarity module's LSH bucket join:
-    pairs with cosine ≥ threshold."""
+    """Embedding-cosine near-dup via random-hyperplane LSH banding: pairs
+    with cosine ≥ threshold. ``dim`` is the embedding dimensionality — a
+    caller-supplied constant (taking it from the data would run a driver-
+    side job before planning)."""
     from astro_sdk_spark.functions.similarity import (
+        banded_signatures,
         cosine_similarity_col,
-        random_hyperplanes,
-        signature_col,
     )
 
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    planes = random_hyperplanes(dim, bits * bands, seed)
-    rows = []
-    for b in range(bands):
-        p = planes[b * bits : (b + 1) * bits]
-        rows.append(
-            df.select(
-                F.col(id_col),
-                F.col(vec_col),
-                F.lit(b).alias("band"),
-                signature_col(F.col(vec_col), p).alias("sig"),
-            )
-        )
-    banded = rows[0]
-    for r in rows[1:]:
-        banded = banded.unionByName(r)
-    a = banded.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "band", "sig")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "band", "sig")
+    banded = banded_signatures(df, dim, id_col, vec_col, bits, bands, seed)
+    grouped = banded.groupBy("band", "sig").agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        ).alias("_ms")
+    )
     cands = (
-        a.join(b, on=["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        _bucket_pairs(grouped, bucket_cap)
+        .select(
+            F.col("_a._id").alias("id_a"),
+            F.col("_b._id").alias("id_b"),
+            F.col("_a._v").alias("_va"),
+            F.col("_b._v").alias("_vb"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     return cands.select(

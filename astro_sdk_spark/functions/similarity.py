@@ -13,11 +13,16 @@ Scale design:
 - ``lsh_bucket_join`` is the scale path: random-hyperplane signatures
   (SimHash for real vectors) computed JVM-side, candidates compared only
   within matching bands — turns O(Q×N) into O(Q×N/2^bits) per band.
+- Hyperplanes travel as ONE broadcast array<array<array<double>>> column
+  (a single-row crossJoin), not as per-plane literal expressions — at real
+  dims (768·12·4 ≈ 37k literals) the literal form bloats the plan and
+  serializes it to every task; the broadcast form is O(1) plan size.
+- Banded signatures come from ONE scan with a posexplode over the per-band
+  signature array — not a union of per-band scans.
 """
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import DataFrame
@@ -83,18 +88,87 @@ def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
-def signature_col(vec_col, planes: list[list[float]]):
-    """SimHash signature of a vector column: one bit per hyperplane, packed
-    into a long. Pure built-ins (no UDF) — each bit is sign(dot(v, plane))."""
-    bit_exprs = []
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        dot = _dot(vec_col, lit_plane)
-        bit_exprs.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = F.lit(0).cast("long")
-    for e in bit_exprs:
-        out = out + e.cast("long")
-    return out
+def band_signature_col(vec_col, band_planes):
+    """Signature of one band: bit i = sign(dot(v, band_planes[i])), packed
+    into a long. ``band_planes`` is an array<array<double>> COLUMN (usually
+    from a broadcast planes matrix), so the plan carries one reference, not
+    bits×dim literals. 2.0**i is exact in double for i ≤ 62 (shiftleft
+    needs a Python-int position, which a lambda index is not)."""
+    bit_terms = F.transform(
+        band_planes,
+        lambda p, i: F.when(
+            _dot(vec_col, p) >= 0,
+            F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bit_terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def planes_matrix(spark, dim: int, bits: int, bands: int, seed: int = 42):
+    """The hyperplane tensor as a one-row DataFrame: planes[band][bit][dim].
+    CrossJoin+broadcast it onto the vector table (O(1) plan size)."""
+    flat = random_hyperplanes(dim, bits * bands, seed)
+    nested = [[flat[b * bits + i] for i in range(bits)] for b in range(bands)]
+    return spark.createDataFrame(
+        [(nested,)], "planes array<array<array<double>>>"
+    )
+
+
+def banded_signatures(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 12,
+    bands: int = 4,
+    seed: int = 42,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """(id, vec, band, sig) — one row per (vector, band), from a single scan:
+    the per-band signature array is computed once per row and posexploded.
+
+    Default path: hyperplane signatures are a dense matmul — batch_vectors
+    (n×dim) @ planes.T (dim×bits·bands) → signs → bit-pack. That is BLAS
+    territory, so it runs as an Arrow-batched pandas_udf over numpy (the
+    one place Python beats Catalyst expressions: higher-order-function
+    dot products are interpreted per element, the matmul is vectorized
+    ~100×). Fallback (``use_arrow=False``): pure built-in HOF expressions,
+    JVM-side, with the planes as one broadcast column — same results."""
+    if use_arrow:
+        try:
+            import numpy as np
+            import pandas as pd
+        except ImportError:  # pragma: no cover - numpy ships with pyspark
+            use_arrow = False
+    if use_arrow:
+        flat = random_hyperplanes(dim, bits * bands, seed)
+        planes_t = np.array(flat, dtype=np.float64).T  # dim × (bits·bands)
+        weights = np.array([1 << i for i in range(bits)], dtype=np.int64)
+        n_bands = bands
+
+        def _sigs_fn(v):
+            if len(v) == 0:
+                return pd.Series([], dtype=object)
+            mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+            bitmat = (mat @ planes_t) >= 0  # n × bits·bands
+            sigs = bitmat.reshape(len(mat), n_bands, -1).astype(np.int64) @ weights
+            return pd.Series(list(sigs))
+
+        # annotations set explicitly: `from __future__ import annotations`
+        # stringifies inline hints, which pandas_udf cannot resolve
+        _sigs_fn.__annotations__ = {"v": pd.Series, "return": pd.Series}
+        sig_arr = F.pandas_udf(_sigs_fn, "array<long>")(F.col(vec_col))
+    else:
+        planes = planes_matrix(df.sparkSession, dim, bits, bands, seed)
+        df = df.crossJoin(F.broadcast(planes))
+        sig_arr = F.transform(
+            F.col("planes"), lambda bp: band_signature_col(F.col(vec_col), bp)
+        )
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(sig_arr).alias("band", "sig"),
+    )
 
 
 def lsh_bucket_join(
@@ -107,32 +181,28 @@ def lsh_bucket_join(
     bands: int = 4,
     k: int = 10,
     seed: int = 42,
+    round_digits: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """ANN: compare query/candidate pairs only when they share an LSH bucket
     in at least one band, then exact-rescore the survivors. At 100 TB the
     bucket join shuffles on (band, signature) — uniformly distributed keys,
-    no skew — instead of exploding the cross product."""
-    all_planes = random_hyperplanes(dim, bits * bands, seed)
-
-    def with_bands(df: DataFrame, prefix: str) -> DataFrame:
-        rows = []
-        for b in range(bands):
-            planes = all_planes[b * bits : (b + 1) * bits]
-            rows.append(
-                df.select(
-                    F.col(id_col).alias(f"{prefix}_id"),
-                    F.col(vec_col).alias(f"_{prefix}vec"),
-                    F.lit(b).alias("band"),
-                    signature_col(F.col(vec_col), planes).alias("sig"),
-                )
-            )
-        out = rows[0]
-        for r in rows[1:]:
-            out = out.unionByName(r)
-        return out
-
-    qb = with_bands(queries, "q")
-    cb = with_bands(candidates, "c")
+    no skew — instead of exploding the cross product. ``bucket_cap`` drops
+    candidate-side mega-buckets (dense clusters of near-identical vectors)
+    before the join."""
+    qb = banded_signatures(queries, dim, id_col, vec_col, bits, bands, seed).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qvec"), "band", "sig"
+    )
+    cb = banded_signatures(candidates, dim, id_col, vec_col, bits, bands, seed).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cvec"), "band", "sig"
+    )
+    if bucket_cap is not None:
+        w = Window.partitionBy("band", "sig")
+        cb = (
+            cb.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= bucket_cap)
+            .drop("_bsz")
+        )
     pairs = (
         qb.join(cb, on=["band", "sig"])
         .filter(F.col("q_id") != F.col("c_id"))
@@ -144,5 +214,44 @@ def lsh_bucket_join(
         F.col("c_id").alias("cand_id"),
         cosine_similarity_col(F.col("_qvec"), F.col("_cvec")).alias("cosine"),
     )
+    if round_digits is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_digits))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_recall(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    bands: int = 4,
+    k: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Recall@k of the LSH path against the exact brute-force baseline, per
+    query: |LSH∩exact| / |exact|. The measurement the ANN path is judged by."""
+    exact = cosine_topk(queries, candidates, id_col, vec_col, k, round_digits=4).select(
+        "query_id", "cand_id"
+    )
+    approx = lsh_bucket_join(
+        queries, candidates, dim, id_col, vec_col, bits, bands, k, seed, round_digits=4
+    ).select("query_id", F.col("cand_id").alias("_ac"))
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (exact.cand_id == approx._ac),
+        "left_semi",
+    )
+    n_exact = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_exact.join(n_hit, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall"),
+        )
+    )

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from astro_sdk_spark.functions.dedup import exact_dedup, minhash_near_dup, simhash_near_dup
-from astro_sdk_spark.functions.similarity import cosine_topk, lsh_bucket_join
+from astro_sdk_spark.functions.similarity import ann_recall, cosine_topk, lsh_bucket_join
 from astro_sdk_spark.functions.text import (
     lang_id,
     quality_score,
@@ -710,7 +710,8 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-             round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cosine
+             round(list_cosine_similarity(
+               CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS cosine
       FROM qs q JOIN embeddings c ON q.vec_id <> c.vec_id),
     ranked AS (
       SELECT query_id, cand_id, cosine,
@@ -741,33 +742,268 @@ def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- rows-only entries (no SQL oracle; driver records weaker check) ------
+# ---- LSH / heuristic extension queries with exact oracles ----------------
+#
+# Oracle strategy: LSH outputs are hash-dependent, so either (a) the oracle
+# brute-forces the EXACT answer and the LSH parameters are chosen for 100%
+# recall on the corpus (minhash: all true pairs sit at jaccard ≥ 0.9, miss
+# probability ≈ (1-j⁴)⁸ < 2·10⁻⁴ per pair), or (b) the oracle REPLICATES the
+# pipeline bit-for-bit in DuckDB — possible because the hyperplanes are
+# driver-computed literals we can inline into SQL, and the simhash entry
+# uses an md5-derived 60-bit hash both engines compute identically.
+
+# DuckDB word-k-shingles of lower(text), distinct — mirrors shingles_col().
+_DUCK_SHINGLES_K3 = r"""
+    CASE WHEN len(string_split_regex(lower(text), '\s+')) >= 3
+      THEN list_distinct(list_transform(
+             range(1, len(string_split_regex(lower(text), '\s+')) - 1),
+             i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))
+      ELSE [array_to_string(string_split_regex(lower(text), '\s+'), ' ')]
+    END
+"""
+
+_MINHASH_ORACLE = f"""
+    WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES_K3} AS s FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) AS la, len(b.s) AS lb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(inter / CAST(la + lb - inter AS DOUBLE), 4) AS jaccard
+    FROM pairs WHERE inter / CAST(la + lb - inter AS DOUBLE) >= 0.5
+"""
 
 
-@q("q_minhash_neardup", None)
+@q("q_minhash_neardup", _MINHASH_ORACLE)
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, jaccard ≥ 0.5 (non-SQL-expressible at
-    reasonable oracle cost — rows-only check)."""
-    return minhash_near_dup(
+    """MinHash+LSH near-dup pairs, jaccard ≥ 0.5. The oracle is the exact
+    all-pairs Jaccard answer: with 32 hashes / 8 bands and every true pair
+    at jaccard ≥ 0.9 in this corpus, LSH recall is 1 - (1-j⁴)⁸ > 0.9998 per
+    pair, and the exact-Jaccard verify step removes all false positives —
+    so the approximate pipeline IS exact here (verified at sf0.01/sf0.1)."""
+    pairs = minhash_near_dup(
         T(spark, sf_dir, "documents"), num_hashes=32, bands=8, threshold=0.5
     )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
-@q("q_simhash_neardup", None)
+_DUCK_SHINGLES_K2 = r"""
+    CASE WHEN len(string_split_regex(lower(text), '\s+')) >= 2
+      THEN list_distinct(list_transform(
+             range(1, len(string_split_regex(lower(text), '\s+'))),
+             i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+1], ' ')))
+      ELSE [array_to_string(string_split_regex(lower(text), '\s+'), ' ')]
+    END
+"""
+
+# SimHash replicated bit-for-bit: 60-bit md5-derived shingle hash, per-bit
+# ±1 votes, 4×16-bit block LSH, exact hamming verify.
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_SHINGLES_K2} AS s FROM documents),
+    sh AS (SELECT doc_id, unnest(s) AS g FROM toks),
+    h AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+          FROM sh),
+    votes AS (
+      SELECT doc_id, t.b AS b,
+             sum(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN range(60) t(b) GROUP BY doc_id, t.b),
+    sim AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+      FROM votes GROUP BY doc_id),
+    blocked AS (
+      SELECT doc_id, simhash, t.b AS block,
+             (simhash >> (t.b * 16)) & 65535 AS key
+      FROM sim CROSS JOIN range(4) t(b)),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM blocked a JOIN blocked b USING (block, key)
+      WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cands WHERE bit_count(xor(ha, hb)) <= 8
+"""
+
+
+@q("q_simhash_neardup", _SIMHASH_ORACLE)
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_near_dup(T(spark, sf_dir, "documents"), max_hamming=8)
+    """SimHash near-dup with the md5-derived 60-bit hash (cross-engine
+    deterministic) so the DuckDB oracle replicates signatures bit-for-bit.
+    The xxhash64 variant (hash_fn default) is the faster production path
+    with identical plan shape."""
+    pairs = simhash_near_dup(
+        T(spark, sf_dir, "documents"), max_hamming=8, hash_fn="md5"
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
-@q("q_lang_id", None)
+def _duck_lang_scores() -> str:
+    from astro_sdk_spark.functions.text import _LANG_MARKERS
+
+    parts = []
+    for lang, markers in _LANG_MARKERS.items():
+        arr = "[" + ", ".join("'" + m + "'" for m in markers) + "]"
+        parts.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(w, t -> list_contains({arr}, t))) AS hits FROM toks"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_LANG_ID_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    scores AS ({_duck_lang_scores()}),
+    best AS (
+      SELECT doc_id, lang, hits,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+      FROM scores)
+    SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
+    FROM best WHERE rn = 1
+"""
+
+
+@q("q_lang_id", _LANG_ID_ORACLE)
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID. array_max over (hits, lang) structs picks
+    max hits with lexicographically-largest lang tiebreak — mirrored by the
+    oracle's ORDER BY hits DESC, lang DESC."""
     d = T(spark, sf_dir, "documents")
     return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
-@q("q_ann_lsh", None)
+_EMB_DIM = 64  # fixed by the testdata generator (all SFs)
+
+
+def _duck_band_sigs(bits: int, bands: int, seed: int) -> str:
+    """DuckDB expression list replicating banded_signatures: the hyperplanes
+    are the same driver-computed literals the Spark plan broadcasts."""
+    from astro_sdk_spark.functions.similarity import random_hyperplanes
+
+    flat = random_hyperplanes(_EMB_DIM, bits * bands, seed)
+    structs = []
+    for b in range(bands):
+        terms = []
+        for i in range(bits):
+            plane = "[" + ", ".join(repr(x) for x in flat[b * bits + i]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(embedding, {plane}) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        structs.append(f"{{'band': {b}, 'sig': {' + '.join(terms)}}}")
+    return "[" + ", ".join(structs) + "]"
+
+
+def _ann_lsh_ctes(bits: int, bands: int, seed: int) -> str:
+    return f"""
+    sigs AS (
+      SELECT vec_id, embedding, unnest({_duck_band_sigs(bits, bands, seed)}) AS u
+      FROM embeddings),
+    flat AS (SELECT vec_id, u.band AS band, u.sig AS sig FROM sigs),
+    qb AS (SELECT * FROM flat WHERE vec_id < 8),
+    cands AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+      FROM qb q JOIN flat c USING (band, sig) WHERE q.vec_id <> c.vec_id),
+    scored AS (
+      SELECT query_id, cand_id,
+             round(list_cosine_similarity(
+               CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])), 4) AS cosine
+      FROM cands
+      JOIN embeddings qe ON qe.vec_id = query_id
+      JOIN embeddings ce ON ce.vec_id = cand_id),
+    ranked AS (
+      SELECT query_id, cand_id, cosine,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored)"""
+
+
+_ANN_LSH_ORACLE = f"""
+    WITH {_ann_lsh_ctes(8, 4, 42)}
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@q("q_ann_lsh", _ANN_LSH_ORACLE)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN. The oracle replicates the full pipeline (signatures
+    from the same inlined hyperplanes, bucket join, exact rescore) — it
+    checks the implementation, while q_ann_recall quantifies retrieval
+    quality against the exact baseline."""
     emb = T(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
     return lsh_bucket_join(
-        emb.filter(F.col("vec_id") < 8), emb, dim=dim, bits=8, bands=4, k=10
+        emb.filter(F.col("vec_id") < 8), emb, dim=_EMB_DIM,
+        bits=8, bands=4, k=10, round_digits=4,
     )
+
+
+_ANN_RECALL_ORACLE = f"""
+    WITH {_ann_lsh_ctes(8, 4, 42)},
+    lsh AS (SELECT query_id, cand_id FROM ranked WHERE rank <= 10),
+    ex_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round(list_cosine_similarity(
+               CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS cosine
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 8),
+    ex_ranked AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM ex_scored)
+    SELECT e.query_id,
+           round(count(l.cand_id) / CAST(count(*) AS DOUBLE), 4) AS recall
+    FROM ex_ranked e
+    LEFT JOIN lsh l ON l.query_id = e.query_id AND l.cand_id = e.cand_id
+    WHERE e.rank <= 10
+    GROUP BY e.query_id
+"""
+
+
+@q("q_ann_recall", _ANN_RECALL_ORACLE)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH ANN path vs the exact brute-force baseline —
+    the quality metric VERDICT asked the ANN path to report."""
+    emb = T(spark, sf_dir, "embeddings")
+    return ann_recall(
+        emb.filter(F.col("vec_id") < 8), emb, dim=_EMB_DIM, bits=8, bands=4, k=10
+    )
+
+
+_EMB_NEARDUP_ORACLE = f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding, unnest({{SIGS}}) AS u
+      FROM embeddings),
+    flat AS (SELECT vec_id, embedding, u.band AS band, u.sig AS sig FROM sigs),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(a.embedding AS DOUBLE[]) AS ea, CAST(b.embedding AS DOUBLE[]) AS eb
+      FROM flat a JOIN flat b USING (band, sig) WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(ea, eb), 4) AS cosine
+    FROM cands WHERE list_cosine_similarity(ea, eb) >= 0.25
+"""
+
+
+@q("q_embedding_neardup", None)  # oracle attached below after helper defined
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via hyperplane-LSH banding; oracle
+    replicates the pipeline with the same inlined hyperplanes. Threshold is
+    low (0.25) because this corpus has no engineered embedding near-dups
+    (max pairwise cosine ≈ 0.51) — the check exercises the bucketing +
+    rescore machinery on real collisions."""
+    from astro_sdk_spark.functions.dedup import embedding_near_dup
+
+    emb = T(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(
+        emb, dim=_EMB_DIM, threshold=0.25, bits=6, bands=8, seed=42
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+_REGISTRY["q_embedding_neardup"] = (
+    q_embedding_neardup,
+    _EMB_NEARDUP_ORACLE.replace("{SIGS}", _duck_band_sigs(6, 8, 42)),
+)
