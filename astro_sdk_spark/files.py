@@ -16,12 +16,20 @@ smart_open behavior (``files/locations/http.py``).
 
 from __future__ import annotations
 
+import atexit
 import os
 import pathlib
 import tempfile
 import urllib.request
 from dataclasses import dataclass, field
 from enum import Enum
+
+
+def _unlink_quiet(path: str) -> None:
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
 
 
 class FileType(str, Enum):
@@ -96,11 +104,18 @@ class File:
 
     def staged_path(self) -> str:
         """Path Spark can read. HTTP(S) is downloaded to a temp file on the
-        driver first (Spark can't glob or split HTTP streams)."""
+        driver first (Spark can't glob or split HTTP streams). The download
+        is cached on the instance (one fetch per File) and deleted at
+        interpreter exit."""
         if self.is_http():
+            cached = getattr(self, "_staged", None)
+            if cached is not None and os.path.exists(cached):
+                return cached
             suffix = pathlib.PurePosixPath(self.path.split("?")[0]).suffix or ".dat"
             fd, local = tempfile.mkstemp(suffix=suffix, prefix="astro_http_")
             os.close(fd)
             urllib.request.urlretrieve(self.path, local)  # noqa: S310 - user-supplied source
+            object.__setattr__(self, "_staged", local)
+            atexit.register(_unlink_quiet, local)
             return local
         return self.path

@@ -8,22 +8,29 @@ Reference:
 - ``.../check_table.py:12-109`` (boolean SQL checks, run as
   ``SELECT check AS ok FROM t [WHERE partition]``).
 
-Spark-first: check_column compiles *all* columns' checks into ONE aggregate
-pass over the table (single scan, map-side partial agg) instead of one query
-per check — the difference between 1 and N scans at 100 TB.
+Spark-first, 100 TB-safe:
+- check_column compiles *all* columns' checks into ONE aggregate pass over
+  the table (single scan, map-side partial agg) instead of one query per
+  check — the difference between 1 and N scans at scale.
+- check_table wraps every row-level check statement in ``bool_and(...)``
+  so exactly ONE row ever returns to the driver, whatever the table size.
+  Statements that are already aggregates (``COUNT(*) = 1000``) are detected
+  by a driver-side analysis probe (no job runs) and used as-is.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
+from numbers import Number
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from astro_sdk_spark.engine import SparkEngine
 from astro_sdk_spark.session import default_session
 from astro_sdk_spark.table import BaseTable
+from astro_sdk_spark.templating import is_valid_identifier
 
 
 class ChecksFailedError(AssertionError):
@@ -42,25 +49,73 @@ class CheckResult:
 _COMPARISONS = ("equal_to", "greater_than", "less_than", "geq_to", "leq_to")
 
 
-def _compare(observed: float, spec: dict) -> tuple[bool, str]:
+def _compare(observed: Any, spec: dict) -> tuple[bool, str]:
     """Apply the reference's comparison contract incl. tolerance
-    (check_column.py:91-142): tolerance t widens equal_to to ±t*value."""
+    (check_column.py:91-142): tolerance t widens equal_to to ±t*value.
+
+    Works on any orderable observation (numbers, dates, strings); tolerance
+    applies only to numeric pairs. ``None`` (empty input) fails the check
+    with a diagnostic instead of crashing."""
     tol = spec.get("tolerance", 0) or 0
     for op in _COMPARISONS:
         if op not in spec:
             continue
         ref = spec[op]
-        lo, hi = ref - abs(ref) * tol, ref + abs(ref) * tol
-        ok = {
-            "equal_to": lo <= observed <= hi,
-            "greater_than": observed > lo,
-            "less_than": observed < hi,
-            "geq_to": observed >= lo,
-            "leq_to": observed <= hi,
-        }[op]
+        if observed is None:
+            return False, f"{op} {ref!r} violated by observed None (empty input?)"
+        numeric = (
+            isinstance(observed, Number)
+            and isinstance(ref, Number)
+            and not isinstance(observed, bool)
+        )
+        if numeric:
+            lo, hi = ref - abs(ref) * tol, ref + abs(ref) * tol
+        else:
+            lo = hi = ref
+        try:
+            ok = {
+                "equal_to": lo <= observed <= hi,
+                "greater_than": observed > lo,
+                "less_than": observed < hi,
+                "geq_to": observed >= lo,
+                "leq_to": observed <= hi,
+            }[op]
+        except TypeError:
+            return False, f"{op}: cannot compare observed {observed!r} with {ref!r}"
         if not ok:
-            return False, f"{op} {ref} (tolerance {tol}) violated by observed {observed}"
+            return False, f"{op} {ref!r} (tolerance {tol}) violated by observed {observed!r}"
     return True, ""
+
+
+def column_check_aggs(
+    column_mapping: dict[str, dict[str, dict]],
+) -> tuple[list[Column], list[tuple[str, str]]]:
+    """Compile a column_mapping into one list of aggregate expressions
+    (single scan) + the (column, check) slot order. Shared by check_column
+    and the correctness-harness query entry."""
+    aggs: list[Column] = []
+    slots: list[tuple[str, str]] = []
+    for col, checks in column_mapping.items():
+        for check in checks:
+            slot = f"{col}__{check}"
+            if check == "null_check":
+                aggs.append(F.sum(F.col(col).isNull().cast("long")).alias(slot))
+            elif check == "distinct_check":
+                aggs.append(F.countDistinct(F.col(col)).alias(slot))
+            elif check == "unique_check":
+                # count - countDistinct == 0 ⇒ unique (matches the SQL the
+                # reference generates via SQLColumnCheckOperator)
+                aggs.append(
+                    (F.count(F.col(col)) - F.countDistinct(F.col(col))).alias(slot)
+                )
+            elif check == "min":
+                aggs.append(F.min(F.col(col)).alias(slot))
+            elif check == "max":
+                aggs.append(F.max(F.col(col)).alias(slot))
+            else:
+                raise ValueError(f"Unknown column check: {check}")
+            slots.append((col, check))
+    return aggs, slots
 
 
 def check_column(
@@ -83,41 +138,47 @@ def check_column(
     if partition_clause:
         df = df.filter(partition_clause)
 
-    # one aggregate pass for every (column, check)
-    aggs = []
-    slots: list[tuple[str, str]] = []
-    for col, checks in column_mapping.items():
-        for check in checks:
-            slot = f"{col}__{check}"
-            if check == "null_check":
-                aggs.append(F.sum(F.col(col).isNull().cast("long")).alias(slot))
-            elif check == "distinct_check":
-                aggs.append(F.countDistinct(F.col(col)).alias(slot))
-            elif check == "unique_check":
-                # count - countDistinct == 0 ⇒ unique (matches the SQL the
-                # reference generates via SQLColumnCheckOperator)
-                aggs.append(
-                    (F.count(F.col(col)) - F.countDistinct(F.col(col))).alias(slot)
-                )
-            elif check == "min":
-                aggs.append(F.min(F.col(col)).alias(slot))
-            elif check == "max":
-                aggs.append(F.max(F.col(col)).alias(slot))
-            else:
-                raise ValueError(f"Unknown column check: {check}")
-            slots.append((col, check))
+    aggs, slots = column_check_aggs(column_mapping)
     row = df.agg(*aggs).collect()[0].asDict()
 
     results = []
     for col, check in slots:
         observed = row[f"{col}__{check}"]
-        ok, detail = _compare(float(observed), column_mapping[col][check])
+        ok, detail = _compare(observed, column_mapping[col][check])
         results.append(CheckResult(col, check, observed, ok, detail))
     failures = [r for r in results if not r.passed]
     if failures:
         msgs = "; ".join(f"{r.column}.{r.check}: {r.detail}" for r in failures)
         raise ChecksFailedError(f"Column checks failed: {msgs}")
     return results
+
+
+def build_check_table_sql(
+    spark: SparkSession,
+    table_name: str,
+    checks: dict[str, dict[str, str]],
+    partition_clause: str | None = None,
+) -> str:
+    """ONE query, ONE output row: each check_statement is wrapped in
+    ``bool_and(...)`` unless it is already an aggregate (detected by a
+    driver-side analysis probe — ``spark.sql`` resolves the plan eagerly
+    without running a job, and a nested-aggregate error identifies the
+    aggregate checks). check_name doubles as the output alias, so it must
+    be a valid identifier (injection guard)."""
+    where = f" WHERE {partition_clause}" if partition_clause else ""
+    exprs = []
+    for check_name, spec in checks.items():
+        if not is_valid_identifier(check_name):
+            raise ValueError(f"check name is not a valid identifier: {check_name!r}")
+        stmt = spec["check_statement"]
+        wrapped = f"bool_and(({stmt}))"
+        try:
+            spark.sql(f"SELECT {wrapped} FROM {table_name}{where}")
+            expr = wrapped
+        except Exception:  # noqa: BLE001 - aggregate-in-aggregate → use as-is
+            expr = f"(({stmt}))"
+        exprs.append(f"{expr} AS {check_name}")
+    return f"SELECT {', '.join(exprs)} FROM {table_name}{where}"
 
 
 def check_table(
@@ -130,25 +191,22 @@ def check_table(
     """checks like ``{"row_count_check": {"check_statement": "COUNT(*) = 1000"}}``.
     Each statement must evaluate to a boolean over the table
     (reference check_table.py:55-60 runs
-    ``SELECT check_name, check_result FROM (...)``)."""
+    ``SELECT check_name, check_result FROM (...)``). Row-level statements
+    (``a + b < c``) are aggregated with bool_and so a single row returns
+    regardless of table size."""
     eng = engine or SparkEngine(spark or default_session())
     if isinstance(dataset, BaseTable):
         name = dataset.qualified_name
     else:
         name = "_astro_check_table_view"
         dataset.createOrReplaceTempView(name)
-    where = f" WHERE {partition_clause}" if partition_clause else ""
-    exprs = ", ".join(
-        f"({spec['check_statement']}) AS {check_name}" for check_name, spec in checks.items()
-    )
-    # aggregate checks (COUNT(*) = n) and row-level checks (a + b < c) both
-    # work via bool_and over a per-row evaluation when not aggregate
-    row = eng.spark.sql(f"SELECT {exprs} FROM {name}{where}").collect()
+    sql = build_check_table_sql(eng.spark, name, checks, partition_clause)
+    row = eng.spark.sql(sql).collect()[0]
     results = []
     for check_name in checks:
-        vals = [r[check_name] for r in row]
-        ok = all(bool(v) for v in vals)
-        results.append(CheckResult(None, check_name, vals[0] if len(vals) == 1 else vals, ok))
+        val = row[check_name]
+        # bool_and over zero rows is NULL — an empty table passes no check
+        results.append(CheckResult(None, check_name, val, bool(val)))
     failures = [r for r in results if not r.passed]
     if failures:
         raise ChecksFailedError(

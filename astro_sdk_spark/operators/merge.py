@@ -39,11 +39,48 @@ from astro_sdk_spark.engine import SparkEngine
 from astro_sdk_spark.operators.append import normalize_columns
 from astro_sdk_spark.session import default_session
 from astro_sdk_spark.table import BaseTable, TempTable
+from astro_sdk_spark.templating import quote_identifier
 
 
 class MergeConflictException(RuntimeError):
     """Duplicate key under if_conflicts='exception' (parity with the
     unique-constraint violation the reference dialects raise)."""
+
+
+def _dedup_source_on_keys(src_shaped, keys: list[str], if_conflicts: str):
+    """Enforce the reference's unique-constraint contract on the SOURCE:
+    a source with duplicate conflict keys would (a) violate the unique
+    constraint under 'exception' exactly like a source/target clash, and
+    (b) nondeterministically multiply target rows under 'update' (Snowflake
+    MERGE raises a nondeterministic-merge error for this). Under
+    ignore/update we keep ONE deterministic row per key — the minimum by
+    the remaining columns' values — mirroring what ON CONFLICT DO NOTHING
+    reaches one-row-at-a-time."""
+    if if_conflicts == "exception":
+        n_dup = (
+            src_shaped.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if n_dup:
+            raise MergeConflictException(
+                f"Source contains duplicate conflict keys on {keys} "
+                "(would violate the target's unique constraint)"
+            )
+        return src_shaped
+    from pyspark.sql.window import Window
+
+    others = [c for c in src_shaped.columns if c not in keys]
+    if not others:
+        return src_shaped.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc_nulls_last() for c in others])
+    return (
+        src_shaped.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def _mapped_source(src, cmap: dict[str, str], tgt_schema):
@@ -111,8 +148,18 @@ def merge(
     missing = [k for k in keys if k not in tgt.columns]
     if missing:
         raise ValueError(f"Conflict columns not in target: {missing}")
+    # every conflict column must be FED by the column map, else the shaped
+    # source has NULL keys and every source row silently becomes an insert
+    unmapped_keys = [k for k in keys if k not in set(cmap.values())]
+    if unmapped_keys:
+        raise ValueError(
+            f"Conflict columns missing from the column map: {unmapped_keys} "
+            "(each target_conflict_column must be mapped from a source column)"
+        )
 
-    src_shaped = _mapped_source(src, cmap, tgt.schema)
+    src_shaped = _dedup_source_on_keys(
+        _mapped_source(src, cmap, tgt.schema), keys, if_conflicts
+    )
 
     if if_conflicts == "exception":
         n_dup = src_shaped.join(tgt.select(*keys), on=keys, how="left_semi").limit(1).count()
@@ -127,21 +174,39 @@ def merge(
         return target_table
 
     if if_conflicts == "ignore":
-        merge_insert_plan(tgt, src, cmap, keys).write.mode("append").format(
+        shaped_cmap = {t: t for t in cmap.values()}
+        merge_insert_plan(tgt, src_shaped, shaped_cmap, keys).write.mode("append").format(
             "parquet"
         ).saveAsTable(target_table.qualified_name)
         return target_table
 
-    # update: staged rewrite (Redshift-style, redshift.py:169-307)
-    result = merge_update_plan(tgt, src, cmap, keys)
-
+    # update: staged rewrite (Redshift-style, redshift.py:169-307).
     # Spark cannot overwrite a table it is reading from in the same plan —
-    # stage the result, then swap (two sequential writes; on Delta this
-    # whole branch is a single MERGE INTO).
+    # stage the result, then SWAP VIA RENAME: one table-sized write plus a
+    # metadata/directory move, instead of writing the full table twice.
+    # (On Delta this whole branch is a single transactional MERGE INTO;
+    # for plain parquet the drop+rename window is non-atomic — on failure
+    # the data survives in the staging table and we attempt a restore.)
+    # src_shaped is already target-shaped and key-deduped; the effective
+    # map is {mapped target col -> itself} so unmapped columns still come
+    # from the target side in merge_update_plan
+    shaped_cmap = {t: t for t in cmap.values()}
+    result = merge_update_plan(tgt, src_shaped, shaped_cmap, keys)
+
     staging = TempTable()
     result.write.mode("overwrite").format("parquet").saveAsTable(staging.qualified_name)
-    s.table(staging.qualified_name).write.mode("overwrite").format("parquet").saveAsTable(
-        target_table.qualified_name
-    )
-    eng.drop_table(staging)
+    tq = quote_identifier(target_table.qualified_name)
+    sq = quote_identifier(staging.qualified_name)
+    try:
+        s.sql(f"DROP TABLE IF EXISTS {tq}")
+        s.sql(f"ALTER TABLE {sq} RENAME TO {tq}")
+    except Exception:
+        # restore path: if the target was dropped but the rename failed,
+        # the staged result still holds the full post-merge contents
+        if not s.catalog.tableExists(target_table.qualified_name) and s.catalog.tableExists(
+            staging.qualified_name
+        ):
+            s.sql(f"ALTER TABLE {sq} RENAME TO {tq}")
+        else:
+            raise
     return target_table

@@ -645,6 +645,77 @@ def q_append_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 7b. Data-quality checks (single-pass aggregate plans)
+
+
+@q(
+    "q_check_column",
+    """
+    SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS o_custkey__null_check,
+           count(DISTINCT o_orderstatus) AS o_orderstatus__distinct_check,
+           count(o_orderkey) - count(DISTINCT o_orderkey)
+             AS o_orderkey__unique_check,
+           round(min(o_totalprice), 2) AS o_totalprice__min,
+           round(max(o_totalprice), 2) AS o_totalprice__max
+    FROM orders
+    """,
+)
+def q_check_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """check_column's single-pass aggregate plan: every (column, check)
+    slot in ONE scan (reference runs one query per check via
+    SQLColumnCheckOperator — at 100 TB that is N scans vs 1)."""
+    from astro_sdk_spark.operators.data_validation import column_check_aggs
+
+    o = T(spark, sf_dir, "orders")
+    aggs, _ = column_check_aggs(
+        {
+            "o_custkey": {"null_check": {}},
+            "o_orderstatus": {"distinct_check": {}},
+            "o_orderkey": {"unique_check": {}},
+            "o_totalprice": {"min": {}, "max": {}},
+        }
+    )
+    return o.agg(*aggs).select(
+        "o_custkey__null_check",
+        "o_orderstatus__distinct_check",
+        "o_orderkey__unique_check",
+        F.round("o_totalprice__min", 2).alias("o_totalprice__min"),
+        F.round("o_totalprice__max", 2).alias("o_totalprice__max"),
+    )
+
+
+@q(
+    "q_check_table",
+    """
+    SELECT count(*) > 0 AS row_count_positive,
+           bool_and(o_totalprice > 0) AS prices_positive,
+           bool_and(o_orderkey IS NOT NULL) AS keys_not_null
+    FROM orders
+    """,
+)
+def q_check_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """check_table's one-row plan: row-level statements are bool_and-wrapped
+    (aggregate statements detected by analysis probe and used as-is), so a
+    single row returns whatever the table size
+    (reference check_table.py:55-60)."""
+    from astro_sdk_spark.operators.data_validation import build_check_table_sql
+
+    o = T(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_qct_orders")
+    sql = build_check_table_sql(
+        spark,
+        "_qct_orders",
+        {
+            "row_count_positive": {"check_statement": "COUNT(*) > 0"},
+            "prices_positive": {"check_statement": "o_totalprice > 0"},
+            "keys_not_null": {"check_statement": "o_orderkey IS NOT NULL"},
+        },
+    )
+    return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
 # 8. Dedup / text / similarity extensions
 
 

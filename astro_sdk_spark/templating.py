@@ -17,6 +17,7 @@ available for exactness, falling back to literal rendering).
 from __future__ import annotations
 
 import datetime as _dt
+import math as _math
 import re
 from typing import Any, Mapping
 
@@ -52,7 +53,15 @@ def render_literal(value: Any) -> str:
         return "NULL"
     if isinstance(value, bool):
         return "TRUE" if value else "FALSE"
-    if isinstance(value, (int, float)):
+    if isinstance(value, float):
+        # repr(nan/inf) would render invalid SQL tokens
+        if _math.isnan(value):
+            return "CAST('NaN' AS DOUBLE)"
+        if _math.isinf(value):
+            sign = "-" if value < 0 else ""
+            return f"CAST('{sign}Infinity' AS DOUBLE)"
+        return repr(value)
+    if isinstance(value, int):
         return repr(value)
     if isinstance(value, _dt.datetime):
         return f"TIMESTAMP '{value.isoformat(sep=' ')}'"

@@ -1,0 +1,157 @@
+"""Round-2 semantics fixes: merge source-duplicate handling, conflict-key
+map validation, rename-swap update path; check_table single-row contract;
+comparison robustness on dates/None; nan/inf literals.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from astro_sdk_spark.engine import SparkEngine
+from astro_sdk_spark.operators.data_validation import (
+    ChecksFailedError,
+    _compare,
+    build_check_table_sql,
+    check_column,
+    check_table,
+)
+from astro_sdk_spark.operators.merge import MergeConflictException, merge
+from astro_sdk_spark.table import Table
+from astro_sdk_spark.templating import render_literal
+
+
+@pytest.fixture()
+def eng(spark):
+    return SparkEngine(spark)
+
+
+def _mk(spark, eng, name, rows, schema):
+    t = Table(name=name)
+    eng.drop_table(t)
+    spark.createDataFrame(rows, schema).write.saveAsTable(name)
+    return t
+
+
+def test_merge_exception_raises_on_intra_source_dups(spark, eng):
+    tgt = _mk(spark, eng, "t_tgt1", [(1, "a")], "id long, v string")
+    src = _mk(spark, eng, "t_src1", [(9, "x"), (9, "y")], "id long, v string")
+    with pytest.raises(MergeConflictException, match="duplicate conflict keys"):
+        merge(src, tgt, columns={"id": "id", "v": "v"},
+              target_conflict_columns=["id"], if_conflicts="exception", engine=eng)
+    for t in (tgt, src):
+        eng.drop_table(t)
+
+
+def test_merge_ignore_keeps_one_row_per_duplicate_source_key(spark, eng):
+    tgt = _mk(spark, eng, "t_tgt2", [(1, "a")], "id long, v string")
+    src = _mk(spark, eng, "t_src2", [(9, "y"), (9, "x"), (2, "b")], "id long, v string")
+    merge(src, tgt, columns={"id": "id", "v": "v"},
+          target_conflict_columns=["id"], if_conflicts="ignore", engine=eng)
+    rows = {(r.id, r.v) for r in spark.table("t_tgt2").collect()}
+    # deterministic survivor: min by remaining columns -> (9, "x")
+    assert rows == {(1, "a"), (2, "b"), (9, "x")}
+    for t in (tgt, src):
+        eng.drop_table(t)
+
+
+def test_merge_update_dedups_source_and_swaps_once(spark, eng):
+    tgt = _mk(spark, eng, "t_tgt3", [(1, "a", 10.0), (2, "b", 20.0)],
+              "id long, v string, w double")
+    src = _mk(spark, eng, "t_src3", [(2, "zz"), (2, "aa"), (3, "c")], "id long, v string")
+    merge(src, tgt, columns={"id": "id", "v": "v"},
+          target_conflict_columns=["id"], if_conflicts="update", engine=eng)
+    rows = {(r.id, r.v, r.w) for r in spark.table("t_tgt3").collect()}
+    # id=2 updated from the deterministic survivor ("aa"); unmapped w kept
+    assert rows == {(1, "a", 10.0), (2, "aa", 20.0), (3, "c", None)}
+    for t in (tgt, src):
+        eng.drop_table(t)
+
+
+def test_merge_requires_conflict_cols_in_map(spark, eng):
+    tgt = _mk(spark, eng, "t_tgt4", [(1, "a")], "id long, v string")
+    src = _mk(spark, eng, "t_src4", [(2, "b")], "id long, v string")
+    with pytest.raises(ValueError, match="missing from the column map"):
+        merge(src, tgt, columns={"v": "v"},
+              target_conflict_columns=["id"], if_conflicts="ignore", engine=eng)
+    for t in (tgt, src):
+        eng.drop_table(t)
+
+
+def test_check_table_row_level_returns_single_row(spark, eng):
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") * 2).alias("dbl")
+    )
+    df.createOrReplaceTempView("ct_rows")
+    sql = build_check_table_sql(
+        spark, "ct_rows", {"dbl_ok": {"check_statement": "dbl = id * 2"}}
+    )
+    assert "bool_and" in sql
+    out = spark.sql(sql)
+    assert out.count() == 1  # one row regardless of table size
+    results = check_table(df, {"dbl_ok": {"check_statement": "dbl = id * 2"}}, engine=eng)
+    assert results[0].passed
+
+
+def test_check_table_mixes_aggregate_and_row_level(spark, eng):
+    df = spark.range(100)
+    results = check_table(
+        df,
+        {
+            "count_ok": {"check_statement": "COUNT(*) = 100"},
+            "ids_nonneg": {"check_statement": "id >= 0"},
+        },
+        engine=eng,
+    )
+    assert all(r.passed for r in results)
+    with pytest.raises(ChecksFailedError):
+        check_table(df, {"count_bad": {"check_statement": "COUNT(*) = 5"}}, engine=eng)
+
+
+def test_check_table_rejects_invalid_check_name(spark, eng):
+    with pytest.raises(ValueError, match="valid identifier"):
+        check_table(
+            spark.range(5),
+            {"bad name; drop": {"check_statement": "COUNT(*) > 0"}},
+            engine=eng,
+        )
+
+
+def test_check_column_min_max_on_dates_and_strings(spark, eng):
+    df = spark.createDataFrame(
+        [(datetime.date(2020, 1, 1), "aa"), (datetime.date(2021, 6, 1), "zz")],
+        "d date, s string",
+    )
+    results = check_column(
+        df,
+        {
+            "d": {"min": {"geq_to": datetime.date(2019, 1, 1)}},
+            "s": {"max": {"leq_to": "zz"}},
+        },
+        engine=eng,
+    )
+    assert all(r.passed for r in results)
+
+
+def test_check_column_none_observed_fails_not_crashes(spark, eng):
+    empty = spark.createDataFrame([], "x int")
+    with pytest.raises(ChecksFailedError, match="None"):
+        check_column(empty, {"x": {"min": {"geq_to": 0}}}, engine=eng)
+
+
+def test_compare_tolerance_still_numeric():
+    ok, _ = _compare(105.0, {"equal_to": 100, "tolerance": 0.1})
+    assert ok
+    ok, _ = _compare(120.0, {"equal_to": 100, "tolerance": 0.1})
+    assert not ok
+
+
+def test_render_literal_nonfinite_floats():
+    assert render_literal(float("nan")) == "CAST('NaN' AS DOUBLE)"
+    assert render_literal(float("inf")) == "CAST('Infinity' AS DOUBLE)"
+    assert render_literal(float("-inf")) == "CAST('-Infinity' AS DOUBLE)"
+    assert render_literal(1.5) == "1.5"
+    assert not math.isnan(float(render_literal(2.0)))
