@@ -1,0 +1,118 @@
+"""Streaming-mode tests (VERDICT r1 #6): run the streaming operators for
+real with availableNow triggers over an events directory and assert
+equality with their batch equivalents.
+
+Watermark/append-mode note: append only emits windows the watermark has
+passed, and with availableNow the final watermark is max(ts) - delay. Each
+fixture therefore appends a far-future SENTINEL row that pushes the
+watermark beyond every real window; the sentinel's own window stays open
+(never emitted) and is excluded from the batch side too.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from astro_sdk_spark.queries import T
+from astro_sdk_spark.streaming.ops import (
+    read_events_stream,
+    session_window_agg,
+    stream_dedup,
+    stream_to_table,
+    tumbling_window_agg,
+)
+
+SENTINEL_USER = -1
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    ev = (
+        T(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                "user_id", "event_type", "value", "props")
+    )
+    return ev.cache()
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, events_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    max_ts = events_df.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ts + datetime.timedelta(days=10), SENTINEL_USER, "sentinel", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    events_df.unionByName(sentinel).coalesce(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _run_to_table(spark, df, name, tmp_path):
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = stream_to_table(df, name, str(tmp_path / "ckpt"), trigger_once=True)
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_tumbling_equals_batch(spark, events_df, events_dir, tmp_path):
+    stream = read_events_stream(spark, events_dir, schema=SCHEMA)
+    assert stream.isStreaming
+    agg = tumbling_window_agg(stream, window_duration="10 minutes", watermark="30 minutes")
+    got = _run_to_table(spark, agg, "stream_tumbling_out", tmp_path)
+
+    batch = tumbling_window_agg(events_df, window_duration="10 minutes")
+    expect = {
+        (r.window_start, r.event_type, r.n, round(r.total_value, 4))
+        for r in batch.collect()
+    }
+    actual = {
+        (r.window_start, r.event_type, r.n, round(r.total_value, 4))
+        for r in got.filter(F.col("event_type") != "sentinel").collect()
+    }
+    assert actual == expect
+    spark.sql("DROP TABLE IF EXISTS stream_tumbling_out")
+
+
+def test_stream_session_windows_equal_batch(spark, events_df, events_dir, tmp_path):
+    stream = read_events_stream(spark, events_dir, schema=SCHEMA)
+    agg = session_window_agg(stream, gap="30 minutes", watermark="1 hour")
+    got = _run_to_table(spark, agg, "stream_sessions_out", tmp_path)
+
+    batch = session_window_agg(events_df, gap="30 minutes")
+    expect = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.collect()
+    }
+    actual = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in got.filter(F.col("user_id") != SENTINEL_USER).collect()
+    }
+    assert actual == expect
+    spark.sql("DROP TABLE IF EXISTS stream_sessions_out")
+
+
+def test_stream_dedup_within_watermark(spark, events_df, tmp_path):
+    # duplicate every event; the stream must emit each event_id once
+    dup_dir = str(tmp_path / "dup_events")
+    events_df.unionByName(events_df).coalesce(2).write.mode("overwrite").parquet(dup_dir)
+    stream = read_events_stream(spark, dup_dir, schema=SCHEMA)
+    deduped = stream_dedup(stream, keys=["event_id"], watermark="30 minutes")
+    got = _run_to_table(spark, deduped, "stream_dedup_out", tmp_path)
+    assert got.count() == events_df.count()
+    assert got.select("event_id").distinct().count() == events_df.count()
+    spark.sql("DROP TABLE IF EXISTS stream_dedup_out")
+
+
+def test_stream_dedup_batch_mode_passthrough(events_df):
+    # the same operator degrades to dropDuplicates on a static frame
+    out = stream_dedup(events_df.unionByName(events_df), keys=["event_id"])
+    assert out.count() == events_df.count()
