@@ -182,18 +182,21 @@ class SparkEngine:
             return self.spark.read.options(multiLine=True, **opts).json(path)
         if ftype == FileType.NDJSON:
             return self.spark.read.options(**opts).json(path)
-        if ftype in (FileType.XLSX, FileType.XLS):
+        if ftype == FileType.XLSX:
+            # driver-side small-file path (reference files/types/excel.py):
+            # stdlib zip+XML reader — no openpyxl in this environment
             import pandas as pd
 
-            try:
-                pdf = pd.read_excel(path)
-            except ImportError as e:  # openpyxl/xlrd not installed
-                raise NotImplementedError(
-                    "Excel support requires openpyxl/xlrd (not installed in "
-                    "this environment); reference parity path "
-                    "files/types/excel.py is driver-side pandas"
-                ) from e
+            from astro_sdk_spark.xlsx import read_xlsx
+
+            columns, rows = read_xlsx(path)
+            pdf = pd.DataFrame(rows, columns=columns)
             return self.spark.createDataFrame(pdf)
+        if ftype == FileType.XLS:
+            raise NotImplementedError(
+                "Legacy binary .xls needs xlrd (not installed); convert to "
+                ".xlsx (supported via the stdlib reader in astro_sdk_spark.xlsx)"
+            )
         raise ValueError(f"Unsupported file type: {ftype}")
 
     # --------------------------------------------------------------- write

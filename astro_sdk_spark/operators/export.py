@@ -61,13 +61,15 @@ def export_to_file(
 
     ftype = output_file.type
     if ftype in (FileType.XLSX, FileType.XLS):
-        # driver-side small-file path (reference files/types/excel.py)
-        try:
-            df.toPandas().to_excel(path, index=False)
-        except ImportError as e:
+        # driver-side small-file path (reference files/types/excel.py);
+        # stdlib writer — no openpyxl/xlsxwriter in this environment
+        from astro_sdk_spark.xlsx import write_xlsx
+
+        if ftype == FileType.XLS:
             raise NotImplementedError(
-                "Excel export requires openpyxl/xlsxwriter (not installed)"
-            ) from e
+                "Legacy binary .xls export is not supported; use .xlsx"
+            )
+        write_xlsx(path, df.columns, [tuple(r) for r in df.collect()])
         return output_file
 
     tmpdir = tempfile.mkdtemp(prefix="astro_export_")
