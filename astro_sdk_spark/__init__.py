@@ -37,6 +37,15 @@ from astro_sdk_spark.operators.cleanup import cleanup
 from astro_sdk_spark.operators.data_validation import check_column, check_table
 from astro_sdk_spark.operators.values import get_value_list
 from astro_sdk_spark.operators.files import get_file_list
+from astro_sdk_spark.operators.export_file import export_file, export_table_to_file
+from astro_sdk_spark.load_options import (
+    CsvLoadOptions,
+    JsonLoadOptions,
+    LoadOptions,
+    PandasLoadOptions,
+    ParquetLoadOptions,
+)
+from astro_sdk_spark.object_store import configure_azure, configure_gcs, configure_s3
 
 __version__ = "0.1.0"
 
@@ -62,4 +71,14 @@ __all__ = [
     "check_table",
     "get_value_list",
     "get_file_list",
+    "export_file",
+    "export_table_to_file",
+    "LoadOptions",
+    "CsvLoadOptions",
+    "JsonLoadOptions",
+    "ParquetLoadOptions",
+    "PandasLoadOptions",
+    "configure_s3",
+    "configure_gcs",
+    "configure_azure",
 ]

@@ -163,13 +163,16 @@ class SparkEngine:
         return dropped
 
     # ---------------------------------------------------------------- read
-    def read_file(self, file: File) -> DataFrame:
+    def read_file(self, file: File, extra_options: dict | None = None) -> DataFrame:
         """File → DataFrame. SURVEY §2.4 format matrix; executor-parallel for
         csv/json/ndjson/parquet, driver-side pandas for xlsx (documented
-        small-file path, reference ``files/types/excel.py``)."""
+        small-file path, reference ``files/types/excel.py``).
+        ``extra_options`` (e.g. from typed LoadOptions) override the File's
+        own options."""
         ftype = file.type
         path = file.staged_path()
         opts = dict(file.load_options)
+        opts.update(extra_options or {})
         if ftype == FileType.PARQUET:
             return self.spark.read.options(**opts).parquet(path)
         if ftype == FileType.CSV:

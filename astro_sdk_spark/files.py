@@ -92,6 +92,15 @@ class File:
     def is_http(self) -> bool:
         return self.path.startswith(("http://", "https://"))
 
+    def is_ftp(self) -> bool:
+        return self.path.startswith("ftp://")
+
+    def is_sftp(self) -> bool:
+        return self.path.startswith("sftp://")
+
+    def is_gdrive(self) -> bool:
+        return self.path.startswith("gdrive://")
+
     def exists(self) -> bool:
         if self.is_local():
             p = self.path.removeprefix("file://")
@@ -107,12 +116,30 @@ class File:
         driver first (Spark can't glob or split HTTP streams). The download
         is cached on the instance (one fetch per File) and deleted at
         interpreter exit."""
-        if self.is_http():
+        if self.is_sftp():
+            # reference files/locations/sftp.py uses paramiko — absent here
+            try:
+                import paramiko  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "sftp:// staging needs paramiko, which is not installed; "
+                    "fetch the file out-of-band or serve it over http(s)/ftp"
+                ) from e
+        if self.is_gdrive():
+            raise NotImplementedError(
+                "gdrive:// staging needs the Google Drive API client "
+                "(reference files/locations/google/gdrive.py); export the "
+                "file to a public http(s) link instead"
+            )
+        if self.is_http() or self.is_ftp():
+            # driver-staged fetch (Spark can't glob/split http or ftp);
+            # urllib handles both schemes — reference files/locations/http.py
+            # and ftp.py
             cached = getattr(self, "_staged", None)
             if cached is not None and os.path.exists(cached):
                 return cached
             suffix = pathlib.PurePosixPath(self.path.split("?")[0]).suffix or ".dat"
-            fd, local = tempfile.mkstemp(suffix=suffix, prefix="astro_http_")
+            fd, local = tempfile.mkstemp(suffix=suffix, prefix="astro_stage_")
             os.close(fd)
             urllib.request.urlretrieve(self.path, local)  # noqa: S310 - user-supplied source
             object.__setattr__(self, "_staged", local)

@@ -41,13 +41,19 @@ def load_file(
     ndjson_normalize_sep: str = "_",
     use_native_support: bool = True,  # parity; Spark is always native
     columns_names_capitalization: str | None = "original",
+    load_options=None,
     engine: SparkEngine | None = None,
     spark: SparkSession | None = None,
 ) -> DataFrame | BaseTable:
     """Load file(s) into a table (returns the handle) or, with no
-    ``output_table``, return the DataFrame (reference ``:171-203``)."""
+    ``output_table``, return the DataFrame (reference ``:171-203``).
+    ``load_options`` accepts a typed LoadOptions object, a list of them
+    (reference form), or a raw reader-options dict."""
+    from astro_sdk_spark.load_options import resolve_load_options
+
     eng = engine or SparkEngine(spark or default_session())
-    df = eng.read_file(input_file)
+    reader_opts = resolve_load_options(load_options, input_file.type)
+    df = eng.read_file(input_file, extra_options=reader_opts)
     if input_file.type in (FileType.NDJSON, FileType.JSON):
         df = flatten(
             df,

@@ -1,0 +1,108 @@
+"""Multimodal plumbing tests (VERDICT r1 #10): binaryFile scan, magic-byte
+sniffing, sha256, mapInPandas batch shapes for decode / features / resize /
+frame-sample — everything testable without a real decoder."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from astro_sdk_spark.multimodal.ops import (
+    attach_media_metadata,
+    decode_image_batch,
+    extract_image_features,
+    frame_sample_video,
+    media_table_from_files,
+    resize_images,
+)
+
+
+def _tiny_png() -> bytes:
+    """A structurally-valid 1x1 grayscale PNG built by hand."""
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00\x00")
+    return sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def _tiny_wav() -> bytes:
+    """Minimal RIFF/WAVE container with a silent sample."""
+    data = b"\x00\x00" * 4
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@pytest.fixture(scope="module")
+def media_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("media")
+    (d / "a.png").write_bytes(_tiny_png())
+    (d / "b.wav").write_bytes(_tiny_wav())
+    (d / "c.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"J" * 60)
+    (d / "d.mp4").write_bytes(b"\x00\x00\x00\x18ftypmp42" + bytes(range(256)))
+    return str(d)
+
+
+def test_media_table_types_and_metadata(spark, media_dir):
+    mt = media_table_from_files(spark, media_dir + "/*")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in attach_media_metadata(mt).collect()}
+    assert rows["a.png"].media_type == "image"
+    assert rows["b.wav"].media_type == "audio"
+    assert rows["c.jpg"].media_type == "image"
+    assert rows["d.mp4"].media_type == "video"
+    assert rows["a.png"].sniffed_format == "png"
+    assert rows["b.wav"].sniffed_format == "riff"
+    assert rows["c.jpg"].sniffed_format == "jpeg"
+    assert rows["d.mp4"].sniffed_format == "unknown"
+    # sha256 matches a local hash of the same bytes
+    assert rows["a.png"].sha256 == hashlib.sha256(_tiny_png()).hexdigest()
+    assert rows["a.png"].n_bytes == len(_tiny_png())
+
+
+def test_decode_batch_shape(spark, media_dir):
+    mt = media_table_from_files(spark, media_dir + "/*.png")
+    out = decode_image_batch(mt)
+    assert out.columns == ["path", "width", "height", "channels"]
+    row = out.collect()[0]
+    assert 64 <= row.width < 256 and 64 <= row.height < 256 and row.channels == 3
+    # deterministic across runs
+    assert out.collect()[0] == row
+
+
+def test_extract_features_fixed_dim(spark, media_dir):
+    mt = media_table_from_files(spark, media_dir + "/*")
+    out = extract_image_features(mt, dim=16).collect()
+    assert len(out) == 4
+    assert all(len(r.features) == 16 for r in out)
+    assert all(0.0 <= x <= 1.0 for r in out for x in r.features)
+
+
+def test_resize_passthrough_schema(spark, media_dir):
+    mt = media_table_from_files(spark, media_dir + "/*.png")
+    out = resize_images(mt, 32, 32)
+    row = out.collect()[0]
+    assert (row.width, row.height) == (32, 32)
+    assert bytes(row.content) == _tiny_png()
+
+
+def test_frame_sample_explodes_rows(spark, media_dir):
+    mt = media_table_from_files(spark, media_dir + "/*.mp4")
+    out = frame_sample_video(mt, every_n=30, max_frames=8).collect()
+    assert 1 <= len(out) <= 8
+    blob = (b"\x00\x00\x00\x18ftypmp42" + bytes(range(256)))
+    for r in out:
+        assert bytes(r.frame) == blob[r.frame_idx : r.frame_idx + 30]
