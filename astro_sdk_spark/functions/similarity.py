@@ -233,12 +233,14 @@ def ann_recall(
 ) -> DataFrame:
     """Recall@k of the LSH path against the exact brute-force baseline, per
     query: |LSH∩exact| / |exact|. The measurement the ANN path is judged by."""
+    # both top-k sets are tiny (|queries|·k rows) and referenced multiple
+    # times below — persist so the scoring subtrees run once each
     exact = cosine_topk(queries, candidates, id_col, vec_col, k, round_digits=4).select(
         "query_id", "cand_id"
-    )
+    ).persist()
     approx = lsh_bucket_join(
         queries, candidates, dim, id_col, vec_col, bits, bands, k, seed, round_digits=4
-    ).select("query_id", F.col("cand_id").alias("_ac"))
+    ).select("query_id", F.col("cand_id").alias("_ac")).persist()
     hits = exact.join(
         approx,
         (exact.query_id == approx.query_id) & (exact.cand_id == approx._ac),

@@ -645,6 +645,230 @@ def q_append_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 6b. Extended relational coverage: as-of/range joins, grouping sets,
+#     pivot, richer windows, correlated aggregates, string functions
+
+
+@q(
+    "q_asof_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id
+    FROM p LEFT JOIN LATERAL (
+      SELECT event_id FROM events v
+      WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+      ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) v ON true
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each purchase ↔ latest prior view by the same user),
+    expressed as the scalable union + last(ignoreNulls) window — ONE shuffle
+    on user_id, no per-row range probe. Ties at equal ts resolve to the
+    max view event_id (union orders views before purchases at equal ts,
+    then by event_id). The oracle states the same semantics as a LATERAL
+    top-1 lookup."""
+    e = T(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("v_id"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("tag"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("v_id"),
+        "event_id",
+        F.lit(1).alias("tag"),
+    )
+    unioned = views.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", F.coalesce("v_id", "event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("last_view", F.last("v_id", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("last_view").alias("view_id"),
+        )
+    )
+
+
+@q(
+    "q_range_join",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+             ('high', 150000.0, 1000000000.0))
+    SELECT band, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join against a broadcast band table — the plan is a
+    BroadcastNestedLoopJoin over 3 rows, not a shuffle."""
+    o = T(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+         ("high", 150000.0, 1000000000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@q(
+    "q_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS total
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_qgs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS total
+        FROM _qgs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@q(
+    "q_pivot",
+    """
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+           count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (explicit values skip the extra
+    distinct-scan Spark otherwise runs to discover pivot columns)."""
+    o = T(spark, sf_dir, "orders")
+    out = o.groupBy("o_orderstatus").pivot("o_orderpriority", _PRIORITIES).count()
+    renames = ["p_urgent", "p_high", "p_medium", "p_notspec", "p_low"]
+    for old, new in zip(_PRIORITIES, renames):
+        out = out.withColumnRenamed(old, new)
+    # Spark pivot-count yields NULL for empty cells; DuckDB FILTER yields 0
+    return out.select(
+        "o_orderstatus", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames]
+    )
+
+
+@q(
+    "q_window_extended",
+    """
+    SELECT o_orderkey, o_custkey,
+           ntile(4) OVER w AS quartile,
+           lead(o_orderkey) OVER w AS next_order,
+           first_value(o_orderkey) OVER w AS first_order,
+           CAST(round(o_totalprice * (count(*) OVER (PARTITION BY o_custkey))
+                      - sum(o_totalprice) OVER (PARTITION BY o_custkey), 2)
+                AS DOUBLE) AS diff_x_n
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wa = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        # n*price - sum stays in exact 2-decimal arithmetic (no quotient),
+        # so the rounding never sits on a .005 half that the engines'
+        # rounding modes could resolve differently (an avg-based diff hits
+        # such halves on ~1% of rows and is engine-dependent there)
+        F.round(
+            F.col("o_totalprice") * F.count(F.lit(1)).over(wa)
+            - F.sum("o_totalprice").over(wa),
+            2,
+        )
+        .cast("double")
+        .alias("diff_x_n"),
+    )
+
+
+@q(
+    "q_correlated_agg",
+    """
+    SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
+    FROM part p
+    WHERE p_retailprice > 1.05 * (
+      SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def q_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate filter (TPC-H Q17 shape): parts priced >15%
+    above their brand average. Decorrelated by hand into a broadcast join
+    with the per-brand aggregate — the plan Catalyst's subquery
+    decorrelation produces, stated explicitly."""
+    p = T(spark, sf_dir, "part")
+    brand_avg = p.groupBy(F.col("p_brand").alias("b")).agg(
+        F.avg("p_retailprice").alias("brand_avg")
+    )
+    return (
+        p.join(F.broadcast(brand_avg), p.p_brand == brand_avg.b)
+        .filter(F.col("p_retailprice") > 1.05 * F.col("brand_avg"))
+        .select("p_partkey", "p_brand", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+@q(
+    "q_string_funcs",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           replace(p_type, ' ', '_') AS type_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           string_split(p_brand, '#')[2] AS brand_num,
+           strpos(p_name, 'a') AS first_a
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.split("p_brand", "#").getItem(1).alias("brand_num"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+    )
+
+
+# --------------------------------------------------------------------------
 # 7b. Data-quality checks (single-pass aggregate plans)
 
 
