@@ -208,9 +208,22 @@ class SparkEngine:
         df: DataFrame,
         table: BaseTable,
         if_exists: str = "replace",
+        partition_by: Sequence[str] | None = None,
+        bucket_by: tuple[int, Sequence[str]] | None = None,
+        sort_by: Sequence[str] | None = None,
     ) -> None:
         """DataFrame → managed table. Reference orchestration
-        ``base.py:474-542`` (replace ⇒ drop first, ``base.py:418-419``)."""
+        ``base.py:474-542`` (replace ⇒ drop first, ``base.py:418-419``).
+
+        Scale knobs (no reference counterpart — the warehouse owned physical
+        layout there):
+        - ``partition_by``: hive-style directory partitioning → partition
+          pruning on the filter columns;
+        - ``bucket_by=(n, cols)`` (+ optional ``sort_by``): pre-shuffles data
+          into n buckets on cols at WRITE time, so joins/aggregations between
+          tables bucketed the same way run with NO exchange (and no sort,
+          when sort_by matches) — the co-located join strategy for tables
+          that are joined repeatedly at 100 TB."""
         if if_exists not in ("replace", "append"):
             raise ValueError(f"if_exists must be 'replace' or 'append', got {if_exists!r}")
         self.create_schema_if_applicable(table.metadata.spark_database)
@@ -222,7 +235,14 @@ class SparkEngine:
             # align column order by name for positional insertInto safety
             target_cols = self.spark.table(table.qualified_name).columns
             df = df.select(*[F.col(c) for c in target_cols])
-        df.write.mode(mode).format("parquet").saveAsTable(table.qualified_name)
+        writer = df.write.mode(mode).format("parquet")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if bucket_by:
+            n, cols = bucket_by
+            writer = writer.bucketBy(n, *cols)
+            writer = writer.sortBy(*(sort_by or cols))
+        writer.saveAsTable(table.qualified_name)
         self._register_temp(table)
 
     @staticmethod

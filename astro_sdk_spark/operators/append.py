@@ -43,4 +43,7 @@ def append(
     if not eng.table_exists(target_table):
         raise ValueError(f"Target table {target_table.qualified_name} does not exist")
     eng.append_table(source_table, target_table, normalize_columns(columns))
+    from astro_sdk_spark.lineage import _name_of, emit
+
+    emit("append", inputs=[_name_of(source_table)], outputs=[_name_of(target_table)])
     return target_table

@@ -49,6 +49,9 @@ def export_to_file(
         raise ValueError(f"if_exists must be 'replace' or 'exception', got {if_exists!r}")
     eng = engine or SparkEngine(spark or default_session())
     df = _resolve_df(input_data, eng)
+    from astro_sdk_spark.lineage import _name_of, emit
+
+    emit("export_to_file", inputs=[_name_of(input_data)], outputs=[_name_of(output_file)])
     path = output_file.path.removeprefix("file://")
     if os.path.exists(path):
         if if_exists == "exception":

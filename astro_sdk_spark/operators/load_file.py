@@ -65,4 +65,7 @@ def load_file(
     if output_table is None:
         return df
     eng.load_dataframe_to_table(df, output_table, if_exists=if_exists)
+    from astro_sdk_spark.lineage import _name_of, emit
+
+    emit("load_file", inputs=[_name_of(input_file)], outputs=[_name_of(output_table)])
     return output_table

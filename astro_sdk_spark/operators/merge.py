@@ -161,6 +161,14 @@ def merge(
         _mapped_source(src, cmap, tgt.schema), keys, if_conflicts
     )
 
+    from astro_sdk_spark.lineage import _name_of, emit
+
+    emit(
+        f"merge:{if_conflicts}",
+        inputs=[_name_of(source_table)],
+        outputs=[_name_of(target_table)],
+    )
+
     if if_conflicts == "exception":
         n_dup = src_shaped.join(tgt.select(*keys), on=keys, how="left_semi").limit(1).count()
         if n_dup:

@@ -36,6 +36,14 @@ def _materialize(
     eng.create_table_from_select_statement(
         sql, out, parameters=parameters, query_modifier=query_modifier
     )
+    from astro_sdk_spark.lineage import _name_of, emit
+
+    emit(
+        "transform",
+        inputs=[_name_of(v) for v in parameters.values() if hasattr(v, "qualified_name")],
+        outputs=[_name_of(out)],
+        sql=sql,
+    )
     return out
 
 
