@@ -46,6 +46,21 @@ from astro_sdk_spark.load_options import (
     ParquetLoadOptions,
 )
 from astro_sdk_spark.object_store import configure_azure, configure_gcs, configure_s3
+from astro_sdk_spark.operators.classes import (
+    AppendOperator,
+    CleanupOperator,
+    ColumnCheckOperator,
+    DropTableOperator,
+    ExportToFileOperator,
+    GetValueListOperator,
+    ListFileOperator,
+    LoadFileOperator,
+    MergeOperator,
+    RawSQLOperator,
+    SQLCheckOperator,
+    TransformOperator,
+)
+from astro_sdk_spark.lineage import LINEAGE
 
 __version__ = "0.1.0"
 
@@ -81,4 +96,17 @@ __all__ = [
     "configure_s3",
     "configure_gcs",
     "configure_azure",
+    "LINEAGE",
+    "LoadFileOperator",
+    "TransformOperator",
+    "RawSQLOperator",
+    "AppendOperator",
+    "MergeOperator",
+    "ExportToFileOperator",
+    "DropTableOperator",
+    "CleanupOperator",
+    "ColumnCheckOperator",
+    "SQLCheckOperator",
+    "GetValueListOperator",
+    "ListFileOperator",
 ]
