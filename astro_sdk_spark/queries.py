@@ -1037,6 +1037,50 @@ def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_doc_fingerprint",
+    r"""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT lower(regexp_replace(text, '\s+', ' ', 'g')))
+             AS n_distinct_fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint distinctness: the 64-bit xxhash64 fingerprint itself is
+    not DuckDB-computable, but its defining property is — the number of
+    distinct fingerprints must equal the number of distinct normalized
+    texts (collision probability at 500–5000 docs over 64 bits < 1e-12)."""
+    from astro_sdk_spark.functions.text import doc_fingerprint
+
+    d = T(spark, sf_dir, "documents")
+    return d.select(doc_fingerprint(F.col("text")).alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct_fp"),
+    )
+
+
+@q(
+    "q_bpe_token_count",
+    r"""
+    SELECT doc_id,
+           array_length(string_split_regex(trim(text), '\s+'))
+             + (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word token estimate (words + punctuation marks) —
+    both engines' \\w is ASCII word chars, so counts align exactly."""
+    from astro_sdk_spark.functions.text import bpe_ish_token_count
+
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens")
+    )
+
+
 # ---- LSH / heuristic extension queries with exact oracles ----------------
 #
 # Oracle strategy: LSH outputs are hash-dependent, so either (a) the oracle
