@@ -1,0 +1,87 @@
+"""Skew mitigation utilities: salted joins and two-phase aggregation.
+
+No reference counterpart (the warehouse owned physical execution there).
+At 100 TB a handful of hot keys (the null key, a default id, a celebrity
+user) can pin a whole shuffle on one task. AQE's skew-join split
+(``spark.sql.adaptive.skewJoin.enabled``, on by default in session.py)
+handles sort-merge joins automatically; these helpers cover the cases AQE
+cannot: broadcast-ineligible dimension joins with hot probe keys, and
+hot-key aggregations with non-splittable single-key partitions.
+
+Both are pure plan rewrites — results are exactly equal to the unsalted
+plan (tests assert it), only the shuffle key changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+    salt: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join where ``large`` has skewed join keys.
+
+    The large side gets a uniform random salt in [0, salt); the small side
+    is replicated ``salt`` times (explode of a sequence — small side only,
+    so the blow-up is |small|·salt rows). The join key becomes (key, salt),
+    splitting each hot key across ``salt`` reducers. Row-level results are
+    identical to ``large.join(small, on, how)`` for inner/left joins
+    (the salt column is internal and dropped).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r} "
+            "(right/full would need the salt on the other side)"
+        )
+    salted_large = large.withColumn(
+        "_salt", F.floor(F.rand(seed) * salt).cast("int")
+    )
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    joined = salted_large.join(salted_small, on=[*keys, "_salt"], how=how)
+    return joined.drop("_salt")
+
+
+_SPLITTABLE = {"sum", "count", "min", "max"}
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    aggs: dict[str, str],
+    salt: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-phase aggregation for hot grouping keys: partial aggregate on
+    (group, salt), then final combine on group.
+
+    ``aggs`` maps output column name → "fn(col)" with fn in
+    sum/count/min/max (the decomposable set; avg = sum/count composed by
+    the caller). Spark's hash aggregate already does map-side partial
+    aggregation — this helper matters when per-key *reduce* state is the
+    bottleneck (e.g. count-distinct-style downstream ops) or when a single
+    key exceeds one reducer's capacity.
+    """
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    partial_aggs, final_aggs = [], []
+    for out_name, spec in aggs.items():
+        fn, _, col = spec.partition("(")
+        fn = fn.strip().lower()
+        col = col.rstrip(")").strip()
+        if fn not in _SPLITTABLE:
+            raise ValueError(f"Unsupported agg {fn!r}; use one of {sorted(_SPLITTABLE)}")
+        partial_aggs.append(getattr(F, fn)(col).alias(f"_p_{out_name}"))
+        combine = "sum" if fn in ("sum", "count") else fn
+        final_aggs.append(getattr(F, combine)(f"_p_{out_name}").alias(out_name))
+    salted = df.withColumn("_salt", F.floor(F.rand(seed) * salt).cast("int"))
+    partial = salted.groupBy(*gcols, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*gcols).agg(*final_aggs)

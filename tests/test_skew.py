@@ -1,0 +1,79 @@
+"""Skew utilities: salted plans produce exactly the unsalted results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from astro_sdk_spark.functions.skew import salted_agg, salted_join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 90% of rows share key 0 (the hot key), the rest spread over 100 keys
+    df = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    return df.cache()
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.range(100).select(
+        F.col("id").alias("k"), F.concat(F.lit("name"), F.col("id")).alias("name")
+    ).cache()
+
+
+def test_salted_join_equals_plain_inner(skewed, dim):
+    plain = skewed.join(dim, "k").select("k", "v", "name")
+    salted = salted_join(skewed, dim, on="k", salt=8).select("k", "v", "name")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_equals_plain_left(skewed, spark):
+    partial_dim = spark.range(50).select(
+        F.col("id").alias("k"), F.lit("d").alias("name")
+    )
+    plain = skewed.join(partial_dim, "k", "left").select("k", "v", "name")
+    salted = salted_join(skewed, partial_dim, on="k", how="left", salt=8).select(
+        "k", "v", "name"
+    )
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_rejects_right(skewed, dim):
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(skewed, dim, on="k", how="right")
+
+
+def test_salted_agg_equals_plain(skewed):
+    plain = {
+        (r.k): (r.s, r.n, r.mn, r.mx)
+        for r in skewed.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.k): (r.s, r.n, r.mn, r.mx)
+        for r in salted_agg(
+            skewed,
+            "k",
+            {"s": "sum(v)", "n": "count(v)", "mn": "min(v)", "mx": "max(v)"},
+            salt=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_rejects_nonsplittable(skewed):
+    with pytest.raises(ValueError, match="Unsupported agg"):
+        salted_agg(skewed, "k", {"a": "avg(v)"})
