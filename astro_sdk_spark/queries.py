@@ -868,6 +868,75 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_events_sliding",
+    """
+    WITH w AS (
+      SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+               AS window_start,
+             event_type, value
+      FROM events)
+    SELECT window_start, event_type, count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM w GROUP BY window_start, event_type
+    """,
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min / 5 min slide) — the batch shape of
+    streaming/ops.sliding_window_agg. Each event lands in exactly two
+    windows (starts at its 5-min bucket and the one before), which is how
+    the DuckDB oracle states it."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@q(
+    "q_training_pipeline",
+    """
+    WITH scored AS (
+      SELECT doc_id, text, source,
+             array_length(string_split(text, ' ')) AS n_tokens,
+             array_length(list_distinct(string_split(text, ' ')))
+               / CAST(array_length(string_split(text, ' ')) AS DOUBLE) AS ttr
+      FROM documents WHERE lang = 'en'),
+    kept AS (
+      SELECT * FROM scored WHERE n_tokens >= 20 AND ttr >= 0.3),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, any_value(source) AS source
+      FROM kept GROUP BY text)
+    SELECT d.source, count(*) AS n_docs
+    FROM (SELECT k.source FROM deduped dd JOIN kept k ON k.doc_id = dd.doc_id) d
+    GROUP BY d.source
+    """,
+)
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: language filter → length +
+    lexical-diversity quality gate → exact dedup (keep min doc_id per
+    text) → per-source yield counts. The shape of a real corpus-prep job;
+    one scan, one dedup shuffle, one count shuffle."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = (
+        d.filter(F.col("lang") == "en")
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn("ttr", F.size(F.array_distinct(toks)) / F.size(toks))
+    )
+    kept = scored.filter((F.col("n_tokens") >= 20) & (F.col("ttr") >= 0.3))
+    deduped = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    survivors = kept.join(deduped.select("doc_id"), on="doc_id", how="left_semi")
+    return survivors.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 # --------------------------------------------------------------------------
 # 7b. Data-quality checks (single-pass aggregate plans)
 
