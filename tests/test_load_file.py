@@ -86,3 +86,30 @@ def test_glob_pattern_load(engine, tmp_path):
         (tmp_path / f"part_{i}.csv").write_text(f"a,b\n{i},{i * 2}\n")
     df = load_file(File(str(tmp_path / "part_*.csv")), engine=engine)
     assert df.count() == 3
+
+
+def test_load_file_bucketed_layout(engine, spark, tmp_path):
+    from astro_sdk_spark.files import File
+    from astro_sdk_spark.operators.load_file import load_file
+    from astro_sdk_spark.table import Table
+
+    p = tmp_path / "bk.csv"
+    p.write_text("k,v\n" + "\n".join(f"{i % 10},{i}" for i in range(100)) + "\n")
+    t = Table(name="lf_bucketed")
+    engine.drop_table(t)
+    load_file(File(str(p)), t, bucket_by=(4, ["k"]), engine=engine)
+    agg = spark.table("lf_bucketed").groupBy("k").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert agg.count() == 10
+    engine.drop_table(t)
+
+
+def test_load_file_normalize_config_sep(engine, tmp_path):
+    from astro_sdk_spark.files import File
+    from astro_sdk_spark.operators.load_file import load_file
+
+    p = tmp_path / "nested.ndjson"
+    p.write_text('{"a": {"b": 1}}\n{"a": {"b": 2}}\n')
+    df = load_file(File(str(p), normalize_config={"sep": "__"}), engine=engine)
+    assert df.columns == ["a__b"]
