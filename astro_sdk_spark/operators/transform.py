@@ -25,6 +25,27 @@ from astro_sdk_spark.session import default_session
 from astro_sdk_spark.table import BaseTable, Table, TempTable
 
 
+def _materialize_dataframe_args(eng: SparkEngine, params: dict[str, Any]) -> None:
+    """pandas / Spark DataFrame parameters are loaded into TempTables and
+    replaced by their handles, so ``{{ df_arg }}`` renders as a real table
+    identifier — reference ``load_op_arg_dataframes_into_sql``
+    (``base_decorator.py:369-417``). The temp tables join the engine's
+    registry and are dropped by cleanup()."""
+    import pandas as pd
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    for name, value in list(params.items()):
+        if isinstance(value, pd.DataFrame):
+            sdf = eng.spark.createDataFrame(value)
+        elif isinstance(value, SparkDataFrame):
+            sdf = value
+        else:
+            continue
+        staged = TempTable()
+        eng.load_dataframe_to_table(sdf, staged)
+        params[name] = staged
+
+
 def _materialize(
     eng: SparkEngine,
     sql: str,
@@ -32,6 +53,7 @@ def _materialize(
     output_table: BaseTable | None,
     query_modifier: QueryModifier | None = None,
 ) -> BaseTable:
+    _materialize_dataframe_args(eng, parameters)
     out = output_table or TempTable()
     eng.create_table_from_select_statement(
         sql, out, parameters=parameters, query_modifier=query_modifier

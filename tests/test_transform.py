@@ -87,3 +87,27 @@ def test_run_raw_sql_handler_and_response_size(engine, lineitem):
         engine=engine,
     )
     assert len(out) == 5
+
+
+def test_transform_materializes_dataframe_args(engine, spark, lineitem):
+    import pandas as pd
+
+    lookup = pd.DataFrame({"l_linestatus": ["O", "F"], "label": ["open", "filled"]})
+    out = Table(name="tx_df_arg_out")
+    from astro_sdk_spark.operators.transform import run_transform
+
+    run_transform(
+        """
+        SELECT t.l_linestatus, m.label, count(*) AS n
+        FROM {{ t }} t JOIN {{ m }} m ON t.l_linestatus = m.l_linestatus
+        GROUP BY t.l_linestatus, m.label
+        """,
+        parameters={"t": lineitem, "m": lookup},
+        output_table=out,
+        engine=engine,
+    )
+    rows = {(r.l_linestatus, r.label) for r in spark.table("tx_df_arg_out").collect()}
+    assert rows == {("O", "open"), ("F", "filled")}
+    # the pandas arg was staged as a registered temp table (cleanup target)
+    assert any(t.name.startswith("_tmp") for t in engine.temp_tables)
+    engine.drop_table(out)
