@@ -1,1 +1,53 @@
-"""DataFrame-level functions: flatten, text analysis, dedup, similarity."""
+"""DataFrame-level functions: flatten, text analysis, dedup, similarity,
+skew mitigation."""
+
+from astro_sdk_spark.functions.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_near_dup,
+    minhash_signatures,
+    simhash_near_dup,
+    simhash_signatures,
+)
+from astro_sdk_spark.functions.flatten import flatten
+from astro_sdk_spark.functions.similarity import (
+    ann_recall,
+    banded_signatures,
+    cosine_similarity_col,
+    cosine_topk,
+    lsh_bucket_join,
+)
+from astro_sdk_spark.functions.skew import salted_agg, salted_join
+from astro_sdk_spark.functions.text import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+
+__all__ = [
+    "flatten",
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "minhash_near_dup",
+    "jaccard_pairs",
+    "simhash_signatures",
+    "simhash_near_dup",
+    "embedding_near_dup",
+    "cosine_similarity_col",
+    "cosine_topk",
+    "banded_signatures",
+    "lsh_bucket_join",
+    "ann_recall",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "bpe_ish_token_count",
+    "salted_join",
+    "salted_agg",
+]

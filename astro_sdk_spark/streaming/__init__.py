@@ -16,6 +16,7 @@ from astro_sdk_spark.streaming.ops import (
     stream_to_table,
     tumbling_window_agg,
 )
+from astro_sdk_spark.streaming.rollup import ContinuousAggregate, time_bucket
 
 __all__ = [
     "read_events_stream",
@@ -24,4 +25,6 @@ __all__ = [
     "session_window_agg",
     "stream_dedup",
     "stream_to_table",
+    "ContinuousAggregate",
+    "time_bucket",
 ]
