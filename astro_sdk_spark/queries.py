@@ -1106,6 +1106,103 @@ def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB word-k-shingles of lower(text), distinct — mirrors shingles_col().
+_DUCK_SHINGLES_K3 = r"""
+    CASE WHEN len(string_split_regex(lower(text), '\s+')) >= 3
+      THEN list_distinct(list_transform(
+             range(1, len(string_split_regex(lower(text), '\s+')) - 1),
+             i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))
+      ELSE [array_to_string(string_split_regex(lower(text), '\s+'), ' ')]
+    END
+"""
+
+_DUCK_SHINGLES_K2 = r"""
+    CASE WHEN len(string_split_regex(lower(text), '\s+')) >= 2
+      THEN list_distinct(list_transform(
+             range(1, len(string_split_regex(lower(text), '\s+'))),
+             i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+1], ' ')))
+      ELSE [array_to_string(string_split_regex(lower(text), '\s+'), ' ')]
+    END
+"""
+
+
+@q(
+    "q_percentiles",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+           round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2)  AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, both linear interpolation). The approximate
+    ``approx_percentile``/HLL family deliberately has no oracle entry —
+    approximation results are engine-specific by design."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {p})"), 2).alias(name)
+            for p, name in [(0.25, "p25"), (0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+        ]
+    )
+
+
+@q(
+    "q_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram via floor division (width_bucket is not
+    portable to the oracle engine; the arithmetic is)."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+_TOP_NGRAMS_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_SHINGLES_K2} AS s FROM documents),
+    grams AS (SELECT doc_id, unnest(s) AS g FROM toks)
+    SELECT g AS bigram, count(*) AS doc_freq
+    FROM grams GROUP BY g
+    ORDER BY doc_freq DESC, bigram LIMIT 20
+"""
+
+
+@q("q_top_ngrams", _TOP_NGRAMS_ORACLE)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top bigrams by document frequency (per-doc distinct
+    shingles → explode → count), ordered deterministically. The corpus
+    vocabulary/statistics pass of a training-data pipeline."""
+    from astro_sdk_spark.functions.dedup import shingles_col
+
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(shingles_col(F.col("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
 @q(
     "q_doc_fingerprint",
     r"""
@@ -1160,16 +1257,6 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-computed literals we can inline into SQL, and the simhash entry
 # uses an md5-derived 60-bit hash both engines compute identically.
 
-# DuckDB word-k-shingles of lower(text), distinct — mirrors shingles_col().
-_DUCK_SHINGLES_K3 = r"""
-    CASE WHEN len(string_split_regex(lower(text), '\s+')) >= 3
-      THEN list_distinct(list_transform(
-             range(1, len(string_split_regex(lower(text), '\s+')) - 1),
-             i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))
-      ELSE [array_to_string(string_split_regex(lower(text), '\s+'), ' ')]
-    END
-"""
-
 _MINHASH_ORACLE = f"""
     WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES_K3} AS s FROM documents),
     pairs AS (
@@ -1195,15 +1282,6 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
-
-_DUCK_SHINGLES_K2 = r"""
-    CASE WHEN len(string_split_regex(lower(text), '\s+')) >= 2
-      THEN list_distinct(list_transform(
-             range(1, len(string_split_regex(lower(text), '\s+'))),
-             i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+1], ' ')))
-      ELSE [array_to_string(string_split_regex(lower(text), '\s+'), ' ')]
-    END
-"""
 
 # SimHash replicated bit-for-bit: 60-bit md5-derived shingle hash, per-bit
 # ±1 votes, 4×16-bit block LSH, exact hamming verify.
