@@ -4,6 +4,7 @@ skew mitigation."""
 from astro_sdk_spark.functions.dedup import (
     embedding_near_dup,
     exact_dedup,
+    incremental_near_dup,
     jaccard_pairs,
     minhash_lsh_candidates,
     minhash_near_dup,
@@ -34,6 +35,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_candidates",
     "minhash_near_dup",
+    "incremental_near_dup",
     "jaccard_pairs",
     "simhash_signatures",
     "simhash_near_dup",

@@ -326,6 +326,98 @@ def simhash_near_dup(
     )
 
 
+def incremental_near_dup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    bucket_cap: int | None = 500,
+) -> DataFrame:
+    """Near-dup of NEW documents against an EXISTING corpus (the
+    production shape: each incoming batch is deduped against everything
+    already accepted, not against itself).
+
+    Returns (new_id, corpus_id, jaccard) pairs above threshold. The
+    corpus side's signatures would be precomputed and stored in a real
+    deployment — pass a (id, minhash) frame as ``corpus_sigs`` via
+    ``minhash_signatures(corpus, ...)`` upstream and reuse it across
+    batches; this function recomputes for self-containment.
+
+    Scale shape: banded bucket join NEW × CORPUS (not a self-join), so
+    work is O(|new| · collisions), never O(|corpus|²); corpus-side
+    mega-buckets are capped."""
+    new_sigs = minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_k)
+    corpus_sigs = minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_k)
+
+    def banded(sigs: DataFrame, alias: str) -> DataFrame:
+        rows_per_band = num_hashes // bands
+        return sigs.select(
+            F.col(id_col).alias(alias),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        "minhash", b * rows_per_band + 1, rows_per_band
+                                    ),
+                                    lambda x: x.cast("string"),
+                                ),
+                            ),
+                            F.lit(b),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+
+    nb = banded(new_sigs, "new_id")
+    cb = banded(corpus_sigs, "corpus_id")
+    if bucket_cap is not None:
+        sizes = cb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+        cb = (
+            cb.join(
+                F.broadcast(sizes.filter(F.col("_n") > bucket_cap)),
+                on=["band", "bucket"],
+                how="left_anti",
+            )
+        )
+    pairs = (
+        nb.join(cb, on=["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+        .persist()
+    )
+    new_sh = new_docs.join(
+        pairs.select(F.col("new_id").alias(id_col)).dropDuplicates([id_col]),
+        on=id_col, how="left_semi",
+    ).select(F.col(id_col).alias("new_id"), shingles_col(F.col(text_col), shingle_k).alias("_sa"))
+    corpus_sh = corpus.join(
+        pairs.select(F.col("corpus_id").alias(id_col)).dropDuplicates([id_col]),
+        on=id_col, how="left_semi",
+    ).select(F.col(id_col).alias("corpus_id"), shingles_col(F.col(text_col), shingle_k).alias("_sb"))
+    return (
+        pairs.join(new_sh, on="new_id")
+        .join(corpus_sh, on="corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (
+                F.size(F.array_intersect("_sa", "_sb"))
+                / F.size(F.array_union("_sa", "_sb"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     dim: int,

@@ -178,3 +178,35 @@ def test_banded_signatures_arrow_and_hof_paths_match(vectors):
         for r in banded_signatures(vectors, 16, bits=6, bands=3, use_arrow=False).collect()
     }
     assert arrow == hof
+
+
+def test_incremental_near_dup_new_vs_corpus(spark, corpus):
+    from astro_sdk_spark.functions.dedup import incremental_near_dup
+
+    # "corpus" fixture: docs 0..59 + near-dups 1000/1001 of docs 10/20.
+    # treat 0..59 as the accepted corpus, 1000/1001 as the incoming batch
+    accepted = corpus.filter(F.col("doc_id") < 100)
+    incoming = corpus.filter(F.col("doc_id") >= 1000)
+    pairs = incremental_near_dup(
+        incoming, accepted, num_hashes=32, bands=8, threshold=0.5
+    )
+    found = {(r.new_id, r.corpus_id) for r in pairs.collect()}
+    assert found == {(1000, 10), (1001, 20)}
+
+
+def test_incremental_near_dup_caps_corpus_buckets(spark):
+    from astro_sdk_spark.functions.dedup import incremental_near_dup
+
+    dup_corpus = spark.createDataFrame(
+        [(i, "the very same duplicated corpus document text") for i in range(500)],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(9000, "the very same duplicated corpus document text")],
+        "doc_id long, text string",
+    )
+    pairs = incremental_near_dup(
+        incoming, dup_corpus, num_hashes=32, bands=8, threshold=0.5, bucket_cap=50
+    )
+    # the 500-copy bucket is dropped on the corpus side: bounded, no blowup
+    assert pairs.count() == 0
