@@ -1116,6 +1116,37 @@ _DUCK_SHINGLES_K3 = r"""
     END
 """
 
+_INCREMENTAL_ORACLE = f"""
+    WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES_K3} AS s FROM documents),
+    pairs AS (
+      SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+             len(list_intersect(n.s, c.s)) AS inter,
+             len(n.s) AS la, len(c.s) AS lb
+      FROM sh n JOIN sh c ON n.doc_id >= 250 AND c.doc_id < 250)
+    SELECT new_id, corpus_id,
+           round(inter / CAST(la + lb - inter AS DOUBLE), 4) AS jaccard
+    FROM pairs WHERE inter / CAST(la + lb - inter AS DOUBLE) >= 0.5
+"""
+
+
+@q("q_incremental_neardup", _INCREMENTAL_ORACLE)
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: docs with id ≥ 250 are the incoming batch, the
+    rest the accepted corpus. Same exact-Jaccard oracle argument as
+    q_minhash_neardup (all true pairs at j ≥ 0.9 → LSH recall ≈ 1)."""
+    from astro_sdk_spark.functions.dedup import incremental_near_dup
+
+    d = T(spark, sf_dir, "documents")
+    pairs = incremental_near_dup(
+        d.filter(F.col("doc_id") >= 250),
+        d.filter(F.col("doc_id") < 250),
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+    )
+    return pairs.select("new_id", "corpus_id", F.round("jaccard", 4).alias("jaccard"))
+
+
 _DUCK_SHINGLES_K2 = r"""
     CASE WHEN len(string_split_regex(lower(text), '\s+')) >= 2
       THEN list_distinct(list_transform(
