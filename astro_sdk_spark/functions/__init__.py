@@ -18,6 +18,7 @@ from astro_sdk_spark.functions.similarity import (
     banded_signatures,
     cosine_similarity_col,
     cosine_topk,
+    ivf_topk,
     lsh_bucket_join,
 )
 from astro_sdk_spark.functions.skew import salted_agg, salted_join
@@ -44,6 +45,7 @@ __all__ = [
     "cosine_topk",
     "banded_signatures",
     "lsh_bucket_join",
+    "ivf_topk",
     "ann_recall",
     "token_stats",
     "quality_score",

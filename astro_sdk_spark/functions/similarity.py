@@ -220,6 +220,79 @@ def lsh_bucket_join(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    k: int = 10,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """IVF-flat ANN: an inverted-file index with cosine assignment.
+
+    - Every candidate is assigned to its nearest centroid (one broadcast
+      of the small centroid set against the huge candidate table — no
+      shuffle; at 100 TB this is the build pass you materialize once).
+    - Each query probes its ``nprobe`` nearest centroids and exact-scores
+      only the candidates in those lists: work drops from O(Q·N) to
+      O(Q·N·nprobe/n_centroids) for balanced lists.
+    - ``centroids`` is caller-supplied (id_col, vec_col) — k-means
+      training, a coreset, or any deterministic sample; keeping selection
+      outside makes the operator deterministic and engine-checkable.
+
+    Ranking determinism: cosines are rounded before every rank and ties
+    break on ids, so the result is reproducible across engines."""
+    cent = centroids.select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_centvec")
+    )
+
+    def _nearest(df: DataFrame, side_id: str, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            F.col(side_id),
+            "cent_id",
+            F.round(
+                cosine_similarity_col(F.col(vec_col), F.col("_centvec")), 4
+            ).alias("_csim"),
+        )
+        w = Window.partitionBy(side_id).orderBy(F.desc("_csim"), F.asc("cent_id"))
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n)
+            .select(side_id, "cent_id")
+        )
+
+    cand = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col))
+    assigned = _nearest(cand.select("cand_id", vec_col), "cand_id", 1)
+    lists = cand.join(assigned, on="cand_id")
+
+    qdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    probes = _nearest(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        "query_id",
+        nprobe,
+    )
+    pairs = (
+        probes.join(lists, on="cent_id")
+        .join(F.broadcast(qdf), on="query_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        cosine_similarity_col(F.col("_qvec"), F.col(vec_col)).alias("cosine"),
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_digits))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.dropDuplicates(["query_id", "cand_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_recall(
     queries: DataFrame,
     candidates: DataFrame,

@@ -1489,6 +1489,64 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_ORACLE = """
+    WITH cent AS (
+      SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 16),
+    cand AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assign_scored AS (
+      SELECT cand_id, cent_id,
+             row_number() OVER (
+               PARTITION BY cand_id
+               ORDER BY round(list_cosine_similarity(v, cvec), 4) DESC, cent_id) AS rk
+      FROM cand CROSS JOIN cent),
+    assigned AS (SELECT cand_id, cent_id FROM assign_scored WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 8),
+    probe_scored AS (
+      SELECT query_id, cent_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_cosine_similarity(qv, cvec), 4) DESC, cent_id) AS rk
+      FROM q CROSS JOIN cent),
+    probes AS (SELECT query_id, cent_id FROM probe_scored WHERE rk <= 4),
+    pairs AS (
+      SELECT DISTINCT p.query_id, a.cand_id
+      FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+      WHERE p.query_id <> a.cand_id),
+    scored AS (
+      SELECT pr.query_id, pr.cand_id,
+             round(list_cosine_similarity(q.qv, c.v), 4) AS cosine
+      FROM pairs pr
+      JOIN q ON q.query_id = pr.query_id
+      JOIN cand c ON c.cand_id = pr.cand_id),
+    ranked AS (
+      SELECT query_id, cand_id, cosine,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@q("q_ivf_topk", _IVF_ORACLE)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: inverted lists under cosine-nearest centroid
+    assignment, queries probe their 4 nearest of 16 centroids (here a
+    deterministic id-sample; k-means slots into the same contract). The
+    oracle replicates assignment, probing, and rescoring exactly."""
+    from astro_sdk_spark.functions.similarity import ivf_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 8),
+        emb,
+        centroids=emb.filter(F.col("vec_id") < 16),
+        nprobe=4,
+        k=10,
+    )
+
+
 _EMB_NEARDUP_ORACLE = f"""
     WITH sigs AS (
       SELECT vec_id, embedding, unnest({{SIGS}}) AS u

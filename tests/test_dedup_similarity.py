@@ -210,3 +210,25 @@ def test_incremental_near_dup_caps_corpus_buckets(spark):
     )
     # the 500-copy bucket is dropped on the corpus side: bounded, no blowup
     assert pairs.count() == 0
+
+
+def test_ivf_topk_probes_subset_and_ranks(spark, vectors):
+    from astro_sdk_spark.functions.similarity import cosine_topk, ivf_topk
+
+    queries = vectors.filter(F.col("vec_id") < 3)
+    centroids = vectors.filter(F.col("vec_id") < 8)
+    out = ivf_topk(queries, vectors, centroids, nprobe=3, k=5)
+    rows = out.collect()
+    assert all(1 <= r.rank <= 5 for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    # probing every centroid == brute force (recall 1 by construction)
+    full = ivf_topk(queries, vectors, centroids, nprobe=8, k=5)
+    # IVF with all lists probed still misses candidates only if a list is
+    # unreachable — there are none, so it equals the exact baseline
+    exact = cosine_topk(queries, vectors, k=5, round_digits=4)
+    assert {(r.query_id, r.cand_id) for r in full.collect()} == {
+        (r.query_id, r.cand_id) for r in exact.collect()
+    }
