@@ -128,6 +128,115 @@ def stream_dedup(
     return df.dropDuplicates(keys or ["event_id"])
 
 
+def stateful_user_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    idle_gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    lifetime counters (event count, value total, first/last timestamp) held
+    in the state store and emitted as ONE final row when the user has been
+    idle past ``idle_gap`` in event time.
+
+    This is the pattern for stateful logic Spark's built-in windows can't
+    express (reference has no streaming at all; this is the scale-path
+    extension SURVEY §2.5 row 10 calls for). Scale design:
+
+    - **Append-mode output**: rows are emitted only on event-time timeout,
+      so the file sink (append-only) works and every row is final.
+    - **Bounded state**: one small tuple per *active* user; the timeout
+      removes idle users, so state size tracks the active-user set, not
+      the full history. At 1000 executors the state store is partitioned
+      by ``user_col`` hash — no single-node bottleneck.
+    - **Event-time timeouts** ride the watermark, so reprocessing a backlog
+      (availableNow) gives the same answer as live streaming.
+
+    On a static frame this degrades to the equivalent one-pass groupBy
+    (same columns), so batch backfills reuse the operator unchanged.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    out_schema = (
+        f"{user_col} long, n_events long, total_value double, "
+        "first_ts timestamp, last_ts timestamp"
+    )
+    if not events.isStreaming:
+        return (
+            events.groupBy(user_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(value_col).alias("total_value"),
+                F.min(ts_col).alias("first_ts"),
+                F.max(ts_col).alias("last_ts"),
+            )
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = _duration_to_ms(idle_gap)
+    # state tuple: (n, total, first_us, last_us) — epoch micros, not
+    # timestamps, to keep the state row primitive-typed and lossless
+    state_schema = "n long, total double, first_us long, last_us long"
+
+    def update_fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            n, total, first_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "first_ts": [pd.to_datetime(first_us, unit="us")],
+                    "last_ts": [pd.to_datetime(last_us, unit="us")],
+                }
+            )
+            return
+        n, total, first_us, last_us = (
+            state.get if state.exists else (0, 0.0, None, None)
+        )
+        for pdf in pdf_iter:
+            ts_us = (pdf[ts_col].astype("int64") // 1_000)
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, total, first_us, last_us))
+        # fire once the watermark passes last activity + gap; clamp above
+        # the current watermark (Spark rejects timeouts in the past)
+        state.setTimeoutTimestamp(
+            max(last_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover — makes update_fn a generator on all paths
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_to_ms(duration: str) -> int:
+    """'10 minutes' / '30 seconds' / '1 hour' → milliseconds."""
+    qty, unit = duration.split()
+    per = {
+        "millisecond": 1, "second": 1000, "minute": 60_000, "hour": 3_600_000,
+        "day": 86_400_000,
+    }[unit.rstrip("s")]
+    return int(float(qty) * per)
+
+
 def stream_to_table(
     stream: DataFrame,
     table_name: str,

@@ -1,0 +1,104 @@
+"""applyInPandasWithState custom stateful operator, run for real.
+
+``stateful_user_stats`` emits one final row per user once the user has
+been idle past ``idle_gap`` in event time. The test streams the events
+directory with availableNow, appends a far-future sentinel file so a later
+micro-batch advances the watermark past every real user's timeout, and
+asserts the emitted rows equal the batch groupBy. The sentinel user's own
+state never times out, so it stays in the state store and is absent from
+the append output — no output-side filtering needed beyond the check.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from astro_sdk_spark.queries import T
+from astro_sdk_spark.streaming.ops import (
+    read_events_stream,
+    stateful_user_stats,
+    stream_to_table,
+)
+
+SENTINEL_USER = -1
+SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    ev = (
+        T(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                "user_id", "event_type", "value", "props")
+    )
+    return ev.cache()
+
+
+@pytest.fixture(scope="module")
+def staged_events_dir(spark, events_df, tmp_path_factory):
+    """Events in one file, sentinel in a second (later-mtime) file so the
+    file source processes it in a later micro-batch and the watermark jump
+    fires every real user's event-time timeout."""
+    d = str(tmp_path_factory.mktemp("stateful_events"))
+    events_df.coalesce(1).write.mode("overwrite").parquet(d)
+    max_ts = events_df.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ts + datetime.timedelta(days=10), SENTINEL_USER,
+          "sentinel", 0.0, "{}")],
+        SCHEMA,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def test_stateful_user_stats_stream_equals_batch(
+    spark, events_df, staged_events_dir, tmp_path
+):
+    stream = read_events_stream(
+        spark, staged_events_dir, schema=SCHEMA, max_files_per_trigger=1
+    )
+    assert stream.isStreaming
+    stats = stateful_user_stats(
+        stream, idle_gap="10 minutes", watermark="30 minutes"
+    )
+    spark.sql("DROP TABLE IF EXISTS stateful_user_out")
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/stateful_user_out", ignore_errors=True)
+    q = stream_to_table(
+        stats, "stateful_user_out", str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(180)
+    got = spark.table("stateful_user_out")
+
+    batch = stateful_user_stats(events_df)  # static path: plain groupBy
+    expect = {
+        (r.user_id, r.n_events, round(r.total_value, 4), r.first_ts, r.last_ts)
+        for r in batch.collect()
+    }
+    actual = {
+        (r.user_id, r.n_events, round(r.total_value, 4), r.first_ts, r.last_ts)
+        for r in got.collect()
+    }
+    assert SENTINEL_USER not in {u for (u, *_) in actual}
+    assert actual == expect
+    spark.sql("DROP TABLE IF EXISTS stateful_user_out")
+
+
+def test_stateful_user_stats_batch_mode(events_df):
+    out = stateful_user_stats(events_df)
+    row = out.filter(F.col("user_id") == 0).collect()
+    direct = (
+        events_df.filter(F.col("user_id") == 0)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()[0]
+    )
+    assert row[0].n_events == direct.n
+    assert abs(row[0].total_value - direct.tv) < 1e-6
