@@ -1,5 +1,5 @@
 """DataFrame-level functions: flatten, text analysis, dedup, similarity,
-skew mitigation."""
+skew mitigation, deterministic sampling/splitting/packing."""
 
 from astro_sdk_spark.functions.dedup import (
     embedding_near_dup,
@@ -20,6 +20,13 @@ from astro_sdk_spark.functions.similarity import (
     cosine_topk,
     ivf_topk,
     lsh_bucket_join,
+)
+from astro_sdk_spark.functions.sampling import (
+    concat_chunk_pack,
+    deterministic_split,
+    hash_bucket,
+    pack_greedy,
+    stratified_sample,
 )
 from astro_sdk_spark.functions.skew import salted_agg, salted_join
 from astro_sdk_spark.functions.text import (
@@ -54,4 +61,9 @@ __all__ = [
     "bpe_ish_token_count",
     "salted_join",
     "salted_agg",
+    "hash_bucket",
+    "deterministic_split",
+    "stratified_sample",
+    "concat_chunk_pack",
+    "pack_greedy",
 ]

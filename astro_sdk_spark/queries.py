@@ -1582,3 +1582,123 @@ _REGISTRY["q_embedding_neardup"] = (
     q_embedding_neardup,
     _EMB_NEARDUP_ORACLE.replace("{SIGS}", _duck_band_sigs(6, 8, 42)),
 )
+
+
+# --------------------------------------------------------------------------
+# 10. Training-pipeline sampling, splitting, and sequence packing
+# (functions/sampling.py — deterministic md5-bucket decisions, so the
+# oracle reproduces them bit-for-bit; see module docstring for the
+# engine-portable hash construction)
+
+_DUCK_BUCKET = (
+    "CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'{salt}'),1,15) AS BIGINT)"
+    " % {gran}"
+)
+
+
+@q(
+    "q_train_split",
+    f"""
+    WITH b AS (
+      SELECT n_chars,
+             {_DUCK_BUCKET.format(salt="v1", gran=10000)} AS bucket
+      FROM documents),
+    labeled AS (
+      SELECT CASE WHEN bucket < 9000 THEN 'train'
+                  WHEN bucket < 9500 THEN 'val'
+                  ELSE 'test' END AS split, n_chars
+      FROM b)
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM labeled GROUP BY split
+    """,
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-keyed train/val/test split (90/5/5) + per-split
+    yield. Pure projection + one count shuffle; rows never migrate between
+    splits when the corpus grows (unlike randomSplit)."""
+    from astro_sdk_spark.functions.sampling import deterministic_split
+
+    d = T(spark, sf_dir, "documents")
+    out = deterministic_split(
+        d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="v1"
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@q(
+    "q_stratified_sample",
+    f"""
+    WITH b AS (
+      SELECT source,
+             {_DUCK_BUCKET.format(salt="mix", gran=10000)} AS bucket
+      FROM documents)
+    SELECT source, count(*) AS n_docs FROM b
+    WHERE bucket < CASE source WHEN 'src0' THEN 10000
+                               WHEN 'src1' THEN 5000
+                               WHEN 'src2' THEN 2500
+                               ELSE 1000 END
+    GROUP BY source
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: keep a deterministic per-source
+    fraction (src0 100%, src1 50%, src2 25%, rest 10%). One filter riding
+    whole-stage codegen; no shuffle before the final count."""
+    from astro_sdk_spark.functions.sampling import stratified_sample
+
+    d = T(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        d, "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        key_col="doc_id", default_fraction=0.1, salt="mix",
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@q(
+    "q_seq_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id, array_length(string_split(text, ' ')) AS n_tokens,
+             {_DUCK_BUCKET.format(salt="pk", gran=8)} AS bucket
+      FROM documents),
+    w AS (
+      SELECT bucket, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - n_tokens AS tape_start
+      FROM t),
+    p AS (
+      SELECT bucket, n_tokens,
+             CAST(floor(tape_start / 2048) AS BIGINT) AS chunk,
+             tape_start - CAST(floor(tape_start / 2048) AS BIGINT) * 2048
+               AS pack_offset
+      FROM w)
+    SELECT bucket, count(DISTINCT chunk) AS n_packs, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           max(pack_offset) AS max_offset
+    FROM p GROUP BY bucket
+    """,
+)
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style 2048-token windows)
+    over 8 independent hash-bucket tapes, summarized per bucket. One hash
+    shuffle + per-bucket window sort — no global sort at any scale."""
+    from astro_sdk_spark.functions.sampling import concat_chunk_pack
+
+    d = T(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
+    packed = concat_chunk_pack(
+        d, "doc_id", "n_tokens", budget=2048, n_buckets=8, salt="pk"
+    )
+    return packed.groupBy("bucket").agg(
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max("pack_offset").alias("max_offset"),
+    )
