@@ -8,10 +8,12 @@ identical (Structured Streaming's core design), so the batch oracles in
 the same logic the streaming path runs.
 """
 
+from astro_sdk_spark.streaming.ingest import admit_batch, stream_ingest_neardup
 from astro_sdk_spark.streaming.ops import (
     read_events_stream,
     session_window_agg,
     sliding_window_agg,
+    stateful_user_stats,
     stream_dedup,
     stream_to_table,
     tumbling_window_agg,
@@ -25,6 +27,9 @@ __all__ = [
     "session_window_agg",
     "stream_dedup",
     "stream_to_table",
+    "stateful_user_stats",
+    "admit_batch",
+    "stream_ingest_neardup",
     "ContinuousAggregate",
     "time_bucket",
 ]
