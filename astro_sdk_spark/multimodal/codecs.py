@@ -1,0 +1,175 @@
+"""Real, dependency-free media codecs (stdlib + numpy only).
+
+The container has no Pillow/librosa/av, but PNG, uncompressed BMP, and WAV
+are fully decodable with ``zlib``/``struct``/``wave`` + numpy — so the
+decode/resize stages in ``multimodal.ops`` are REAL for these formats;
+only codecs that require external libraries (JPEG, MP3, H.264, …) remain
+env-gated behind NotImplementedError.
+
+Throughput note: these codecs favor clarity over speed (the PNG unfilter
+walks filtered rows byte-wise); at production scale swap the per-blob
+decode function for Pillow/turbojpeg inside the same mapInPandas stage —
+the Spark-side contract (Arrow batch in, rows out) does not change.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# PNG color type → channel count (8-bit depth, non-interlaced support)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_CTYPE = {1: 0, 3: 2, 2: 4, 4: 6}  # channels → color type
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """PNG → (H, W, C) uint8 array. Supports 8-bit gray / gray+alpha /
+    RGB / RGBA, non-interlaced (the overwhelmingly common cases); palette
+    and 16-bit images raise."""
+    if not blob.startswith(PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, hdr = len(PNG_SIG), [], None
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        typ = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if hdr is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    w, h, depth, ctype, _comp, _filt, interlace = hdr
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} ctype={ctype} interlace={interlace} "
+            "not supported by the built-in codec (needs Pillow)"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    stride, bpp = w * ch, ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline data length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        line = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int32)
+        p += 1 + stride
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 255
+        elif f in (1, 3, 4):  # Sub / Average / Paeth — sequential in x
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if f == 1:
+                    v = line[i] + a
+                elif f == 3:
+                    v = line[i] + (a + b) // 2
+                else:
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[i] + pred
+                cur[i] = v & 255
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W) or (H, W, C) uint8 → PNG bytes (filter 0, 8-bit)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    if ch not in _PNG_CTYPE:
+        raise ValueError(f"cannot encode {ch}-channel image")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_CTYPE[ch], 0, 0, 0)
+    rows = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(rows, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """Uncompressed (BI_RGB) 24/32-bit BMP → (H, W, 3|4) uint8, top-down,
+    channels converted BGR(A)→RGB(A)."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", blob, 10)
+    w, h = struct.unpack_from("<ii", blob, 18)
+    (bpp,) = struct.unpack_from("<H", blob, 28)
+    (compression,) = struct.unpack_from("<I", blob, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={compression} not supported "
+            "by the built-in codec"
+        )
+    bottom_up, h = h > 0, abs(h)
+    nch = bpp // 8
+    row_bytes = ((w * nch + 3) // 4) * 4
+    rows = np.frombuffer(blob, np.uint8, h * row_bytes, data_off)
+    img = rows.reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
+    if bottom_up:
+        img = img[::-1]
+    # BGR(A) → RGB(A)
+    order = [2, 1, 0] + ([3] if nch == 4 else [])
+    return np.ascontiguousarray(img[:, :, order])
+
+
+def decode_wav(blob: bytes) -> tuple[int, np.ndarray]:
+    """WAV → (sample_rate, (n_frames, n_channels) int array) via the
+    stdlib ``wave`` module (PCM 8/16/32-bit)."""
+    with wave.open(io.BytesIO(blob)) as f:
+        sr, nch, sw = f.getframerate(), f.getnchannels(), f.getsampwidth()
+        frames = f.readframes(f.getnframes())
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None:
+        raise NotImplementedError(f"WAV sample width {sw} not supported")
+    samples = np.frombuffer(frames, dtype=dtype).reshape(-1, nch)
+    return sr, samples
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W, C) array."""
+    h, w = arr.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return np.ascontiguousarray(arr[rows][:, cols])
+
+
+def sniff_image(blob: bytes) -> str | None:
+    """Magic-byte sniff for the formats the built-in codecs handle."""
+    if blob[:8] == PNG_SIG:
+        return "png"
+    if blob[:2] == b"BM":
+        return "bmp"
+    return None

@@ -1,13 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched pandas UDFs.
 
-The Spark-side machinery (schema, partitioning, mapInPandas batch shape,
-binaryFile source) is real and tested; the actual pixel/sample decoding is
-STUBBED (Pillow/librosa/av are not available in this container) behind
-``_decode_image_stub`` — a deterministic fake that yields stable
-"dimensions" from the byte content, with the real implementation's
-signature and batch contract. Swapping in a real decoder changes ONE
-function, not the pipeline.
+Decode is REAL for PNG, uncompressed BMP, and WAV via the stdlib+numpy
+codecs in ``multimodal.codecs`` (decode, pixel resize + PNG re-encode,
+PCM samples); formats whose codecs need external libraries absent from
+this container (JPEG, MP3, H.264, …) raise NotImplementedError unless the
+caller opts into ``on_unsupported="stub"`` (deterministic fake dims) or
+``"skip"``. Swapping in Pillow/turbojpeg changes one per-blob function,
+not the pipeline.
 
 Scale notes:
 - ``spark.read.format("binaryFile")`` splits per file across executors;
@@ -76,35 +76,103 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFr
 
 
 def _decode_image_stub(blob: bytes) -> tuple[int, int, int]:
-    """STUB decoder: deterministic fake (width, height, channels) from the
-    byte content. Replace with Pillow:  ``img = PIL.Image.open(io.BytesIO(
-    blob)); return (*img.size, len(img.getbands()))``."""
+    """Deterministic fake (width, height, channels) from the byte content —
+    the opt-in fallback for formats the built-in codecs can't read."""
     if blob is None or len(blob) == 0:
         raise NotImplementedError("empty blob — real decoder would raise corrupt-image")
     h = hashlib.sha256(blob).digest()
     return (64 + h[0] % 192, 64 + h[1] % 192, 3)
 
 
+def _decode_image(blob: bytes, on_unsupported: str) -> tuple[int, int, int] | None:
+    """(width, height, channels) via the real PNG/BMP codecs; other
+    formats dispatch on ``on_unsupported``: error | stub | skip."""
+    from astro_sdk_spark.multimodal import codecs
+
+    fmt = codecs.sniff_image(bytes(blob or b""))
+    if fmt == "png":
+        arr = codecs.decode_png(bytes(blob))
+    elif fmt == "bmp":
+        arr = codecs.decode_bmp(bytes(blob))
+    elif on_unsupported == "stub":
+        return _decode_image_stub(blob)
+    elif on_unsupported == "skip":
+        return None
+    else:
+        raise NotImplementedError(
+            "built-in codecs decode PNG/BMP only; JPEG/GIF/WebP need Pillow "
+            "(absent in this env) — pass on_unsupported='stub'/'skip' to proceed"
+        )
+    h, w, ch = arr.shape
+    return (w, h, ch)
+
+
 def decode_image_batch(
-    df: DataFrame, content_col: str = "content", id_col: str = "path"
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "path",
+    on_unsupported: str = "error",
 ) -> DataFrame:
-    """mapInPandas decode: (id, width, height, channels). The UDF sees
-    Arrow batches of binary blobs — the real-world shape for GPU/CPU
-    decode stages."""
+    """mapInPandas decode → (id, width, height, channels). Real decode for
+    PNG/BMP (``multimodal.codecs``); the UDF sees Arrow batches of binary
+    blobs — the real-world shape for GPU/CPU decode stages."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_decode_image_stub(b) for b in pdf[content_col]]
+            ids, ws, hs, cs = [], [], [], []
+            for pid, b in zip(pdf[id_col], pdf[content_col]):
+                dims = _decode_image(b, on_unsupported)
+                if dims is None:
+                    continue
+                ids.append(pid)
+                ws.append(dims[0])
+                hs.append(dims[1])
+                cs.append(dims[2])
             yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "channels": [d[2] for d in dims],
-                }
+                {id_col: ids, "width": ws, "height": hs, "channels": cs}
             )
 
     schema = f"{id_col} string, width int, height int, channels int"
+    return df.select(id_col, content_col).mapInPandas(_decode, schema=schema)
+
+
+def decode_audio_batch(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "path",
+    on_unsupported: str = "error",
+) -> DataFrame:
+    """mapInPandas audio decode → (id, sample_rate, n_channels, n_frames,
+    duration_s). Real for WAV/PCM (stdlib ``wave``); MP3/FLAC/OGG need
+    external codecs — ``on_unsupported='skip'`` drops them."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from astro_sdk_spark.multimodal import codecs
+
+        for pdf in batches:
+            out = {k: [] for k in (id_col, "sample_rate", "n_channels",
+                                   "n_frames", "duration_s")}
+            for pid, b in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(b or b"")
+                if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+                    if on_unsupported == "skip":
+                        continue
+                    raise NotImplementedError(
+                        "built-in codec decodes WAV only; mp3/flac/ogg need "
+                        "external libs — pass on_unsupported='skip'"
+                    )
+                sr, samples = codecs.decode_wav(blob)
+                out[id_col].append(pid)
+                out["sample_rate"].append(sr)
+                out["n_channels"].append(samples.shape[1])
+                out["n_frames"].append(samples.shape[0])
+                out["duration_s"].append(round(samples.shape[0] / sr, 6))
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{id_col} string, sample_rate int, n_channels int, n_frames long, "
+        "duration_s double"
+    )
     return df.select(id_col, content_col).mapInPandas(_decode, schema=schema)
 
 
@@ -134,18 +202,46 @@ def resize_images(
     target_h: int,
     content_col: str = "content",
     id_col: str = "path",
+    on_unsupported: str = "error",
 ) -> DataFrame:
-    """Resize stub: passes blobs through and records the target shape —
-    the real version re-encodes bytes in place (same schema: binary out)."""
+    """Real resize for PNG/BMP: decode → nearest-neighbor resample →
+    re-encode as PNG (output blobs are valid PNGs of the target size).
+    Unsupported formats follow ``on_unsupported``: error | passthrough |
+    skip ("passthrough" emits the original bytes with the recorded target
+    shape — the old stub behavior, for mixed-format tables)."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from astro_sdk_spark.multimodal import codecs
+
         for pdf in batches:
+            ids, blobs = [], []
+            for pid, b in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(b or b"")
+                fmt = codecs.sniff_image(blob)
+                if fmt == "png":
+                    arr = codecs.decode_png(blob)
+                elif fmt == "bmp":
+                    arr = codecs.decode_bmp(blob)
+                elif on_unsupported == "passthrough":
+                    ids.append(pid)
+                    blobs.append(blob)
+                    continue
+                elif on_unsupported == "skip":
+                    continue
+                else:
+                    raise NotImplementedError(
+                        "built-in resize handles PNG/BMP; other formats need "
+                        "Pillow — pass on_unsupported='passthrough'/'skip'"
+                    )
+                resized = codecs.resize_nearest(arr, target_w, target_h)
+                ids.append(pid)
+                blobs.append(codecs.encode_png(resized))
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col],
-                    "content": pdf[content_col],
-                    "width": target_w,
-                    "height": target_h,
+                    id_col: ids,
+                    "content": blobs,
+                    "width": [target_w] * len(ids),
+                    "height": [target_h] * len(ids),
                 }
             )
 

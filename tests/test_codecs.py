@@ -1,0 +1,189 @@
+"""multimodal/codecs.py: real PNG/BMP/WAV codecs (stdlib+numpy).
+
+The PNG unfilter is verified against an independent, naive per-pixel
+implementation of the PNG spec's filter recovery (not by round-tripping
+through our own encoder alone), on IDAT streams crafted with every filter
+type."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from astro_sdk_spark.multimodal.codecs import (
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    encode_png,
+    resize_nearest,
+    sniff_image,
+)
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_from_scanlines(w, h, ctype, scanlines: bytes) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(scanlines))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _naive_unfilter(raw: bytes, w, h, ch) -> np.ndarray:
+    """Independent reference: PNG filter recovery straight from the spec,
+    pure Python, one byte at a time."""
+    stride, bpp = w * ch, ch
+    out = []
+    prev = [0] * stride
+    p = 0
+    for _y in range(h):
+        f = raw[p]
+        line = list(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        cur = [0] * stride
+        for i in range(stride):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            x = line[i]
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x + a
+            elif f == 2:
+                v = x + b
+            elif f == 3:
+                v = x + (a + b) // 2
+            elif f == 4:
+                pr = a + b - c
+                pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
+                v = x + (a if pa <= pb and pa <= pc else (b if pb <= pc else c))
+            cur[i] = v % 256
+        out.append(cur)
+        prev = cur
+    return np.array(out, dtype=np.uint8).reshape(h, w, ch)
+
+
+@pytest.mark.parametrize("ctype,ch", [(0, 1), (2, 3), (6, 4)])
+def test_png_all_filters_match_spec_reference(ctype, ch):
+    rng = np.random.RandomState(7)
+    w, h = 5, 5
+    stride = w * ch
+    # one scanline per filter type 0..4
+    raw = b"".join(
+        bytes([f]) + rng.randint(0, 256, stride, dtype=np.uint8).tobytes()
+        for f in range(5)
+    )
+    blob = _png_from_scanlines(w, h, ctype, raw)
+    got = decode_png(blob)
+    expect = _naive_unfilter(raw, w, h, ch)
+    assert np.array_equal(got, expect)
+
+
+def test_png_roundtrip_rgb():
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, (7, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_roundtrip_gray_2d_input():
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    out = decode_png(encode_png(img))
+    assert out.shape == (3, 4, 1)
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError):
+        decode_png(b"notapng")
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    blob = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(blob)
+
+
+def _bmp_24(w, h, pixels_rgb: np.ndarray) -> bytes:
+    """Hand-build a bottom-up 24-bit BI_RGB BMP."""
+    row_bytes = ((w * 3 + 3) // 4) * 4
+    body = b""
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = b""
+        for x in range(w):
+            r, g, b = pixels_rgb[y, x]
+            row += bytes([b, g, r])
+        body += row + b"\x00" * (row_bytes - len(row))
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return hdr + dib + body
+
+
+def test_bmp_decode_pixels_and_orientation():
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+    )
+    got = decode_bmp(_bmp_24(2, 2, px))
+    assert got.shape == (2, 2, 3)
+    assert np.array_equal(got, px)
+
+
+def test_wav_decode_stdlib():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    samples = (np.sin(np.linspace(0, 20, 800)) * 30000).astype(np.int16)
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(np.repeat(samples, 2).tobytes())
+    sr, arr = decode_wav(buf.getvalue())
+    assert sr == 16000
+    assert arr.shape == (800, 2)
+    assert np.array_equal(arr[:, 0], samples)
+
+
+def test_resize_nearest_quadrants():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:2, :2] = [255, 0, 0]
+    img[:2, 2:] = [0, 255, 0]
+    img[2:, :2] = [0, 0, 255]
+    img[2:, 2:] = [255, 255, 0]
+    out = resize_nearest(img, 2, 2)
+    assert np.array_equal(
+        out,
+        np.array(
+            [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 0]]],
+            dtype=np.uint8,
+        ),
+    )
+    up = resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8, 3)
+    assert np.array_equal(up[0, 0], [255, 0, 0]) and np.array_equal(up[7, 7], [255, 255, 0])
+
+
+def test_sniff():
+    assert sniff_image(PNG_SIG + b"x") == "png"
+    assert sniff_image(b"BMxxxx") == "bmp"
+    assert sniff_image(b"\xff\xd8\xff") is None

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from astro_sdk_spark.multimodal.ops import (
     attach_media_metadata,
+    decode_audio_batch,
     decode_image_batch,
     extract_image_features,
     frame_sample_video,
@@ -73,14 +74,29 @@ def test_media_table_types_and_metadata(spark, media_dir):
     assert rows["a.png"].n_bytes == len(_tiny_png())
 
 
-def test_decode_batch_shape(spark, media_dir):
+def test_decode_batch_real_png(spark, media_dir):
     mt = media_table_from_files(spark, media_dir + "/*.png")
     out = decode_image_batch(mt)
     assert out.columns == ["path", "width", "height", "channels"]
     row = out.collect()[0]
-    assert 64 <= row.width < 256 and 64 <= row.height < 256 and row.channels == 3
-    # deterministic across runs
-    assert out.collect()[0] == row
+    # real decode of the 1x1 grayscale PNG
+    assert (row.width, row.height, row.channels) == (1, 1, 1)
+
+
+def test_decode_batch_unsupported_modes(spark, media_dir):
+    jpgs = media_table_from_files(spark, media_dir + "/*.jpg")
+    with pytest.raises(Exception, match="Pillow|NotImplemented"):
+        decode_image_batch(jpgs).collect()
+    stubbed = decode_image_batch(jpgs, on_unsupported="stub").collect()
+    assert len(stubbed) == 1 and stubbed[0].channels == 3
+    assert decode_image_batch(jpgs, on_unsupported="skip").count() == 0
+
+
+def test_decode_audio_real_wav(spark, media_dir):
+    mt = media_table_from_files(spark, media_dir + "/*.wav")
+    row = decode_audio_batch(mt).collect()[0]
+    assert (row.sample_rate, row.n_channels, row.n_frames) == (8000, 1, 4)
+    assert row.duration_s == round(4 / 8000, 6)
 
 
 def test_extract_features_fixed_dim(spark, media_dir):
@@ -91,12 +107,22 @@ def test_extract_features_fixed_dim(spark, media_dir):
     assert all(0.0 <= x <= 1.0 for r in out for x in r.features)
 
 
-def test_resize_passthrough_schema(spark, media_dir):
+def test_resize_real_png_reencode(spark, media_dir):
+    from astro_sdk_spark.multimodal.codecs import decode_png
+
     mt = media_table_from_files(spark, media_dir + "/*.png")
     out = resize_images(mt, 32, 32)
     row = out.collect()[0]
     assert (row.width, row.height) == (32, 32)
-    assert bytes(row.content) == _tiny_png()
+    # the output blob is a valid PNG of the target size
+    arr = decode_png(bytes(row.content))
+    assert arr.shape == (32, 32, 1)
+
+
+def test_resize_passthrough_for_unsupported(spark, media_dir):
+    mt = media_table_from_files(spark, media_dir + "/*.jpg")
+    row = resize_images(mt, 32, 32, on_unsupported="passthrough").collect()[0]
+    assert bytes(row.content) == b"\xff\xd8\xff\xe0" + b"J" * 60
 
 
 def test_frame_sample_explodes_rows(spark, media_dir):
