@@ -179,16 +179,45 @@ def decode_audio_batch(
 def extract_image_features(
     df: DataFrame, content_col: str = "content", id_col: str = "path", dim: int = 16
 ) -> DataFrame:
-    """Feature extraction stub → fixed-dim float vector per blob
-    (deterministic bytes→floats; a real model slots into the same
-    mapInPandas contract, typically with GPU batching)."""
+    """Fixed-dim float vector per blob, all values in [0, 1].
+
+    Decodable images (PNG/BMP) get REAL pixel features — per-channel
+    mean and clipped std, then a normalized grayscale histogram filling
+    the remaining slots. Other blobs get deterministic sha256-derived
+    pseudo-features (documented fallback so mixed-format tables keep one
+    vector space). A learned encoder slots into the same mapInPandas
+    contract, typically with GPU batching."""
+
+    def _pixel_features(arr, k: int) -> list[float]:
+        import numpy as np
+
+        feats: list[float] = []
+        for c in range(arr.shape[2]):
+            feats.append(float(arr[:, :, c].mean()) / 255.0)
+            feats.append(min(float(arr[:, :, c].std()) / 128.0, 1.0))
+        feats = feats[:k]
+        nbins = k - len(feats)
+        if nbins > 0:
+            hist, _ = np.histogram(arr.mean(axis=2), bins=nbins, range=(0, 255))
+            total = max(int(hist.sum()), 1)
+            feats += [float(v) / total for v in hist]
+        return feats
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from astro_sdk_spark.multimodal import codecs
+
         for pdf in batches:
             feats = []
             for b in pdf[content_col]:
-                h = hashlib.sha256(b or b"").digest()
-                feats.append([h[i] / 255.0 for i in range(dim)])
+                blob = bytes(b or b"")
+                fmt = codecs.sniff_image(blob)
+                if fmt == "png":
+                    feats.append(_pixel_features(codecs.decode_png(blob), dim))
+                elif fmt == "bmp":
+                    feats.append(_pixel_features(codecs.decode_bmp(blob), dim))
+                else:
+                    h = hashlib.sha256(blob).digest()
+                    feats.append([h[i] / 255.0 for i in range(dim)])
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.select(id_col, content_col).mapInPandas(

@@ -107,6 +107,22 @@ def test_extract_features_fixed_dim(spark, media_dir):
     assert all(0.0 <= x <= 1.0 for r in out for x in r.features)
 
 
+def test_extract_features_real_pixels(spark, tmp_path):
+    import numpy as np
+
+    from astro_sdk_spark.multimodal.codecs import encode_png
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:, :, 0] = 255  # solid red
+    (tmp_path / "red.png").write_bytes(encode_png(img))
+    mt = media_table_from_files(spark, str(tmp_path) + "/*.png")
+    f = extract_image_features(mt, dim=8).collect()[0].features
+    # [Rmean, Rstd, Gmean, Gstd, Bmean, Bstd, hist×2]; gray=85 → low bin
+    assert abs(f[0] - 1.0) < 1e-6 and abs(f[1]) < 1e-6
+    assert abs(f[2]) < 1e-6 and abs(f[4]) < 1e-6
+    assert abs(f[6] - 1.0) < 1e-6 and abs(f[7]) < 1e-6
+
+
 def test_resize_real_png_reencode(spark, media_dir):
     from astro_sdk_spark.multimodal.codecs import decode_png
 
