@@ -14,7 +14,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -48,13 +48,24 @@ def exact_dedup(
 
 
 def shingles_col(text, k: int = 3):
-    """Word k-shingles of a text column — array built-ins only."""
-    toks = F.split(F.lower(text), r"\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n >= k, F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    )).otherwise(F.array(F.concat_ws(" ", toks)))
+    """Distinct word k-shingles of a text column, as ONE regex pass.
+
+    Overlapping n-grams are extracted with a zero-width lookahead —
+    ``(?=(?:^| )(tok(?: tok){k-1}))`` over the whitespace-normalized
+    lowercased text — so the whole shingle set comes out of a single
+    ``regexp_extract_all`` that stays inside whole-stage codegen.
+
+    This replaces the obvious higher-order form
+    (``transform(sequence(...), i -> concat_ws(' ', slice(toks, i, k)))``):
+    Spark evaluates lambda functions interpreted (no codegen) AND
+    re-evaluates the captured ``split(...)`` subtree on every lambda call,
+    which made shingling ~12× slower at sf0.1 (6.6s → 0.56s for k=2 on the
+    5 000-doc corpus). Texts with fewer than k tokens fall back to a single
+    whole-text shingle, matching the previous semantics."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    pat = "(?=(?:^| )([^ ]+" + "(?: [^ ]+)" * (k - 1) + "))"
+    arr = F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), 1))
+    return F.when(F.size(arr) > 0, arr).otherwise(F.array(norm))
 
 
 def minhash_signatures(
@@ -381,13 +392,17 @@ def incremental_near_dup(
     nb = banded(new_sigs, "new_id")
     cb = banded(corpus_sigs, "corpus_id")
     if bucket_cap is not None:
-        sizes = cb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+        # Window count over (band, bucket) instead of a groupBy + anti-join:
+        # the aggregate form evaluates the whole corpus-signature subtree
+        # TWICE (once for the sizes, once for the join probe — Spark only
+        # reuses exchanges for byte-identical subplans). The window needs a
+        # single evaluation, and its partitioning key is exactly the
+        # downstream join key, so the same exchange feeds both.
+        w = Window.partitionBy("band", "bucket")
         cb = (
-            cb.join(
-                F.broadcast(sizes.filter(F.col("_n") > bucket_cap)),
-                on=["band", "bucket"],
-                how="left_anti",
-            )
+            cb.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= bucket_cap)
+            .drop("_n")
         )
     pairs = (
         nb.join(cb, on=["band", "bucket"])

@@ -45,6 +45,7 @@ def main() -> None:
                     fn(spark, warm_dir).count()
                 except Exception:  # noqa: BLE001 - warmup is best-effort
                     pass
+            spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name, fn in spark_queries().items():
@@ -56,6 +57,11 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"# bench error in {name}: {e}", file=sys.stderr)
+        # Some pipelines persist small intermediates (LSH candidate sets)
+        # for intra-query plan reuse; drop them between queries so each
+        # measurement stands alone instead of inheriting the previous
+        # queries' cached blocks and eviction pressure.
+        spark.catalog.clearCache()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
