@@ -17,6 +17,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any, Callable, Sequence
 
@@ -195,6 +196,35 @@ class SparkEngine:
                     self._temp_tables.remove(t)
         return dropped
 
+    #: schema-autodetect reads at most this many (largest) files of a
+    #: multi-file local directory; the full read then uses the inferred
+    #: schema explicitly. Full-corpus inference reads every byte TWICE —
+    #: at 100 TB that doubles ingest cost for zero information (the
+    #: reference's pandas path likewise infers from the first chunk, not
+    #: the whole file). Callers that need drift-proof inference pass
+    #: load_options={'schema': ...} or schema_sample_files=None.
+    SCHEMA_SAMPLE_FILES = 8
+
+    def _schema_sample_paths(
+        self, path: str, opts: dict, max_files: int | None = None
+    ) -> list[str] | None:
+        """Paths of the ``max_files`` largest files under a local multi-file
+        directory, for bounded schema inference — or None when sampling does
+        not apply (explicit schema given, single file, glob, or remote)."""
+        if "schema" in opts or "samplingRatio" in opts:
+            return None
+        max_files = self.SCHEMA_SAMPLE_FILES if max_files is None else max_files
+        if max_files is None or not os.path.isdir(path):
+            return None
+        parts = [
+            e.path
+            for e in os.scandir(path)
+            if e.is_file() and e.stat().st_size > 0 and not e.name.startswith((".", "_"))
+        ]
+        if len(parts) <= max_files:
+            return None
+        return sorted(parts, key=os.path.getsize, reverse=True)[:max_files]
+
     # ---------------------------------------------------------------- read
     def read_file(self, file: File, extra_options: dict | None = None) -> DataFrame:
         """File → DataFrame. SURVEY §2.4 format matrix; executor-parallel for
@@ -209,6 +239,14 @@ class SparkEngine:
         if ftype == FileType.PARQUET:
             return self.spark.read.options(**opts).parquet(path)
         if ftype == FileType.CSV:
+            sample = self._schema_sample_paths(path, opts)
+            if sample is not None:
+                schema = self.spark.read.options(
+                    header=True, inferSchema=True, **opts
+                ).csv(sample).schema
+                return self.spark.read.options(header=True, **opts).schema(
+                    schema
+                ).csv(path)
             return self.spark.read.options(
                 header=True, inferSchema=True, **opts
             ).csv(path)
@@ -217,6 +255,10 @@ class SparkEngine:
             # pd.read_json (files/types/json.py:14-55)
             return self.spark.read.options(multiLine=True, **opts).json(path)
         if ftype == FileType.NDJSON:
+            sample = self._schema_sample_paths(path, opts)
+            if sample is not None:
+                schema = self.spark.read.options(**opts).json(sample).schema
+                return self.spark.read.options(**opts).schema(schema).json(path)
             return self.spark.read.options(**opts).json(path)
         if ftype == FileType.XLSX:
             # driver-side small-file path (reference files/types/excel.py):

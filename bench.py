@@ -64,6 +64,47 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+
+    # Ingest throughput vs BASELINE.md's native-path sanity bar
+    # (~1 GB/min per 4 cores). The reference benchmarks load_file over
+    # ndjson, so: stage lineitem as ndjson once (not timed), then time the
+    # load_file-equivalent path — schema-autodetected spark.read.json →
+    # parquet table write. Reported as its own keys; query totals above
+    # stay ingest-free.
+    ingest: dict[str, float] = {}
+    try:
+        import shutil
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="bench_ingest_")
+        try:
+            from astro_sdk_spark.engine import SparkEngine
+            from astro_sdk_spark.files import File, FileType
+
+            src = os.path.join(stage, "lineitem_ndjson")
+            out = os.path.join(stage, "ingested_parquet")
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).write.mode(
+                "overwrite"
+            ).json(src)
+            size_mb = sum(
+                e.stat().st_size for e in os.scandir(src) if e.is_file()
+            ) / 1e6
+            eng = SparkEngine(spark)
+            t0 = time.perf_counter()
+            eng.read_file(File(path=src, filetype=FileType.NDJSON)).write.mode(
+                "overwrite"
+            ).parquet(out)
+            dt = time.perf_counter() - t0
+            ingest = {
+                "ingest_mb": round(size_mb, 1),
+                "ingest_sec": round(dt, 3),
+                "ingest_gb_per_min": round(size_mb / 1000.0 / (dt / 60.0), 2),
+            }
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001 - ingest metric is best-effort
+        print(f"# bench ingest error: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -72,6 +113,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **ingest,
             }
         )
     )

@@ -113,3 +113,27 @@ def test_load_file_normalize_config_sep(engine, tmp_path):
     p.write_text('{"a": {"b": 1}}\n{"a": {"b": 2}}\n')
     df = load_file(File(str(p), normalize_config={"sep": "__"}), engine=engine)
     assert df.columns == ["a__b"]
+
+
+def test_schema_sample_bounded_inference(engine, tmp_path):
+    """A many-file ndjson directory infers its schema from the largest
+    SCHEMA_SAMPLE_FILES files only (one bounded pass instead of a second
+    full-corpus read), and still reads every file's rows."""
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(12):
+        (d / f"part-{i:02d}.json").write_text(
+            "\n".join(json.dumps({"k": j, "v": f"x{j}"}) for j in range(i * 5, i * 5 + 5))
+        )
+    sample = engine._schema_sample_paths(str(d), {})
+    assert sample is not None and len(sample) == engine.SCHEMA_SAMPLE_FILES
+    df = engine.read_file(File(str(d), filetype=FileType.NDJSON))
+    assert df.count() == 60
+    assert set(df.columns) == {"k", "v"}
+    # explicit schema / samplingRatio / few files disable sampling
+    assert engine._schema_sample_paths(str(d), {"schema": "k long"}) is None
+    assert engine._schema_sample_paths(str(d), {"samplingRatio": 0.1}) is None
+    few = tmp_path / "few"
+    few.mkdir()
+    (few / "a.json").write_text('{"k": 1}')
+    assert engine._schema_sample_paths(str(few), {}) is None
