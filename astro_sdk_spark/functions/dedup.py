@@ -433,6 +433,74 @@ def incremental_near_dup(
     )
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_id: str = "doc_id",
+    out_cluster: str = "cluster_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id),
+    where cluster_id is the smallest doc id in the component. This is the
+    step that turns pairwise LSH matches into canonical-document groups
+    (keep min id per cluster, drop the rest).
+
+    Iterative min-label propagation: every node starts labeled with its own
+    id; each round adopts the minimum label among itself and its neighbors;
+    stop when no label changes (or after ``max_iter`` rounds — propagation
+    converges in O(component diameter) rounds, and near-dup graphs are
+    dense clumps with tiny diameters, not long chains). Each round is one
+    shuffle join + grouped min — the standard Spark shape for iterative
+    graph algorithms; ``localCheckpoint`` truncates the growing lineage so
+    round N's plan does not replay rounds 1..N-1. Only ids that appear in
+    ``pairs`` are returned (singletons are their own implicit cluster).
+
+    At extreme scale swap the propagation body for the alternating
+    large-star/small-star rounds of Kiveris et al., "Connected Components
+    in MapReduce and Beyond" (SOCC'14) — same driver loop, fewer rounds on
+    adversarially long paths."""
+    e = pairs.select(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst"))
+    edges = (
+        e.unionByName(e.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst")))
+        .dropDuplicates(["_src", "_dst"])
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("_src").alias("_id"))
+        .dropDuplicates(["_id"])
+        .select("_id", F.col("_id").alias("_lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges._dst == labels._id)
+            .groupBy("_src")
+            .agg(F.min("_lbl").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr, labels._id == nbr._src, "left")
+            .select(
+                "_id",
+                F.least(F.col("_lbl"), F.coalesce("_nbr", F.col("_lbl"))).alias("_lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n._id") == F.col("o._id"))
+            .filter(F.col("n._lbl") < F.col("o._lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("_id").alias(out_id), F.col("_lbl").alias(out_cluster)
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     dim: int,

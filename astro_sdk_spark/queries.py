@@ -1314,6 +1314,43 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+# Connected components of the exact near-dup graph, via a recursive CTE:
+# reach(n, m) holds for every m in n's component (edges are symmetrized),
+# so min(m) per n is the component's canonical (smallest) id.
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE sh AS (SELECT doc_id, {_DUCK_SHINGLES_K3} AS s FROM documents),
+    apairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))
+            / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+            >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM apairs
+      UNION
+      SELECT id_b, id_a FROM apairs),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+    SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@q("q_dedup_clusters", _CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical dedup groups: MinHash near-dup pairs (exact at these
+    params, see q_minhash_neardup) → connected components via iterative
+    min-label propagation. The oracle computes the same components from
+    the exact all-pairs Jaccard graph with a recursive CTE."""
+    from astro_sdk_spark.functions.dedup import minhash_near_dup, near_dup_clusters
+
+    pairs = minhash_near_dup(
+        T(spark, sf_dir, "documents"), num_hashes=32, bands=8, threshold=0.5
+    )
+    return near_dup_clusters(pairs)
+
+
 # SimHash replicated bit-for-bit: 60-bit md5-derived shingle hash, per-bit
 # ±1 votes, 4×16-bit block LSH, exact hamming verify.
 _SIMHASH_ORACLE = f"""

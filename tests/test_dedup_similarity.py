@@ -232,3 +232,24 @@ def test_ivf_topk_probes_subset_and_ranks(spark, vectors):
     assert {(r.query_id, r.cand_id) for r in full.collect()} == {
         (r.query_id, r.cand_id) for r in exact.collect()
     }
+
+
+def test_near_dup_clusters_components(spark):
+    from astro_sdk_spark.functions.dedup import near_dup_clusters
+
+    # two components: a 4-node chain 1-2-3-4 (diameter 3, exercises
+    # multi-round propagation) and a 2-node pair {10, 11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id) for r in near_dup_clusters(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_near_dup_clusters_empty(spark):
+    from astro_sdk_spark.functions.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert near_dup_clusters(pairs).count() == 0
