@@ -37,9 +37,9 @@ from pyspark.sql import functions as F
 
 from astro_sdk_spark.engine import SparkEngine
 from astro_sdk_spark.operators.append import normalize_columns
+from astro_sdk_spark.operators.swap import swap_table
 from astro_sdk_spark.session import default_session
 from astro_sdk_spark.table import BaseTable, TempTable
-from astro_sdk_spark.templating import quote_identifier
 
 
 class MergeConflictException(RuntimeError):
@@ -201,20 +201,9 @@ def merge(
     shaped_cmap = {t: t for t in cmap.values()}
     result = merge_update_plan(tgt, src_shaped, shaped_cmap, keys)
 
-    staging = TempTable()
+    # staging lives in the TARGET's database so the swap is a same-database
+    # RENAME (Spark's session catalog rejects cross-database renames)
+    staging = TempTable(metadata=target_table.metadata)
     result.write.mode("overwrite").format("parquet").saveAsTable(staging.qualified_name)
-    tq = quote_identifier(target_table.qualified_name)
-    sq = quote_identifier(staging.qualified_name)
-    try:
-        s.sql(f"DROP TABLE IF EXISTS {tq}")
-        s.sql(f"ALTER TABLE {sq} RENAME TO {tq}")
-    except Exception:
-        # restore path: if the target was dropped but the rename failed,
-        # the staged result still holds the full post-merge contents
-        if not s.catalog.tableExists(target_table.qualified_name) and s.catalog.tableExists(
-            staging.qualified_name
-        ):
-            s.sql(f"ALTER TABLE {sq} RENAME TO {tq}")
-        else:
-            raise
+    swap_table(s, staging.qualified_name, target_table.qualified_name)
     return target_table

@@ -1,0 +1,58 @@
+"""Table-swap helper shared by merge 'update' and ContinuousAggregate.refresh.
+
+Replaces a target table with the contents of a staging table. Mirrors the
+staged-rewrite finish step of the reference's Redshift merge strategy
+(``python-sdk/src/astro/databases/aws/redshift.py:169-307``) expressed for
+Spark's session catalog:
+
+- same database: ``DROP TABLE`` + ``ALTER TABLE RENAME`` — one table-sized
+  write (done by the caller into staging) plus a metadata/directory move.
+- cross-database: Spark's session catalog rejects cross-database RENAME, so
+  fall back to a write-back (read staging, overwrite target, drop staging).
+- failure between DROP and RENAME: restore by writing the staging contents
+  back under the target name (never by retrying the same rename, which
+  would fail identically and mask the original error).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from astro_sdk_spark.templating import quote_identifier
+
+
+def _database_of(qualified_name: str) -> str | None:
+    return qualified_name.rsplit(".", 1)[0] if "." in qualified_name else None
+
+
+def _write_back(spark: SparkSession, staging_qname: str, target_qname: str) -> None:
+    spark.table(staging_qname).write.mode("overwrite").format("parquet").saveAsTable(
+        target_qname
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {quote_identifier(staging_qname)}")
+
+
+def swap_table(spark: SparkSession, staging_qname: str, target_qname: str) -> None:
+    """Make ``target_qname`` hold the contents of ``staging_qname``.
+
+    The staging table must already be materialized. After return the target
+    exists with staging's contents and the staging table is gone.
+    """
+    if _database_of(staging_qname) != _database_of(target_qname):
+        # Session catalog cannot RENAME across databases — write back instead.
+        _write_back(spark, staging_qname, target_qname)
+        return
+    sq = quote_identifier(staging_qname)
+    tq = quote_identifier(target_qname)
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {tq}")
+        spark.sql(f"ALTER TABLE {sq} RENAME TO {tq}")
+    except Exception:
+        # If the target was dropped but the rename failed, the staged result
+        # still holds the full post-swap contents — recover via write-back.
+        if not spark.catalog.tableExists(target_qname) and spark.catalog.tableExists(
+            staging_qname
+        ):
+            _write_back(spark, staging_qname, target_qname)
+        else:
+            raise

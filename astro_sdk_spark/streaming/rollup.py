@@ -22,6 +22,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from astro_sdk_spark.operators.swap import swap_table
+from astro_sdk_spark.table import BaseTable
+
 
 def time_bucket(ts_col, duration: str = "10 minutes") -> Column:
     """TimescaleDB-style bucket start for a timestamp column."""
@@ -92,10 +95,16 @@ class ContinuousAggregate:
         # (the join rewrite from merge 'update', inlined: fresh rows win)
         untouched = tgt.join(fresh.select(*keys), on=keys, how="left_anti")
         result = untouched.unionByName(fresh)
-        staging = f"{self.target_table}__refresh_staging"
+        # unique staging name in the target's database: a fixed name would
+        # collide under concurrent refreshes and a crashed refresh would
+        # leave a stale table silently hidden by the next overwrite
+        if "." in self.target_table:
+            db, _ = self.target_table.rsplit(".", 1)
+            staging = f"{db}.{BaseTable._create_unique_table_name('_tmp_refresh')}"
+        else:
+            staging = BaseTable._create_unique_table_name("_tmp_refresh")
         result.write.mode("overwrite").format("parquet").saveAsTable(staging)
-        self.spark.sql(f"DROP TABLE IF EXISTS {self.target_table}")
-        self.spark.sql(f"ALTER TABLE {staging} RENAME TO {self.target_table}")
+        swap_table(self.spark, staging, self.target_table)
 
     def read(self) -> DataFrame:
         return self.spark.table(self.target_table)

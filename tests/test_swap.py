@@ -1,0 +1,104 @@
+"""swap_table helper + the merge/rollup swap hardening.
+
+Covers the failure window the reference's Redshift staged rewrite handles
+transactionally (``databases/aws/redshift.py:169-307``): cross-database
+targets (Spark's catalog rejects cross-db RENAME), a rename failing after
+the target was dropped (restore via write-back, not a doomed rename retry),
+and concurrent-safe unique staging names for the rollup refresh.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from astro_sdk_spark import Table, merge
+from astro_sdk_spark.operators.swap import swap_table
+from astro_sdk_spark.streaming.rollup import ContinuousAggregate
+from astro_sdk_spark.table import Metadata
+
+
+def _mk(spark, name, rows):
+    spark.createDataFrame(rows, ["k", "v"]).write.mode("overwrite").saveAsTable(name)
+
+
+def test_swap_same_database(spark):
+    _mk(spark, "swap_tgt", [(1, "old")])
+    _mk(spark, "swap_stg", [(2, "new")])
+    swap_table(spark, "swap_stg", "swap_tgt")
+    assert [r.v for r in spark.table("swap_tgt").collect()] == ["new"]
+    assert not spark.catalog.tableExists("swap_stg")
+    spark.sql("DROP TABLE IF EXISTS swap_tgt")
+
+
+def test_swap_cross_database_falls_back_to_write_back(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS swapdb")
+    _mk(spark, "swapdb.swap_tgt", [(1, "old")])
+    _mk(spark, "swap_stg2", [(2, "new")])
+    swap_table(spark, "swap_stg2", "swapdb.swap_tgt")
+    assert [r.v for r in spark.table("swapdb.swap_tgt").collect()] == ["new"]
+    assert not spark.catalog.tableExists("swap_stg2")
+    spark.sql("DROP DATABASE swapdb CASCADE")
+
+
+def test_swap_restores_target_when_rename_fails(spark, monkeypatch):
+    _mk(spark, "swap_tgt3", [(1, "old")])
+    _mk(spark, "swap_stg3", [(2, "new")])
+    real_sql = spark.sql
+
+    def failing_sql(query, *a, **k):
+        if "RENAME TO" in query:
+            raise RuntimeError("injected rename failure")
+        return real_sql(query, *a, **k)
+
+    monkeypatch.setattr(spark, "sql", failing_sql)
+    swap_table(spark, "swap_stg3", "swap_tgt3")
+    monkeypatch.undo()
+    # target survives with the staged (post-swap) contents, staging cleaned up
+    assert [r.v for r in spark.table("swap_tgt3").collect()] == ["new"]
+    assert not spark.catalog.tableExists("swap_stg3")
+    spark.sql("DROP TABLE IF EXISTS swap_tgt3")
+
+
+def test_merge_update_schema_qualified_target(engine, spark):
+    """Regression: staging used to land in the default DB while the target
+    was schema-qualified — the cross-db RENAME destroyed the target."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS mergedb")
+    tgt = Table(name="homes_q", metadata=Metadata(schema="mergedb"))
+    src = Table(name="homes_q_src")
+    spark.createDataFrame(
+        [(160, 60), (180, 12)], ["list", "age"]
+    ).write.mode("overwrite").saveAsTable(tgt.qualified_name)
+    spark.createDataFrame(
+        [(160, 1), (999, 1)], ["list", "age"]
+    ).write.mode("overwrite").saveAsTable(src.qualified_name)
+    merge(src, tgt, ["list", "age"], target_conflict_columns=["list"],
+          if_conflicts="update", engine=engine)
+    rows = {r["list"]: r["age"] for r in spark.table(tgt.qualified_name).collect()}
+    assert rows == {160: 1, 180: 12, 999: 1}
+    spark.sql("DROP DATABASE mergedb CASCADE")
+    spark.sql(f"DROP TABLE IF EXISTS {src.qualified_name}")
+
+
+def test_rollup_refresh_survives_failed_rename(spark, monkeypatch, tmp_path):
+    rows = [("2024-01-01 00:01:00", "click", 1.0), ("2024-01-01 00:02:00", "view", 2.0)]
+    src = spark.createDataFrame(rows, ["ts", "event_type", "value"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    ca = ContinuousAggregate(spark, src, "rollup_swap_t", bucket="10 minutes")
+    ca.refresh()  # full build
+    before = {(r.event_type, r.n) for r in ca.read().collect()}
+    real_sql = spark.sql
+
+    def failing_sql(query, *a, **k):
+        if "RENAME TO" in query:
+            raise RuntimeError("injected rename failure")
+        return real_sql(query, *a, **k)
+
+    monkeypatch.setattr(spark, "sql", failing_sql)
+    ca.refresh()  # incremental refresh hits the swap; rename fails
+    monkeypatch.undo()
+    after = {(r.event_type, r.n) for r in ca.read().collect()}
+    assert after == before  # contents survived the failed rename
+    # no stale staging tables left behind
+    leftovers = [t.name for t in spark.catalog.listTables() if "_tmp_refresh" in t.name]
+    assert leftovers == []
+    spark.sql("DROP TABLE IF EXISTS rollup_swap_t")
