@@ -239,21 +239,19 @@ class SparkEngine:
         if ftype == FileType.PARQUET:
             return self.spark.read.options(**opts).parquet(path)
         if ftype == FileType.CSV:
+            # defaults merge UNDER user options — typed LoadOptions set these
+            # same keys, so keyword-arg passing would raise "multiple values"
+            csv_opts = {"header": True, "inferSchema": True, **opts}
             sample = self._schema_sample_paths(path, opts)
             if sample is not None:
-                schema = self.spark.read.options(
-                    header=True, inferSchema=True, **opts
-                ).csv(sample).schema
-                return self.spark.read.options(header=True, **opts).schema(
-                    schema
-                ).csv(path)
-            return self.spark.read.options(
-                header=True, inferSchema=True, **opts
-            ).csv(path)
+                schema = self.spark.read.options(**csv_opts).csv(sample).schema
+                full_opts = {k: v for k, v in csv_opts.items() if k != "inferSchema"}
+                return self.spark.read.options(**full_opts).schema(schema).csv(path)
+            return self.spark.read.options(**csv_opts).csv(path)
         if ftype == FileType.JSON:
             # array-of-records JSON needs multiLine; reference uses
             # pd.read_json (files/types/json.py:14-55)
-            return self.spark.read.options(multiLine=True, **opts).json(path)
+            return self.spark.read.options(**{"multiLine": True, **opts}).json(path)
         if ftype == FileType.NDJSON:
             sample = self._schema_sample_paths(path, opts)
             if sample is not None:

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from astro_sdk_spark.functions._cache import track
+
 
 def _spread_by_id(df: DataFrame, id_col: str) -> DataFrame:
     """Repartition by the doc id BEFORE per-document heavy expressions
@@ -187,8 +189,9 @@ def jaccard_pairs(
     (the join spine + both sides of the id-prune union), and Spark would
     otherwise re-evaluate the whole LSH subtree for each reference. The
     candidate set is small by construction (post-LSH, bucket-capped), so
-    memory cost is negligible at any scale."""
-    pairs = pairs.persist()
+    memory cost is negligible at any scale; long-running callers release it
+    via ``_cache.release_intermediates()`` after consuming the result."""
+    pairs = track(pairs)
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
@@ -339,7 +342,7 @@ def simhash_near_dup(
 
 def incremental_near_dup(
     new_docs: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
@@ -347,22 +350,38 @@ def incremental_near_dup(
     threshold: float = 0.7,
     shingle_k: int = 3,
     bucket_cap: int | None = 500,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup of NEW documents against an EXISTING corpus (the
     production shape: each incoming batch is deduped against everything
     already accepted, not against itself).
 
-    Returns (new_id, corpus_id, jaccard) pairs above threshold. The
-    corpus side's signatures would be precomputed and stored in a real
-    deployment — pass a (id, minhash) frame as ``corpus_sigs`` via
-    ``minhash_signatures(corpus, ...)`` upstream and reuse it across
-    batches; this function recomputes for self-containment.
+    Returns (new_id, corpus_id, jaccard) pairs above threshold.
+
+    ``corpus_sigs`` — a precomputed ``(id_col, minhash)`` frame from
+    ``minhash_signatures`` (same num_hashes/shingle_k) — is the 100 TB
+    deployment shape: store signatures alongside the corpus and reuse them
+    across batches, so each batch pays O(|batch| + collisions) instead of
+    re-shingling everything ever accepted. Modes:
+
+    - ``corpus`` given, ``corpus_sigs`` None: signatures computed here,
+      candidates verified with EXACT text Jaccard (self-contained form).
+    - both given: stored signatures band the join (no corpus re-hash);
+      exact text verify still reads only the candidate rows' text.
+    - ``corpus_sigs`` only (``corpus=None``): the corpus text is NEVER
+      read — candidate pairs are verified with the standard MinHash
+      estimate (fraction of agreeing components, the estimator Spark ML's
+      approxSimilarityJoin uses). ``jaccard`` is then an estimate with
+      ±1/num_hashes granularity.
 
     Scale shape: banded bucket join NEW × CORPUS (not a self-join), so
     work is O(|new| · collisions), never O(|corpus|²); corpus-side
     mega-buckets are capped."""
+    if corpus is None and corpus_sigs is None:
+        raise ValueError("provide corpus text, corpus_sigs, or both")
     new_sigs = minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_k)
-    corpus_sigs = minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_k)
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_k)
 
     def banded(sigs: DataFrame, alias: str) -> DataFrame:
         rows_per_band = num_hashes // bands
@@ -404,12 +423,33 @@ def incremental_near_dup(
             .filter(F.col("_n") <= bucket_cap)
             .drop("_n")
         )
-    pairs = (
+    pairs = track(
         nb.join(cb, on=["band", "bucket"])
         .select("new_id", "corpus_id")
         .dropDuplicates(["new_id", "corpus_id"])
-        .persist()
     )
+    if corpus is None:
+        # signature-only verify: MinHash estimate over the candidate set
+        # (tiny post-LSH, so the interpreted HOF lambda is off the hot path)
+        est = F.aggregate(
+            F.zip_with("_ma", "_mb", lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ) / F.size("_ma")
+        return (
+            pairs.join(
+                new_sigs.select(F.col(id_col).alias("new_id"), F.col("minhash").alias("_ma")),
+                on="new_id",
+            )
+            .join(
+                corpus_sigs.select(
+                    F.col(id_col).alias("corpus_id"), F.col("minhash").alias("_mb")
+                ),
+                on="corpus_id",
+            )
+            .select("new_id", "corpus_id", est.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
     new_sh = new_docs.join(
         pairs.select(F.col("new_id").alias(id_col)).dropDuplicates([id_col]),
         on=id_col, how="left_semi",

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from astro_sdk_spark.functions._cache import track
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -308,12 +310,16 @@ def ann_recall(
     query: |LSH∩exact| / |exact|. The measurement the ANN path is judged by."""
     # both top-k sets are tiny (|queries|·k rows) and referenced multiple
     # times below — persist so the scoring subtrees run once each
-    exact = cosine_topk(queries, candidates, id_col, vec_col, k, round_digits=4).select(
-        "query_id", "cand_id"
-    ).persist()
-    approx = lsh_bucket_join(
-        queries, candidates, dim, id_col, vec_col, bits, bands, k, seed, round_digits=4
-    ).select("query_id", F.col("cand_id").alias("_ac")).persist()
+    exact = track(
+        cosine_topk(queries, candidates, id_col, vec_col, k, round_digits=4).select(
+            "query_id", "cand_id"
+        )
+    )
+    approx = track(
+        lsh_bucket_join(
+            queries, candidates, dim, id_col, vec_col, bits, bands, k, seed, round_digits=4
+        ).select("query_id", F.col("cand_id").alias("_ac"))
+    )
     hits = exact.join(
         approx,
         (exact.query_id == approx.query_id) & (exact.cand_id == approx._ac),

@@ -171,7 +171,9 @@ def build_check_table_sql(
         if not is_valid_identifier(check_name):
             raise ValueError(f"check name is not a valid identifier: {check_name!r}")
         stmt = spec["check_statement"]
-        wrapped = f"bool_and(({stmt}))"
+        # coalesce: bool_and over ZERO rows is NULL — the reference's
+        # per-row evaluation passes vacuously on an empty table, so we do too
+        wrapped = f"coalesce(bool_and(({stmt})), true)"
         try:
             spark.sql(f"SELECT {wrapped} FROM {table_name}{where}")
             expr = wrapped
@@ -193,7 +195,10 @@ def check_table(
     (reference check_table.py:55-60 runs
     ``SELECT check_name, check_result FROM (...)``). Row-level statements
     (``a + b < c``) are aggregated with bool_and so a single row returns
-    regardless of table size."""
+    regardless of table size. Row-level checks pass VACUOUSLY on an empty
+    table (coalesce over bool_and's zero-row NULL), matching the reference's
+    per-row evaluation; guard with an aggregate ``COUNT(*) > 0`` check if
+    emptiness should fail."""
     eng = engine or SparkEngine(spark or default_session())
     if isinstance(dataset, BaseTable):
         name = dataset.qualified_name
@@ -205,7 +210,6 @@ def check_table(
     results = []
     for check_name in checks:
         val = row[check_name]
-        # bool_and over zero rows is NULL — an empty table passes no check
         results.append(CheckResult(None, check_name, val, bool(val)))
     failures = [r for r in results if not r.passed]
     if failures:

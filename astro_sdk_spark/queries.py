@@ -1108,11 +1108,11 @@ def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB word-k-shingles of lower(text), distinct — mirrors shingles_col().
 _DUCK_SHINGLES_K3 = r"""
-    CASE WHEN len(string_split_regex(lower(text), '\s+')) >= 3
+    CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) >= 3
       THEN list_distinct(list_transform(
-             range(1, len(string_split_regex(lower(text), '\s+')) - 1),
-             i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))
-      ELSE [array_to_string(string_split_regex(lower(text), '\s+'), ' ')]
+             range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 1),
+             i -> array_to_string(string_split_regex(trim(lower(text)), '\s+')[i:i+2], ' ')))
+      ELSE [array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')]
     END
 """
 
@@ -1148,11 +1148,11 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUCK_SHINGLES_K2 = r"""
-    CASE WHEN len(string_split_regex(lower(text), '\s+')) >= 2
+    CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) >= 2
       THEN list_distinct(list_transform(
-             range(1, len(string_split_regex(lower(text), '\s+'))),
-             i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+1], ' ')))
-      ELSE [array_to_string(string_split_regex(lower(text), '\s+'), ' ')]
+             range(1, len(string_split_regex(trim(lower(text)), '\s+'))),
+             i -> array_to_string(string_split_regex(trim(lower(text)), '\s+')[i:i+1], ' ')))
+      ELSE [array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')]
     END
 """
 

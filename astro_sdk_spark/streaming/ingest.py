@@ -15,23 +15,35 @@ Spark primitive: each step is plain batch DataFrame code (reusing the
 tested batch dedup functions), the sink is a transactional-enough table
 append per batch, and restarts replay from the checkpoint.
 
-Scale notes: the accepted corpus is read per batch, but only its *minhash
-signatures* are needed — at deployment, persist signatures alongside the
-corpus (the ``corpus_sigs`` note in ``incremental_near_dup``) so each
-batch pays O(|batch| + collisions), not a corpus re-hash. Bucket caps
-bound skew from boilerplate-heavy crawls.
+Scale design — the signature store: the pipeline maintains
+``{accepted_table}__sigs`` (one ``(id, minhash)`` row per accepted doc,
+appended as each batch's survivors land). Step 3 bands the STORED
+signatures and verifies candidates with the MinHash estimate, so a batch
+never re-reads or re-shingles the accepted corpus *text*: per-batch cost is
+O(|batch| + collisions) + a scan of the (tiny relative to text) signature
+table, regardless of how much has been accepted. If the signature table is
+missing (pre-existing corpus, first run), it is backfilled once from the
+corpus text. Bucket caps bound skew from boilerplate-heavy crawls; cached
+LSH intermediates are released after every batch, so a long-running stream
+holds no unbounded executor storage.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from astro_sdk_spark.functions._cache import release_intermediates
 from astro_sdk_spark.functions.dedup import (
     exact_dedup,
     incremental_near_dup,
     minhash_near_dup,
+    minhash_signatures,
 )
+
+
+def sigs_table_name(accepted_table: str) -> str:
+    return f"{accepted_table}__sigs"
 
 
 def admit_batch(
@@ -43,10 +55,13 @@ def admit_batch(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Pure-batch admission logic (unit-testable without a stream): returns
     the subset of ``batch`` that survives exact + near self-dedup and
-    near-dedup against ``corpus`` (None = empty corpus)."""
+    near-dedup against the corpus. The corpus may be given as text
+    (``corpus``), as stored minhash signatures (``corpus_sigs`` — the text
+    is then never read), or both; None/None = empty corpus."""
     reps = exact_dedup(batch, text_col, id_col).select(id_col)
     batch = batch.join(reps, on=id_col, how="left_semi")
 
@@ -60,11 +75,11 @@ def admit_batch(
     ).distinct()
     batch = batch.join(losers, on=id_col, how="left_anti")
 
-    if corpus is not None:
+    if corpus is not None or corpus_sigs is not None:
         flagged = incremental_near_dup(
             batch, corpus, text_col, id_col,
             num_hashes=num_hashes, bands=bands, threshold=threshold,
-            shingle_k=shingle_k,
+            shingle_k=shingle_k, corpus_sigs=corpus_sigs,
         )
         batch = batch.join(
             flagged.select(F.col("new_id").alias(id_col)).distinct(),
@@ -87,20 +102,38 @@ def stream_ingest_neardup(
 ):
     """Run the admission pipeline over a streaming source via
     ``foreachBatch``; survivors append to ``accepted_table`` (created on
-    first batch). Returns the started StreamingQuery."""
+    first batch) and their minhash signatures to
+    ``{accepted_table}__sigs``, which later batches dedup against instead
+    of re-hashing the corpus text. Returns the started StreamingQuery."""
+    sigs_table = sigs_table_name(accepted_table)
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        corpus = (
-            spark.table(accepted_table)
-            if spark.catalog.tableExists(accepted_table)
-            else None
-        )
-        admitted = admit_batch(
-            batch, corpus, text_col, id_col, threshold,
-            num_hashes, bands, shingle_k,
-        )
-        admitted.write.mode("append").saveAsTable(accepted_table)
+        have_sigs = spark.catalog.tableExists(sigs_table)
+        have_corpus = spark.catalog.tableExists(accepted_table)
+        try:
+            if have_corpus and not have_sigs:
+                # pre-existing corpus from before the signature store:
+                # backfill signatures once (the only full text re-hash)
+                minhash_signatures(
+                    spark.table(accepted_table), text_col, id_col,
+                    num_hashes, shingle_k,
+                ).write.mode("append").saveAsTable(sigs_table)
+                have_sigs = True
+            corpus_sigs = spark.table(sigs_table) if have_sigs else None
+            admitted = admit_batch(
+                batch, None, text_col, id_col, threshold,
+                num_hashes, bands, shingle_k, corpus_sigs=corpus_sigs,
+            ).persist()
+            admitted.write.mode("append").saveAsTable(accepted_table)
+            minhash_signatures(
+                admitted, text_col, id_col, num_hashes, shingle_k
+            ).write.mode("append").saveAsTable(sigs_table)
+            admitted.unpersist()
+        finally:
+            # LSH candidate sets persisted inside the dedup functions —
+            # release per batch or a long-running stream accumulates blocks
+            release_intermediates()
 
     writer = (
         docs_stream.writeStream.foreachBatch(process)

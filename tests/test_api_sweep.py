@@ -59,6 +59,30 @@ def test_load_file_honors_csv_load_options(engine, spark, tmp_path):
     assert df.count() == 2
 
 
+def test_load_file_options_override_engine_defaults(engine, spark, tmp_path):
+    """Regression: header/infer_schema/multi_line collide with the engine's
+    own reader defaults — user options must OVERRIDE them, not TypeError."""
+    p = tmp_path / "noheader.csv"
+    p.write_text("1,x\n2,y\n")
+    df = load_file(
+        File(str(p)),
+        load_options=CsvLoadOptions(header=False, infer_schema=False),
+        engine=engine,
+    )
+    assert df.count() == 2
+    assert df.columns == ["_c0", "_c1"]  # header=False respected
+    assert all(f.dataType.simpleString() == "string" for f in df.schema.fields)
+
+    j = tmp_path / "rows.ndjson"
+    j.write_text('{"a": 1}\n{"a": 2}\n')
+    jdf = load_file(
+        File(str(j)),
+        load_options=JsonLoadOptions(multi_line=False),
+        engine=engine,
+    )
+    assert jdf.count() == 2
+
+
 def test_configure_s3_sets_public_hadoop_keys(spark):
     configure_s3(
         spark,

@@ -1,6 +1,8 @@
 """Streaming near-dup corpus ingest (foreachBatch + incremental_near_dup):
 stream the documents table in two micro-batches and assert the accepted
-corpus equals applying the same admission logic sequentially in batch."""
+corpus equals applying the same admission logic sequentially in batch —
+and that the signature store means later batches never re-read the
+accepted corpus text."""
 
 from __future__ import annotations
 
@@ -9,8 +11,13 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
+from astro_sdk_spark.functions.dedup import minhash_signatures
 from astro_sdk_spark.queries import T
-from astro_sdk_spark.streaming.ingest import admit_batch, stream_ingest_neardup
+from astro_sdk_spark.streaming.ingest import (
+    admit_batch,
+    sigs_table_name,
+    stream_ingest_neardup,
+)
 
 SF = "/root/testdata/sf0.001"
 LSH = dict(threshold=0.7, num_hashes=32, bands=8, shingle_k=3)
@@ -31,9 +38,11 @@ def test_stream_ingest_matches_sequential_batches(spark, docs, tmp_path):
     lo = docs.filter(F.col("doc_id") < 250)
     hi = docs.filter(F.col("doc_id") >= 250)
 
-    # expected: sequential admission, batch by batch
+    # expected: sequential admission, batch by batch, against the stored
+    # signatures exactly as the stream does
     acc1 = admit_batch(lo, None, **LSH)
-    acc2 = admit_batch(hi, acc1, **LSH)
+    sigs1 = minhash_signatures(acc1, "text", "doc_id", LSH["num_hashes"], LSH["shingle_k"])
+    acc2 = admit_batch(hi, None, corpus_sigs=sigs1, **LSH)
     expect = {r.doc_id for r in acc1.select("doc_id").collect()} | {
         r.doc_id for r in acc2.select("doc_id").collect()
     }
@@ -60,7 +69,68 @@ def test_stream_ingest_matches_sequential_batches(spark, docs, tmp_path):
     # engineered near-dups), and kept most docs
     assert len(got) < docs.count()
     assert len(got) > docs.count() * 0.5
+    # the signature store holds exactly one signature per accepted doc
+    sig_ids = {
+        r.doc_id
+        for r in spark.table(sigs_table_name("accepted_docs")).select("doc_id").collect()
+    }
+    assert sig_ids == got
     _drop(spark, "accepted_docs")
+    _drop(spark, sigs_table_name("accepted_docs"))
+
+
+def test_sig_store_admission_matches_text_path(spark, docs):
+    """Batch N admits identically whether the corpus is given as text
+    (exact-Jaccard verify) or as stored signatures (estimate verify)."""
+    corpus = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    via_text = admit_batch(batch, corpus, **LSH)
+    sigs = minhash_signatures(corpus, "text", "doc_id", LSH["num_hashes"], LSH["shingle_k"])
+    via_sigs = admit_batch(batch, None, corpus_sigs=sigs, **LSH)
+    assert {r.doc_id for r in via_text.collect()} == {
+        r.doc_id for r in via_sigs.collect()
+    }
+
+
+def test_stream_never_rereads_accepted_text(spark, docs, tmp_path):
+    """After batch 1, garble the accepted table's text (keeping ids and the
+    signature store). If batch 2 still rejects near-dups of batch-1 docs,
+    the corpus text was provably not re-read."""
+    lo = docs.filter(F.col("doc_id") < 250)
+    # batch 2 = batch 1 resubmitted under new ids → all near-dups of corpus
+    resub = lo.withColumn("doc_id", F.col("doc_id") + 10_000)
+
+    d = str(tmp_path / "docs_stream2")
+    lo.coalesce(1).write.mode("overwrite").parquet(d)
+
+    _drop(spark, "accepted_g")
+    _drop(spark, sigs_table_name("accepted_g"))
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = stream_ingest_neardup(stream, "accepted_g", str(tmp_path / "ckpt_g1"), **LSH)
+    q.awaitTermination(300)
+    n1 = spark.table("accepted_g").count()
+    assert n1 > 0
+
+    # garble the text column in place; signatures stay
+    garbled = spark.table("accepted_g").withColumn(
+        "text", F.lit("xxxx garbled xxxx")
+    )
+    garbled.write.mode("overwrite").format("parquet").saveAsTable("accepted_g_tmp")
+    _drop(spark, "accepted_g")
+    spark.sql("ALTER TABLE accepted_g_tmp RENAME TO accepted_g")
+
+    resub.coalesce(1).write.mode("append").parquet(d)
+    q = stream_ingest_neardup(stream, "accepted_g", str(tmp_path / "ckpt_g1"), **LSH)
+    q.awaitTermination(300)
+    # every resubmitted doc is a near-dup of an accepted doc → rejected,
+    # which is only possible if admission used the stored signatures
+    final = {r.doc_id for r in spark.table("accepted_g").select("doc_id").collect()}
+    assert not {i for i in final if i >= 10_000}
+    assert len(final) == n1
+    _drop(spark, "accepted_g")
+    _drop(spark, sigs_table_name("accepted_g"))
 
 
 def test_admit_batch_rejects_near_dups_of_corpus(spark, docs):
