@@ -50,7 +50,10 @@ from astro_sdk_spark.operators.classes import (
     AppendOperator,
     CleanupOperator,
     ColumnCheckOperator,
+    DataframeOperator,
     DropTableOperator,
+    ExportFileOperator,
+    ExportTableToFileOperator,
     ExportToFileOperator,
     GetValueListOperator,
     ListFileOperator,
@@ -109,4 +112,7 @@ __all__ = [
     "SQLCheckOperator",
     "GetValueListOperator",
     "ListFileOperator",
+    "DataframeOperator",
+    "ExportFileOperator",
+    "ExportTableToFileOperator",
 ]

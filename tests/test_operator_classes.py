@@ -57,12 +57,52 @@ def test_all_reference_operator_classes_exported():
     for name in (
         "LoadFileOperator", "TransformOperator", "RawSQLOperator",
         "DataframeOperator", "AppendOperator", "MergeOperator",
-        "ExportToFileOperator", "DropTableOperator", "CleanupOperator",
+        "ExportToFileOperator", "ExportFileOperator",
+        "ExportTableToFileOperator", "DropTableOperator", "CleanupOperator",
         "ColumnCheckOperator", "SQLCheckOperator", "ListFileOperator",
     ):
-        if name == "DataframeOperator":
-            # decorator-only here (reference's operator is the decorator's
-            # engine); the decorator is the public path
-            assert hasattr(aql, "dataframe")
-        else:
-            assert hasattr(aql, name), name
+        assert hasattr(aql, name), name
+
+
+def test_dataframe_operator_executes(spark, engine):
+    src = Table(name="opcls_df_src")
+    spark.createDataFrame([(1, 2.0), (2, 4.0)], ["k", "v"]).write.mode(
+        "overwrite"
+    ).saveAsTable(src.name)
+
+    def double(df):
+        df["v"] = df["v"] * 2
+        return df
+
+    out_table = Table(name="opcls_df_out")
+    result = aql.DataframeOperator(
+        python_callable=double,
+        op_args=(src,),
+        output_table=out_table,
+        engine=engine,
+    ).execute()
+    assert result is out_table
+    rows = {(r.k, r.v) for r in spark.table(out_table.name).collect()}
+    assert rows == {(1, 4.0), (2, 8.0)}
+    aql.DropTableOperator(table=src, engine=engine).execute()
+    aql.DropTableOperator(table=out_table, engine=engine).execute()
+
+
+def test_deprecated_export_operator_classes(spark, engine, tmp_path):
+    import warnings
+
+    df = spark.createDataFrame([(1,)], "x int")
+    for cls, fname in (
+        (aql.ExportFileOperator, "dep1.csv"),
+        (aql.ExportTableToFileOperator, "dep2.csv"),
+    ):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            cls(
+                input_data=df,
+                output_file=File(str(tmp_path / fname)),
+                if_exists="replace",
+                engine=engine,
+            ).execute()
+            assert any(issubclass(x.category, DeprecationWarning) for x in w)
+        assert (tmp_path / fname).exists()
