@@ -295,6 +295,104 @@ def ivf_topk(
     )
 
 
+def train_centroids(
+    df: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) trainer producing an ``ivf_topk``
+    centroid set — makes the IVF path self-contained instead of
+    caller-supplied-only.
+
+    Scale shape (the same Arrow machinery as ``banded_signatures``):
+    - seeding is deterministic and order-independent: the k vectors with
+      the smallest ``xxhash64(id, seed)`` (a hash-derived sample, no
+      ``rand()``);
+    - each iteration is ONE ``mapInPandas`` pass: per partition, a numpy
+      matmul assigns every vector to its nearest centroid (cosine) and
+      emits k partial (count, sum) rows — the per-partition combine means
+      only ``n_partitions × k`` tiny rows ever reach the driver, never the
+      vectors themselves;
+    - the driver merges partials, renormalizes, and rebroadcasts —
+      O(k·dim) per round, the irreducible cost of iterative convergence
+      (same argument as ``near_dup_clusters``).
+
+    Empty clusters keep their previous centroid. Returns a ``(id_col,
+    vec_col)`` DataFrame with ids ``0..k-1``, ready for ``ivf_topk``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    seeds = (
+        vecs.withColumn("_h", F.xxhash64(F.col("_id").cast("string"), F.lit(seed)))
+        .orderBy("_h", "_id")
+        .limit(k)
+        .select("_v")
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(seeds)}")
+    cents = np.stack([np.asarray(r._v, dtype=np.float64) for r in seeds])
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    only_vecs = vecs.select("_v")
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def _partials(batches):
+            cl = bc.value
+            n_cent, dim_ = cl.shape
+            sums = np.zeros((n_cent, dim_))
+            counts = np.zeros(n_cent, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+                norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                cids = ((mat / norms) @ cl.T).argmax(axis=1)
+                for c in np.unique(cids):
+                    mask = cids == c
+                    sums[c] += mat[mask].sum(axis=0)
+                    counts[c] += int(mask.sum())
+            yield pd.DataFrame(
+                {
+                    "cid": np.arange(n_cent, dtype=np.int64),
+                    "n": counts,
+                    "s": [row.tolist() for row in sums],
+                }
+            )
+
+        partials = only_vecs.mapInPandas(
+            _partials, "cid long, n long, s array<double>"
+        ).collect()  # n_partitions × k rows — bounded, never the data
+        bc.unpersist()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(k, dtype=np.int64)
+        for row in partials:
+            sums[row.cid] += np.asarray(row.s)
+            counts[row.cid] += row.n
+        nonempty = counts > 0
+        new_cents = cents.copy()
+        means = sums[nonempty] / counts[nonempty, None]
+        new_cents[nonempty] = means / np.maximum(
+            np.linalg.norm(means, axis=1, keepdims=True), 1e-12
+        )
+        if np.allclose(new_cents, cents, atol=1e-9):
+            cents = new_cents
+            break
+        cents = new_cents
+
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in cents[i]]) for i in range(k)],
+        f"{id_col} long, {vec_col} array<double>",
+    )
+
+
 def ann_recall(
     queries: DataFrame,
     candidates: DataFrame,

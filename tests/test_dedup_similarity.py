@@ -26,7 +26,9 @@ from astro_sdk_spark.functions.similarity import (
     ann_recall,
     banded_signatures,
     cosine_topk,
+    ivf_topk,
     lsh_bucket_join,
+    train_centroids,
 )
 
 
@@ -253,3 +255,43 @@ def test_near_dup_clusters_empty(spark):
 
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert near_dup_clusters(pairs).count() == 0
+
+
+def _ivf_recall(approx_df, exact_df):
+    a = {(r.query_id, r.cand_id) for r in approx_df.collect()}
+    e = {(r.query_id, r.cand_id) for r in exact_df.collect()}
+    return len(a & e) / len(e)
+
+
+def test_train_centroids_improves_ivf_recall(spark):
+    """Clustered data where an id-sample picks all its centroids from ONE
+    cluster: trained (spherical k-means) centroids must do at least as well,
+    and well in absolute terms."""
+    rng = random.Random(5)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(4)]
+    rows = []
+    for i in range(200):
+        c = centers[i // 50]  # ids ordered by cluster → id-sample degenerate
+        rows.append((i, [x + rng.gauss(0, 0.15) for x in c]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = vecs.filter(F.col("vec_id") % 50 == 7)  # one per cluster
+    exact = cosine_topk(queries, vecs, k=10, round_digits=4)
+
+    id_sample = vecs.filter(F.col("vec_id") < 4)
+    trained = train_centroids(vecs, k=4, iters=5)
+    r_id = _ivf_recall(ivf_topk(queries, vecs, id_sample, nprobe=1, k=10), exact)
+    r_tr = _ivf_recall(ivf_topk(queries, vecs, trained, nprobe=1, k=10), exact)
+    assert r_tr >= r_id
+    assert r_tr >= 0.7
+
+
+def test_train_centroids_deterministic_and_normalized(spark, vectors):
+    import math
+
+    a = train_centroids(vectors, k=3, iters=3).collect()
+    b = train_centroids(vectors, k=3, iters=3).collect()
+    assert [(r.vec_id, r.embedding) for r in sorted(a, key=lambda r: r.vec_id)] == [
+        (r.vec_id, r.embedding) for r in sorted(b, key=lambda r: r.vec_id)
+    ]
+    for r in a:
+        assert math.isclose(sum(x * x for x in r.embedding) ** 0.5, 1.0, rel_tol=1e-9)
