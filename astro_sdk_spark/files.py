@@ -32,6 +32,28 @@ def _unlink_quiet(path: str) -> None:
         pass
 
 
+def gdrive_to_url(path: str) -> str:
+    """``gdrive://<file_id>[/<display_name.ext>]`` → Drive's public
+    download URL. The optional trailing name only supplies the extension
+    for filetype detection; the id is what Drive resolves.
+
+    Reference ``files/locations/google/gdrive.py`` uses the authenticated
+    Drive API; public anyone-with-the-link files are the subset reachable
+    without it.
+    """
+    rest = path.removeprefix("gdrive://")
+    file_id = rest.split("/", 1)[0].split("?")[0]
+    if not file_id:
+        raise ValueError(f"gdrive path {path!r} has no file id")
+    return f"https://drive.google.com/uc?export=download&id={file_id}"
+
+
+def _looks_like_html(local: str) -> bool:
+    with open(local, "rb") as f:
+        head = f.read(512).lstrip().lower()
+    return head.startswith((b"<!doctype html", b"<html"))
+
+
 class FileType(str, Enum):
     CSV = "csv"
     JSON = "json"
@@ -125,23 +147,28 @@ class File:
                     "sftp:// staging needs paramiko, which is not installed; "
                     "fetch the file out-of-band or serve it over http(s)/ftp"
                 ) from e
-        if self.is_gdrive():
-            raise NotImplementedError(
-                "gdrive:// staging needs the Google Drive API client "
-                "(reference files/locations/google/gdrive.py); export the "
-                "file to a public http(s) link instead"
-            )
-        if self.is_http() or self.is_ftp():
+        if self.is_gdrive() or self.is_http() or self.is_ftp():
             # driver-staged fetch (Spark can't glob/split http or ftp);
             # urllib handles both schemes — reference files/locations/http.py
-            # and ftp.py
+            # and ftp.py. gdrive:// is rewritten to Drive's public-download
+            # endpoint (anyone-with-the-link files only; private files need
+            # the Drive API client, reference files/locations/google/gdrive.py).
             cached = getattr(self, "_staged", None)
             if cached is not None and os.path.exists(cached):
                 return cached
+            url = gdrive_to_url(self.path) if self.is_gdrive() else self.path
             suffix = pathlib.PurePosixPath(self.path.split("?")[0]).suffix or ".dat"
             fd, local = tempfile.mkstemp(suffix=suffix, prefix="astro_stage_")
             os.close(fd)
-            urllib.request.urlretrieve(self.path, local)  # noqa: S310 - user-supplied source
+            urllib.request.urlretrieve(url, local)  # noqa: S310 - user-supplied source
+            if self.is_gdrive() and _looks_like_html(local):
+                _unlink_quiet(local)
+                raise NotImplementedError(
+                    f"gdrive file {self.path!r} returned an HTML page instead "
+                    "of content — the file is private or requires a "
+                    "confirmation step; share it as 'anyone with the link' or "
+                    "use the Drive API out-of-band"
+                )
             object.__setattr__(self, "_staged", local)
             atexit.register(_unlink_quiet, local)
             return local

@@ -14,8 +14,19 @@ plan (tests assert it), only the shuffle key changes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _hash_salt(columns: list[str], salt: int, seed: int) -> Column:
+    """Deterministic salt in [0, salt): xxhash64 over every row column.
+
+    Unlike ``F.rand`` (partition-order-dependent), this survives task
+    retries and repartitions unchanged, matching the repo-wide
+    no-nondeterminism rule.
+    """
+    h = F.xxhash64(F.lit(seed), *[F.col(c) for c in columns])
+    return F.pmod(h, F.lit(salt)).cast("int")
 
 
 def salted_join(
@@ -34,6 +45,12 @@ def salted_join(
     splitting each hot key across ``salt`` reducers. Row-level results are
     identical to ``large.join(small, on, how)`` for inner/left joins
     (the salt column is internal and dropped).
+
+    The salt is derived by hashing every column of ``large`` (not
+    ``F.rand``, whose values depend on partition order): the plan is fully
+    deterministic across retries and repartitions. Hot keys still spread
+    because their non-key columns vary; only byte-identical duplicate rows
+    share a salt bucket.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if how not in ("inner", "left", "left_outer"):
@@ -42,7 +59,7 @@ def salted_join(
             "(right/full would need the salt on the other side)"
         )
     salted_large = large.withColumn(
-        "_salt", F.floor(F.rand(seed) * salt).cast("int")
+        "_salt", _hash_salt(large.columns, salt, seed)
     )
     salted_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
@@ -82,6 +99,6 @@ def salted_agg(
         partial_aggs.append(getattr(F, fn)(col).alias(f"_p_{out_name}"))
         combine = "sum" if fn in ("sum", "count") else fn
         final_aggs.append(getattr(F, combine)(f"_p_{out_name}").alias(out_name))
-    salted = df.withColumn("_salt", F.floor(F.rand(seed) * salt).cast("int"))
+    salted = df.withColumn("_salt", _hash_salt(df.columns, salt, seed))
     partial = salted.groupBy(*gcols, "_salt").agg(*partial_aggs)
     return partial.groupBy(*gcols).agg(*final_aggs)

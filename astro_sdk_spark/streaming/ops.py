@@ -227,13 +227,32 @@ def stateful_user_stats(
     )
 
 
+_DURATION_UNITS = {
+    "millisecond": 1, "milli": 1, "ms": 1,
+    "second": 1000, "sec": 1000, "s": 1000,
+    "minute": 60_000, "min": 60_000, "m": 60_000,
+    "hour": 3_600_000, "hr": 3_600_000, "h": 3_600_000,
+    "day": 86_400_000, "d": 86_400_000,
+}
+
+
 def _duration_to_ms(duration: str) -> int:
-    """'10 minutes' / '30 seconds' / '1 hour' → milliseconds."""
+    """'10 minutes' / '30 secs' / '5 mins' / '100 ms' → milliseconds.
+
+    Accepts the same unit spellings Spark's CalendarInterval parser does
+    (full names plus ms/sec/min/hr abbreviations, singular or plural).
+    """
     qty, unit = duration.split()
-    per = {
-        "millisecond": 1, "second": 1000, "minute": 60_000, "hour": 3_600_000,
-        "day": 86_400_000,
-    }[unit.rstrip("s")]
+    unit = unit.lower()
+    # Exact match first: "ms" must not be de-pluralized into "m" (minutes).
+    per = _DURATION_UNITS.get(unit)
+    if per is None:
+        per = _DURATION_UNITS.get(unit.rstrip("s") or "s")  # "s".rstrip("s") == ""
+    if per is None:
+        raise ValueError(
+            f"Unrecognized duration unit in {duration!r}; "
+            f"use one of {sorted(set(_DURATION_UNITS))}"
+        )
     return int(float(qty) * per)
 
 

@@ -108,8 +108,52 @@ def test_remote_scheme_dispatch():
     assert File("ftp://host/f.csv").is_ftp()
     with pytest.raises(NotImplementedError, match="paramiko"):
         File("sftp://host/f.csv").staged_path()
-    with pytest.raises(NotImplementedError, match="Drive"):
-        File("gdrive://folder/f.csv").staged_path()
+
+
+def test_gdrive_url_rewrite():
+    from astro_sdk_spark.files import gdrive_to_url
+
+    assert (
+        gdrive_to_url("gdrive://1AbC_dEf/report.csv")
+        == "https://drive.google.com/uc?export=download&id=1AbC_dEf"
+    )
+    assert (
+        gdrive_to_url("gdrive://1AbC_dEf")
+        == "https://drive.google.com/uc?export=download&id=1AbC_dEf"
+    )
+    with pytest.raises(ValueError, match="no file id"):
+        gdrive_to_url("gdrive://")
+
+
+def test_gdrive_staging_fetches_public_link(monkeypatch):
+    calls = []
+
+    def fake_retrieve(url, local):
+        calls.append(url)
+        with open(local, "w") as fh:
+            fh.write("a\n1\n")
+
+    import urllib.request
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+    f = File("gdrive://1AbC_dEf/data.csv")
+    p = f.staged_path()
+    assert calls == ["https://drive.google.com/uc?export=download&id=1AbC_dEf"]
+    with open(p) as fh:
+        assert fh.read() == "a\n1\n"
+    assert f.staged_path() == p and len(calls) == 1  # cached
+
+
+def test_gdrive_private_file_html_interstitial(monkeypatch):
+    def fake_retrieve(url, local):
+        with open(local, "w") as fh:
+            fh.write("<!DOCTYPE html><html>sign in required</html>")
+
+    import urllib.request
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+    with pytest.raises(NotImplementedError, match="private"):
+        File("gdrive://1Priv/data.csv").staged_path()
 
 
 def test_http_staging_is_cached(tmp_path, monkeypatch):

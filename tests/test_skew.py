@@ -77,3 +77,17 @@ def test_salted_agg_equals_plain(skewed):
 def test_salted_agg_rejects_nonsplittable(skewed):
     with pytest.raises(ValueError, match="Unsupported agg"):
         salted_agg(skewed, "k", {"a": "avg(v)"})
+
+
+def test_salt_is_deterministic_and_spreads_hot_key(skewed):
+    # Hash-derived salt: identical across repartitions (F.rand is not),
+    # and the hot key's rows must land in every salt bucket.
+    from astro_sdk_spark.functions.skew import _hash_salt
+
+    a = skewed.withColumn("s", _hash_salt(["k", "v"], 8, 42))
+    b = skewed.repartition(3).withColumn("s", _hash_salt(["k", "v"], 8, 42))
+    pa = {(r.k, r.v): r.s for r in a.collect()}
+    pb = {(r.k, r.v): r.s for r in b.collect()}
+    assert pa == pb
+    hot_buckets = {s for (k, _), s in pa.items() if k == 0}
+    assert hot_buckets == set(range(8))

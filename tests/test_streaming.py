@@ -116,3 +116,21 @@ def test_stream_dedup_batch_mode_passthrough(events_df):
     # the same operator degrades to dropDuplicates on a static frame
     out = stream_dedup(events_df.unionByName(events_df), keys=["event_id"])
     assert out.count() == events_df.count()
+
+
+def test_duration_to_ms_accepts_abbreviations():
+    from astro_sdk_spark.streaming.ops import _duration_to_ms
+
+    assert _duration_to_ms("10 minutes") == 600_000
+    assert _duration_to_ms("10 mins") == 600_000
+    assert _duration_to_ms("10 min") == 600_000
+    assert _duration_to_ms("30 seconds") == 30_000
+    assert _duration_to_ms("30 secs") == 30_000
+    assert _duration_to_ms("30 s") == 30_000
+    assert _duration_to_ms("100 ms") == 100  # must NOT parse as minutes
+    assert _duration_to_ms("2 hrs") == 7_200_000
+    assert _duration_to_ms("1 day") == 86_400_000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Unrecognized duration unit"):
+        _duration_to_ms("5 fortnights")
