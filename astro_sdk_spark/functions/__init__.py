@@ -2,6 +2,7 @@
 skew mitigation, deterministic sampling/splitting/packing."""
 
 from astro_sdk_spark.functions.dedup import (
+    dedup_corpus,
     embedding_near_dup,
     exact_dedup,
     incremental_near_dup,
@@ -9,6 +10,7 @@ from astro_sdk_spark.functions.dedup import (
     minhash_lsh_candidates,
     minhash_near_dup,
     minhash_signatures,
+    near_dup_clusters,
     simhash_near_dup,
     simhash_signatures,
 )
@@ -20,6 +22,7 @@ from astro_sdk_spark.functions.similarity import (
     cosine_topk,
     ivf_topk,
     lsh_bucket_join,
+    train_centroids,
 )
 from astro_sdk_spark.functions.sampling import (
     concat_chunk_pack,
@@ -40,6 +43,8 @@ from astro_sdk_spark.functions.text import (
 __all__ = [
     "flatten",
     "exact_dedup",
+    "dedup_corpus",
+    "near_dup_clusters",
     "minhash_signatures",
     "minhash_lsh_candidates",
     "minhash_near_dup",
@@ -54,6 +59,7 @@ __all__ = [
     "lsh_bucket_join",
     "ivf_topk",
     "ann_recall",
+    "train_centroids",
     "token_stats",
     "quality_score",
     "lang_id",

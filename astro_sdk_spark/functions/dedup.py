@@ -35,12 +35,17 @@ def _spread_by_id(df: DataFrame, id_col: str) -> DataFrame:
 
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str | list[str] = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep one representative (min id) per exact text; returns
-    (doc_id, n_copies) — the kept id and its duplicate count."""
+    (doc_id, n_copies) — the kept id and its duplicate count.
+
+    ``text_col`` may be a list for composite-key dedup (e.g. dedup on
+    ``["url", "text"]`` so same text from different sources survives):
+    one hash shuffle on the key tuple either way."""
+    keys = [text_col] if isinstance(text_col, str) else list(text_col)
     return (
-        df.groupBy(text_col)
+        df.groupBy(*keys)
         .agg(
             F.min(id_col).alias(id_col),
             F.count(F.lit(1)).alias("n_copies"),
@@ -539,6 +544,63 @@ def near_dup_clusters(
     return labels.select(
         F.col("_id").alias(out_id), F.col("_lbl").alias(out_cluster)
     )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    bucket_cap: int | None = 500,
+    max_iter: int = 30,
+) -> DataFrame:
+    """End-to-end corpus dedup → canonical KEEP-list (one id column).
+
+    The operator a training-data pipeline actually wants: given a raw
+    corpus, return the ids to keep —
+
+    1. exact dedup: one representative (min ``id_col``) per byte-identical
+       ``text_col`` (web crawls are dominated by exact dups; collapsing
+       them first also keeps LSH buckets from quadratic blow-up);
+    2. MinHash+LSH near-dup pairs over the representatives
+       (:func:`minhash_near_dup`);
+    3. connected components over those pairs (:func:`near_dup_clusters`);
+    4. keep the cluster minimum per component; every representative not in
+       any near-dup pair is a singleton and kept as-is.
+
+    Scale shape: one hash shuffle for exact groups, the capped banded LSH
+    pipeline for pairs, O(diameter) label-propagation rounds, and a final
+    left-anti join against the (tiny — dup cluster members only) drop set,
+    which AQE broadcasts. To dedup a stream against this corpus
+    incrementally, persist signatures and use
+    :func:`incremental_near_dup` / ``streaming.ingest`` instead of
+    re-running this batch operator.
+    """
+    reps = (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, text_col)
+    )
+    pairs = minhash_near_dup(
+        reps,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        shingle_k=shingle_k,
+        bucket_cap=bucket_cap,
+    )
+    clusters = near_dup_clusters(
+        pairs, out_id="_nd_id", out_cluster="_nd_cluster", max_iter=max_iter
+    )
+    drops = clusters.filter(F.col("_nd_id") != F.col("_nd_cluster")).select(
+        F.col("_nd_id").alias(id_col)
+    )
+    return reps.select(id_col).join(drops, id_col, "left_anti")
 
 
 def embedding_near_dup(

@@ -86,8 +86,28 @@ def main() -> None:
             spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).write.mode(
                 "overwrite"
             ).json(src)
+            # Replicate part files until the staged corpus is >= 1 GB so the
+            # measurement reflects sustained throughput, not job-setup fixed
+            # costs (sf0.1 lineitem ndjson is ~135 MB; one copy round is a
+            # cheap local hardlink).
+            parts = [
+                e.path for e in os.scandir(src)
+                if e.is_file() and e.name.startswith("part-")
+            ]
+            base_mb = sum(os.path.getsize(p) for p in parts) / 1e6
+            target_mb = float(os.environ.get("SPARK_GRAFT_INGEST_MB", "1000"))
+            copies = max(0, -(-int(target_mb) // max(1, int(base_mb))) - 1)
+            for i in range(copies):
+                for p in parts:
+                    dup = os.path.join(src, f"copy{i}-{os.path.basename(p)}")
+                    try:
+                        os.link(p, dup)
+                    except OSError:
+                        shutil.copyfile(p, dup)
             size_mb = sum(
-                e.stat().st_size for e in os.scandir(src) if e.is_file()
+                e.stat().st_size
+                for e in os.scandir(src)
+                if e.is_file() and not e.name.startswith(("_", "."))
             ) / 1e6
             eng = SparkEngine(spark)
             t0 = time.perf_counter()
@@ -95,10 +115,17 @@ def main() -> None:
                 "overwrite"
             ).parquet(out)
             dt = time.perf_counter() - t0
+            cores = spark.sparkContext.defaultParallelism or 1
+            gb_per_min = size_mb / 1000.0 / (dt / 60.0)
             ingest = {
                 "ingest_mb": round(size_mb, 1),
                 "ingest_sec": round(dt, 3),
-                "ingest_gb_per_min": round(size_mb / 1000.0 / (dt / 60.0), 2),
+                "ingest_gb_per_min": round(gb_per_min, 2),
+                # BASELINE.md's native-path bar is ~1 GB/min on a 4-core
+                # machine → 0.25 GB/min/core; normalize so the comparison
+                # is core-for-core honest.
+                "ingest_cores": cores,
+                "ingest_gb_per_min_per_core": round(gb_per_min / cores, 3),
             }
         finally:
             shutil.rmtree(stage, ignore_errors=True)

@@ -295,3 +295,61 @@ def test_train_centroids_deterministic_and_normalized(spark, vectors):
     ]
     for r in a:
         assert math.isclose(sum(x * x for x in r.embedding) ** 0.5, 1.0, rel_tol=1e-9)
+
+
+def test_exact_dedup_composite_key(spark):
+    # Same text from two sources: composite key keeps both; single key
+    # collapses them.
+    rows = [
+        (1, "hello world", "crawl"),
+        (2, "hello world", "crawl"),
+        (3, "hello world", "books"),
+        (4, "unique text", "crawl"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    single = exact_dedup(df, text_col="text")
+    assert {(r.doc_id, r.n_copies) for r in single.collect()} == {(1, 3), (4, 1)}
+    composite = exact_dedup(df, text_col=["text", "source"])
+    assert {(r.doc_id, r.n_copies) for r in composite.collect()} == {
+        (1, 2),
+        (3, 1),
+        (4, 1),
+    }
+
+
+def test_dedup_corpus_keeplist(spark, corpus):
+    from astro_sdk_spark.functions.dedup import dedup_corpus
+
+    # Add exact duplicates of doc 10 so both stages have work to do.
+    text10 = corpus.filter(F.col("doc_id") == 10).first().text
+    extra = spark.createDataFrame(
+        [(2000, text10), (2001, text10)], "doc_id long, text string"
+    )
+    full = corpus.unionByName(extra)
+    keep = {
+        r.doc_id
+        for r in dedup_corpus(
+            full, num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    # exact dups of 10 dropped; near-dup partners 1000/1001 dropped
+    # (cluster minima are 10 and 20); everything else kept.
+    assert 10 in keep and 20 in keep
+    assert 2000 not in keep and 2001 not in keep
+    assert 1000 not in keep and 1001 not in keep
+    assert len(keep) == 60  # 60 distinct base docs
+
+
+def test_dedup_corpus_custom_columns(spark, corpus):
+    from astro_sdk_spark.functions.dedup import dedup_corpus
+
+    renamed = corpus.select(
+        F.col("doc_id").alias("ident"), F.col("text").alias("body")
+    )
+    keep = dedup_corpus(
+        renamed, text_col="body", id_col="ident",
+        num_hashes=32, bands=8, threshold=0.5,
+    )
+    assert keep.columns == ["ident"]
+    base = dedup_corpus(corpus, num_hashes=32, bands=8, threshold=0.5)
+    assert {r.ident for r in keep.collect()} == {r.doc_id for r in base.collect()}
