@@ -269,10 +269,15 @@ class SparkEngine:
             pdf = pd.DataFrame(rows, columns=columns)
             return self.spark.createDataFrame(pdf)
         if ftype == FileType.XLS:
-            raise NotImplementedError(
-                "Legacy binary .xls needs xlrd (not installed); convert to "
-                ".xlsx (supported via the stdlib reader in astro_sdk_spark.xlsx)"
-            )
+            # driver-side small-file path, same contract as xlsx: stdlib
+            # OLE2+BIFF8 reader (xlrd absent in this environment)
+            import pandas as pd
+
+            from astro_sdk_spark.xls import read_xls
+
+            columns, rows = read_xls(path)
+            pdf = pd.DataFrame(rows, columns=columns)
+            return self.spark.createDataFrame(pdf)
         raise ValueError(f"Unsupported file type: {ftype}")
 
     # --------------------------------------------------------------- write
