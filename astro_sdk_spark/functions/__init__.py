@@ -1,6 +1,11 @@
 """DataFrame-level functions: flatten, text analysis, dedup, similarity,
 skew mitigation, deterministic sampling/splitting/packing."""
 
+from astro_sdk_spark.functions.cleaning import (
+    decontaminate,
+    redact_pii,
+    repetition_stats,
+)
 from astro_sdk_spark.functions.dedup import (
     dedup_corpus,
     embedding_near_dup,
@@ -44,6 +49,9 @@ __all__ = [
     "flatten",
     "exact_dedup",
     "dedup_corpus",
+    "decontaminate",
+    "redact_pii",
+    "repetition_stats",
     "near_dup_clusters",
     "minhash_signatures",
     "minhash_lsh_candidates",

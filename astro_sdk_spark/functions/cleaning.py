@@ -1,0 +1,156 @@
+"""Corpus cleaning for training-data pipelines: PII redaction, benchmark
+decontamination, intra-document repetition metrics.
+
+No reference counterpart (extensions mandated alongside SURVEY §2) — these
+are the standard pre-training hygiene passes (C4/Gopher/RefinedWeb-style):
+scrub personal identifiers, drop documents that leak evaluation benchmarks,
+and score boilerplate/repetition. Everything is built-in-function
+compositions (JVM-side codegen, one projection or one broadcast semi-join)
+— no Python UDFs, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from astro_sdk_spark.functions.dedup import shingles_col
+
+# Pattern table: RE2-compatible (no lookaround, no backrefs) so the same
+# patterns run identically in Spark's Java regex and DuckDB's RE2 — the
+# correctness oracle replays them verbatim.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\+?\d{1,3}[- ]\(?\d{3}\)?[- ]\d{3}[- ]\d{4}",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kinds: tuple[str, ...] = ("email", "ipv4", "ssn", "phone"),
+    token: str = "[{kind}]",
+) -> DataFrame:
+    """Replace PII matches with a redaction token and count matches per
+    kind. Returns ``(id_col, <text_col>_redacted, n_<kind>..., n_pii)``.
+
+    One projection pass — a chain of ``regexp_replace``/``regexp_count``
+    expressions fused into whole-stage codegen; order follows ``kinds``
+    (count before replace, and e.g. SSNs are counted before a phone
+    pattern could consume them)."""
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"Unknown PII kinds {sorted(unknown)}; "
+                         f"available: {sorted(PII_PATTERNS)}")
+    redacted: Column = F.col(text_col)
+    counts = []
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
+        )
+        redacted = F.regexp_replace(redacted, pat, token.format(kind=kind))
+    out = df.select(
+        F.col(id_col),
+        redacted.alias(f"{text_col}_redacted"),
+        *counts,
+    )
+    total = sum((F.col(f"n_{k}") for k in kinds[1:]), F.col(f"n_{kinds[0]}"))
+    return out.withColumn("n_pii", total)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    min_hits: int = 1,
+    mode: str = "flag",
+) -> DataFrame:
+    """Benchmark decontamination: find corpus documents sharing >=
+    ``min_hits`` distinct word ``shingle_k``-grams with any benchmark
+    document.
+
+    ``mode='flag'`` returns ``(id_col, n_benchmark_ngrams)`` for
+    contaminated docs; ``mode='drop'`` returns the clean corpus rows.
+
+    Scale shape: the benchmark side (eval sets — thousands of docs, not
+    TBs) collapses to a DISTINCT n-gram set that AQE broadcasts; the
+    corpus explodes its n-grams once and inner-joins that set — work is
+    O(|corpus n-grams|) with no corpus x corpus interaction, and the
+    per-doc hit count folds back in the same shuffle as the join's
+    aggregation. The n-gram normalization (trim/lower/whitespace-collapse)
+    matches the dedup pipeline's shingles."""
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingles_col(F.col(text_col), shingle_k)).alias("_g")
+        )
+        .dropDuplicates(["_g"])
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(shingles_col(F.col(text_col), shingle_k)).alias("_g"),
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_benchmark_ngrams"))
+        .filter(F.col("n_benchmark_ngrams") >= min_hits)
+    )
+    if mode == "flag":
+        return hits
+    return corpus.join(hits.select(id_col), id_col, "left_anti")
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_k: int = 3,
+) -> DataFrame:
+    """Per-document repetition metrics (Gopher-style repetition rules):
+
+    - ``dup_token_frac``: 1 - distinct/total tokens;
+    - ``dup_ngram_frac``: fraction of word ``ngram_k``-grams that are
+      repeats of an earlier identical n-gram;
+    - ``top_ngram_frac``: share of n-gram occurrences taken by the single
+      most frequent n-gram (boilerplate/template indicator).
+
+    One projection pass over the text, no explode and no shuffle: the top
+    n-gram count is the longest equal run in the SORTED n-gram array —
+    array_sort (O(n log n) per doc) + one linear fold — instead of the
+    naive per-distinct-gram rescan, which is O(n²) on long documents."""
+    t = F.col(text_col)
+    toks = F.split(F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")), " ")
+    grams = shingles_col(t, ngram_k, distinct=False)  # multiset: counts matter
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    sorted_grams = F.array_sort(grams)
+    top_count = F.aggregate(
+        sorted_grams,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a.prev, a.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a.best, F.when(x == a.prev, a.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda a: a.best,
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks), 4).alias(
+            "dup_token_frac"
+        ),
+        F.round((n_grams - n_distinct) / n_grams, 4).alias("dup_ngram_frac"),
+        F.round(top_count / n_grams, 4).alias("top_ngram_frac"),
+    )

@@ -54,8 +54,9 @@ def exact_dedup(
     )
 
 
-def shingles_col(text, k: int = 3):
-    """Distinct word k-shingles of a text column, as ONE regex pass.
+def shingles_col(text, k: int = 3, distinct: bool = True):
+    """Word k-shingles of a text column, as ONE regex pass (distinct set
+    by default).
 
     Overlapping n-grams are extracted with a zero-width lookahead —
     ``(?=(?:^| )(tok(?: tok){k-1}))`` over the whitespace-normalized
@@ -68,10 +69,16 @@ def shingles_col(text, k: int = 3):
     re-evaluates the captured ``split(...)`` subtree on every lambda call,
     which made shingling ~12× slower at sf0.1 (6.6s → 0.56s for k=2 on the
     5 000-doc corpus). Texts with fewer than k tokens fall back to a single
-    whole-text shingle, matching the previous semantics."""
+    whole-text shingle, matching the previous semantics.
+
+    ``distinct=False`` keeps the raw overlapping multiset (every
+    occurrence, in order) — required by repetition metrics; the default
+    set semantics are what MinHash/Jaccard need."""
     norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     pat = "(?=(?:^| )([^ ]+" + "(?: [^ ]+)" * (k - 1) + "))"
-    arr = F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), 1))
+    arr = F.regexp_extract_all(norm, F.lit(pat), 1)
+    if distinct:
+        arr = F.array_distinct(arr)
     return F.when(F.size(arr) > 0, arr).otherwise(F.array(norm))
 
 

@@ -1116,6 +1116,17 @@ _DUCK_SHINGLES_K3 = r"""
     END
 """
 
+# Raw (multiset) variant — repetition metrics need occurrence counts, so
+# no list_distinct (mirrors shingles_col(distinct=False)).
+_DUCK_SHINGLES_K3_RAW = r"""
+    CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) >= 3
+      THEN list_transform(
+             range(1, len(string_split_regex(trim(lower(text)), '\s+')) - 1),
+             i -> array_to_string(string_split_regex(trim(lower(text)), '\s+')[i:i+2], ' '))
+      ELSE [array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')]
+    END
+"""
+
 _INCREMENTAL_ORACLE = f"""
     WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES_K3} AS s FROM documents),
     pairs AS (
@@ -1794,6 +1805,139 @@ def q_neardup_renamed_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, text_col="body", id_col="ident", num_hashes=32, bands=8, threshold=0.5
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+# --------------------------------------------------------------------------
+# Corpus-cleaning extensions: PII redaction, decontamination, repetition
+
+# The synthetic corpus has no PII, so both engines inject identical
+# deterministic PII strings first — the oracle then replays the exact
+# RE2-compatible patterns from functions/cleaning.py.
+_PII_INJECT_SPARK = (
+    "concat(text, case when doc_id % 3 = 0 then "
+    "concat(' contact u', cast(doc_id as string), '@example.com on 10.0.0.', "
+    "cast(doc_id % 256 as string)) else '' end, "
+    "case when doc_id % 5 = 0 then ' ssn 123-45-6789 or call +1 555 123 4567' "
+    "else '' end)"
+)
+_PII_INJECT_DUCK = (
+    "text || CASE WHEN doc_id % 3 = 0 THEN "
+    "' contact u' || CAST(doc_id AS VARCHAR) || '@example.com on 10.0.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789 or call +1 555 123 4567' "
+    "ELSE '' END"
+)
+
+
+def _duck_pii_oracle() -> str:
+    from astro_sdk_spark.functions.cleaning import PII_PATTERNS
+
+    email, ipv4, ssn, phone = (
+        PII_PATTERNS["email"],
+        PII_PATTERNS["ipv4"],
+        PII_PATTERNS["ssn"],
+        PII_PATTERNS["phone"],
+    )
+    red = f"regexp_replace(t, '{email}', '[email]', 'g')"
+    red = f"regexp_replace({red}, '{ipv4}', '[ipv4]', 'g')"
+    red = f"regexp_replace({red}, '{ssn}', '[ssn]', 'g')"
+    red = f"regexp_replace({red}, '{phone}', '[phone]', 'g')"
+    return f"""
+    WITH inj AS (SELECT doc_id, {_PII_INJECT_DUCK} AS t FROM documents),
+    c AS (
+      SELECT doc_id, {red} AS text_redacted,
+             len(regexp_extract_all(t, '{email}')) AS n_email,
+             len(regexp_extract_all(t, '{ipv4}')) AS n_ipv4,
+             len(regexp_extract_all(t, '{ssn}')) AS n_ssn,
+             len(regexp_extract_all(t, '{phone}')) AS n_phone
+      FROM inj)
+    SELECT doc_id, text_redacted,
+           CAST(n_email AS BIGINT) AS n_email,
+           CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+           CAST(n_ssn AS BIGINT) AS n_ssn,
+           CAST(n_phone AS BIGINT) AS n_phone,
+           CAST(n_email + n_ipv4 + n_ssn + n_phone AS BIGINT) AS n_pii
+    FROM c WHERE n_email + n_ipv4 + n_ssn + n_phone > 0
+    """
+
+
+@q("q_pii_redaction", _duck_pii_oracle())
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/cleaning.py:redact_pii): deterministic PII
+    injected identically in both engines, then the same RE2-safe patterns
+    redact + count per kind. Returns only docs that had PII."""
+    from astro_sdk_spark.functions.cleaning import redact_pii
+
+    d = T(spark, sf_dir, "documents").withColumn(
+        "text", F.expr(_PII_INJECT_SPARK)
+    )
+    out = redact_pii(d)
+    return out.filter(F.col("n_pii") > 0).select(
+        "doc_id",
+        F.col("text_redacted"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_pii").cast("long").alias("n_pii"),
+    )
+
+
+_DECONTAM_ORACLE = f"""
+    WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES_K3} AS s FROM documents),
+    bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+    corp AS (
+      SELECT doc_id, unnest(list_distinct(s)) AS g FROM sh
+      WHERE doc_id % 97 <> 0)
+    SELECT doc_id, count(*) AS n_benchmark_ngrams
+    FROM corp JOIN bench USING (g) GROUP BY doc_id
+"""
+
+
+@q("q_decontaminate", _DECONTAM_ORACLE)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (functions/cleaning.py:decontaminate):
+    every 97th doc acts as the 'eval set'; corpus docs sharing any distinct
+    3-gram with it are flagged with their overlap count. Broadcast semi-
+    join shape — benchmark n-gram sets are tiny at any corpus scale."""
+    from astro_sdk_spark.functions.cleaning import decontaminate
+
+    d = T(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench)
+
+
+_REPETITION_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS tk
+      FROM documents),
+    sh AS (SELECT doc_id, {_DUCK_SHINGLES_K3_RAW} AS s FROM documents),
+    g AS (SELECT doc_id, unnest(s) AS gm FROM sh),
+    freq AS (SELECT doc_id, gm, count(*) AS c FROM g GROUP BY doc_id, gm),
+    top AS (
+      SELECT doc_id, max(c) AS topc, CAST(sum(c) AS BIGINT) AS ng,
+             count(*) AS nd
+      FROM freq GROUP BY doc_id)
+    SELECT t.doc_id,
+           round(1.0 - len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE), 4)
+             AS dup_token_frac,
+           round((ng - nd) / CAST(ng AS DOUBLE), 4) AS dup_ngram_frac,
+           round(topc / CAST(ng AS DOUBLE), 4) AS top_ngram_frac
+    FROM toks t JOIN top USING (doc_id)
+"""
+
+
+@q("q_repetition_stats", _REPETITION_ORACLE)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition metrics (Gopher-style rules) in one
+    projection pass; the top-n-gram count is a sorted-array linear fold,
+    never the O(n²) per-gram rescan. Oracle recomputes via explode +
+    group-count."""
+    from astro_sdk_spark.functions.cleaning import repetition_stats
+
+    return repetition_stats(T(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------

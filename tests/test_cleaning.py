@@ -1,0 +1,100 @@
+"""Corpus-cleaning operators: PII redaction, decontamination, repetition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from astro_sdk_spark.functions.cleaning import (
+    decontaminate,
+    redact_pii,
+    repetition_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (1, "mail me at alice@example.com or bob.smith@corp.co.uk thanks"),
+        (2, "server at 192.168.1.100 and 10.0.0.1 are up"),
+        (3, "ssn is 123-45-6789 call +1 555 123 4567"),
+        (4, "nothing sensitive here at all"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_redact_pii_counts_and_replaces(pii_docs):
+    out = {r.doc_id: r for r in redact_pii(pii_docs).collect()}
+    assert out[1].n_email == 2 and "[email]" in out[1].text_redacted
+    assert "alice@example.com" not in out[1].text_redacted
+    assert out[2].n_ipv4 == 2 and out[2].text_redacted.count("[ipv4]") == 2
+    assert out[3].n_ssn == 1 and out[3].n_phone == 1
+    assert "[ssn]" in out[3].text_redacted and "[phone]" in out[3].text_redacted
+    assert out[4].n_pii == 0 and out[4].text_redacted == "nothing sensitive here at all"
+    assert out[1].n_pii == 2 and out[3].n_pii == 2
+
+
+def test_redact_pii_custom_kinds_and_token(pii_docs):
+    out = {
+        r.doc_id: r
+        for r in redact_pii(pii_docs, kinds=("email",), token="<PII>").collect()
+    }
+    assert "<PII>" in out[1].text_redacted
+    # ipv4 untouched when not requested
+    assert "192.168.1.100" in out[2].text_redacted
+    with pytest.raises(ValueError, match="Unknown PII kinds"):
+        redact_pii(pii_docs, kinds=("email", "iban"))
+
+
+def test_decontaminate_flag_and_drop(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words about gardening tips"),
+            (3, "partial overlap quick brown fox appears here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox is a benchmark sentence")],
+        "doc_id long, text string",
+    )
+    flags = {r.doc_id: r.n_benchmark_ngrams for r in decontaminate(corpus, bench).collect()}
+    assert 1 in flags and 3 in flags and 2 not in flags
+    clean = decontaminate(corpus, bench, mode="drop")
+    assert {r.doc_id for r in clean.collect()} == {2}
+    assert clean.columns == corpus.columns
+    with pytest.raises(ValueError, match="flag.*drop"):
+        decontaminate(corpus, bench, mode="purge")
+
+
+def test_decontaminate_min_hits(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma unrelated tail words")], "doc_id long, text string"
+    )
+    # shares exactly one distinct 3-gram ("alpha beta gamma")
+    assert decontaminate(corpus, bench, min_hits=1).count() == 1
+    assert decontaminate(corpus, bench, min_hits=2).count() == 0
+
+
+def test_repetition_stats_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),      # heavy 3-gram repetition
+            (2, "one two three four five six seven"),  # no repetition
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    # doc 1: 9 tokens, 3 distinct -> dup_token_frac = 1 - 3/9
+    assert out[1].dup_token_frac == pytest.approx(1 - 3 / 9, abs=1e-4)
+    # doc 1 grams: 7 total, 3 distinct ("a b c" x3, "b c a" x2, "c a b" x2)
+    assert out[1].dup_ngram_frac == pytest.approx(4 / 7, abs=1e-4)
+    assert out[1].top_ngram_frac == pytest.approx(3 / 7, abs=1e-4)
+    assert out[2].dup_token_frac == 0.0
+    assert out[2].dup_ngram_frac == 0.0
+    # doc 2: every 3-gram unique -> top is 1 of 5
+    assert out[2].top_ngram_frac == pytest.approx(1 / 5, abs=1e-4)
