@@ -29,6 +29,7 @@ from astro_sdk_spark.functions.similarity import (
     lsh_bucket_join,
     train_centroids,
 )
+from astro_sdk_spark.functions.pq import pq_encode, pq_topk, train_pq
 from astro_sdk_spark.functions.sampling import (
     concat_chunk_pack,
     deterministic_split,
@@ -68,6 +69,9 @@ __all__ = [
     "ivf_topk",
     "ann_recall",
     "train_centroids",
+    "train_pq",
+    "pq_encode",
+    "pq_topk",
     "token_stats",
     "quality_score",
     "lang_id",

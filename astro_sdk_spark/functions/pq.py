@@ -1,0 +1,259 @@
+"""Product quantization (PQ) for memory-bounded ANN at corpus scale.
+
+No reference counterpart (similarity-search extension, same family as
+``functions/similarity.py``). PQ splits each dim-``d`` vector into ``m``
+subvectors and replaces every subvector with the id of its nearest
+codeword from a per-subspace codebook of ``k`` entries — a ``d``-float
+vector becomes ``m`` small ints (32-128× compression), which is what makes
+a 100 TB embedding corpus searchable: the code table fits in executor
+memory, the raw vectors stay on disk. Queries scan codes with a
+precomputed per-query distance table (ADC — asymmetric distance
+computation): dist(q, x) ≈ Σ_s T[s][code_s(x)], one table lookup per
+subspace instead of a d-dim arithmetic pass. Jégou, Douze & Schmid,
+"Product Quantization for Nearest Neighbor Search" (TPAMI 2011); compose
+with ``similarity.ivf_topk``'s coarse lists for IVF-PQ (IVFADC).
+
+Scale shapes:
+- ``train_pq``: one ``mapInPandas`` pass per Lloyd iteration covering ALL
+  ``m`` subspaces at once; partitions emit ``m × k`` partial (count, sum)
+  rows — the vectors never reach the driver (same contract as
+  ``similarity.train_centroids``).
+- ``pq_encode``: one Arrow-batched numpy pass; codes are the only output.
+- ``pq_topk``: distance tables are driver-computed (``q × m × k`` floats,
+  tiny) and broadcast; each partition emits only its LOCAL top-k per
+  query, so the global sort sees ``partitions × queries × k`` rows, never
+  the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_matrix(col):
+    import numpy as np
+
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _check_codebooks(codebooks) -> tuple[int, int, int]:
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    if cb.ndim != 3:
+        raise ValueError(
+            f"codebooks must be (m, k, dsub)-shaped, got {cb.shape}"
+        )
+    return cb.shape
+
+
+def train_pq(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: an independent L2 k-means per subspace, all
+    ``m`` subspaces advanced in the SAME ``mapInPandas`` pass per
+    iteration. Returns plain nested lists (m × k × d/m) — small enough to
+    inline/broadcast, deliberately not a DataFrame.
+
+    Seeding is deterministic and order-independent: the ``k`` vectors
+    with the smallest ``xxhash64(id, seed)`` provide the initial
+    codewords for every subspace. Empty cells keep their codeword."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    seeds = (
+        vecs.withColumn("_h", F.xxhash64(F.col("_id").cast("string"), F.lit(seed)))
+        .orderBy("_h", "_id")
+        .limit(k)
+        .select("_v")
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(seeds)}")
+    seed_mat = _as_matrix([r._v for r in seeds])
+    dim = seed_mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    # cb[s] : (k, dsub)
+    cb = np.stack([seed_mat[:, s * dsub:(s + 1) * dsub] for s in range(m)])
+
+    only_vecs = vecs.select("_v")
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cb)
+
+        def _partials(batches):
+            cbl = bc.value
+            m_, k_, dsub_ = cbl.shape
+            sums = np.zeros((m_, k_, dsub_))
+            counts = np.zeros((m_, k_), dtype=np.int64)
+            cb_sq = (cbl ** 2).sum(axis=2)  # (m, k)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = _as_matrix(pdf["_v"])          # (n, d)
+                xs = mat.reshape(len(mat), m_, dsub_)  # (n, m, dsub)
+                for s in range(m_):
+                    # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant
+                    # per row, irrelevant to the argmin
+                    d2 = cb_sq[s] - 2.0 * (xs[:, s, :] @ cbl[s].T)  # (n, k)
+                    cid = d2.argmin(axis=1)
+                    for c in np.unique(cid):
+                        mask = cid == c
+                        sums[s, c] += xs[mask, s, :].sum(axis=0)
+                        counts[s, c] += int(mask.sum())
+            rows = []
+            for s in range(m_):
+                for c in range(k_):
+                    rows.append((s, c, int(counts[s, c]), sums[s, c].tolist()))
+            yield pd.DataFrame(rows, columns=["sub", "cid", "n", "s"])
+
+        partials = only_vecs.mapInPandas(
+            _partials, "sub long, cid long, n long, s array<double>"
+        ).collect()  # n_partitions × m × k rows — bounded, never the data
+        bc.unpersist()
+        sums = np.zeros_like(cb)
+        counts = np.zeros((m, k), dtype=np.int64)
+        for row in partials:
+            sums[row.sub, row.cid] += np.asarray(row.s)
+            counts[row.sub, row.cid] += row.n
+        new_cb = cb.copy()
+        for s in range(m):
+            ne = counts[s] > 0
+            new_cb[s, ne] = sums[s, ne] / counts[s, ne, None]
+        if np.allclose(new_cb, cb, atol=1e-9):
+            cb = new_cb
+            break
+        cb = new_cb
+    return [[list(map(float, cw)) for cw in sub] for sub in cb]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors into PQ codes: ``(id_col, code_col array<int>)``.
+
+    One Arrow-batched numpy pass; per subspace the argmin is a
+    (batch × k) matmul. Ties go to the smallest codeword index (numpy
+    argmin), mirroring the SQL oracle's (dist, code) ordering."""
+    import numpy as np
+    import pandas as pd
+
+    m, k, dsub = _check_codebooks(codebooks)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        np.asarray(codebooks, dtype=np.float64)
+    )
+
+    def _encode(batches):
+        cbl = bc.value
+        cb_sq = (cbl ** 2).sum(axis=2)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _as_matrix(pdf["_v"])
+            xs = mat.reshape(len(mat), m, dsub)
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for s in range(m):
+                d2 = cb_sq[s] - 2.0 * (xs[:, s, :] @ cbl[s].T)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"_id": pdf["_id"].values, "_code": [c.tolist() for c in codes]}
+            )
+
+    out = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).mapInPandas(_encode, "_id long, _code array<int>")
+    return out.select(F.col("_id").alias(id_col), F.col("_code").alias(code_col))
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """ADC top-k over PQ codes → ``(query_id, vec_id, adist, rank)``.
+
+    The per-query distance tables (m × k floats each) are computed on the
+    driver from the collected query set (queries are the contractually
+    small side, same as ``cosine_topk``) and broadcast. Each partition
+    scans its codes with table lookups and keeps only its local top-k per
+    query, so the final exact rank runs over ``partitions × |q| × k``
+    rows. ``adist`` is the ADC approximation of squared L2 distance,
+    rounded before ranking (rank-on-rounded, vec_id tiebreak) so results
+    are engine-stable."""
+    import numpy as np
+    import pandas as pd
+
+    m, kc, dsub = _check_codebooks(codebooks)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    qrows = queries.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    qids = [r._qid for r in qrows]
+    qmat = _as_matrix([r._qv for r in qrows]).reshape(len(qrows), m, dsub)
+    # tables[q, s, j] = ||q_s - c_sj||²
+    tables = ((qmat[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+
+    spark = codes.sparkSession
+    bc = spark.sparkContext.broadcast((qids, tables))
+    local_k = k
+
+    def _scan(batches):
+        qids_l, tables_l = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            code_mat = np.stack([np.asarray(c) for c in pdf["_code"]])  # (n, m)
+            ids = pdf["_id"].values
+            out_q, out_id, out_d = [], [], []
+            for qi, qid in enumerate(qids_l):
+                # gather: per subspace, look up this query's distance to
+                # each row's codeword, then sum over subspaces
+                d = np.zeros(len(code_mat))
+                for s in range(tables_l.shape[1]):
+                    d += tables_l[qi, s, code_mat[:, s]]
+                top = min(local_k, len(d))
+                idx = np.argpartition(d, top - 1)[:top]
+                out_q += [qid] * top
+                out_id += ids[idx].tolist()
+                out_d += d[idx].tolist()
+            yield pd.DataFrame({"_qid": out_q, "_id": out_id, "_d": out_d})
+
+    scanned = codes.select(
+        F.col(id_col).alias("_id"), F.col(code_col).alias("_code")
+    ).mapInPandas(_scan, "_qid long, _id long, _d double")
+
+    adist = F.round("_d", round_digits) if round_digits is not None else F.col("_d")
+    ranked = scanned.select(
+        F.col("_qid").alias("query_id"),
+        F.col("_id").alias(id_col),
+        adist.alias("adist"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy("adist", id_col)
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k)

@@ -1941,6 +1941,79 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Product quantization (functions/pq.py): encode + ADC top-k.
+# Codebooks here are the subvectors of the 16 lowest vec_ids (deterministic,
+# same device as q_ivf_topk's id-sample centroids) so the oracle can rebuild
+# them; the k-means-trained path is exercised in tests/test_pq.py.
+
+_PQ_ORACLE = """
+    WITH cwsrc AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 16),
+    cb AS (
+      SELECT s.s AS sub, code_id,
+             list_slice(v, s.s*16 + 1, s.s*16 + 16) AS cvec
+      FROM cwsrc CROSS JOIN range(4) s(s)),
+    docs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subv AS (
+      SELECT vec_id, s.s AS sub, list_slice(v, s.s*16 + 1, s.s*16 + 16) AS sv
+      FROM docs CROSS JOIN range(4) s(s)),
+    dists AS (
+      SELECT d.vec_id, d.sub, cb.code_id,
+             list_sum(list_transform(range(1, 17),
+                      i -> (d.sv[i] - cb.cvec[i]) * (d.sv[i] - cb.cvec[i])))
+               AS dist
+      FROM subv d JOIN cb USING (sub)),
+    codes AS (
+      SELECT vec_id, sub, code_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, sub ORDER BY dist, code_id) AS rn
+        FROM dists) WHERE rn = 1),
+    qd AS (
+      SELECT s.vec_id AS query_id, cb.sub, cb.code_id,
+             list_sum(list_transform(range(1, 17),
+                      i -> (s.sv[i] - cb.cvec[i]) * (s.sv[i] - cb.cvec[i])))
+               AS qdist
+      FROM subv s JOIN cb USING (sub) WHERE s.vec_id < 8),
+    adc AS (
+      SELECT qd.query_id, c.vec_id, sum(qd.qdist) AS adist
+      FROM codes c JOIN qd ON c.sub = qd.sub AND c.code_id = qd.code_id
+      GROUP BY qd.query_id, c.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, round(adist, 4) AS adist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY round(adist, 4), vec_id) AS rank
+      FROM adc)
+    SELECT query_id, vec_id, adist, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@q("q_pq_topk", _PQ_ORACLE)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: encode every embedding into 4 sub-codes
+    (16 codewords each), then ADC top-10 for 8 queries. The oracle
+    replicates encode + table-lookup scoring exactly from the same
+    deterministic codebooks."""
+    from astro_sdk_spark.functions.pq import pq_encode, pq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    cw = (
+        emb.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    m, dsub = 4, 16
+    codebooks = [
+        [[float(r.embedding[s * dsub + t]) for t in range(dsub)] for r in cw]
+        for s in range(m)
+    ]
+    codes = pq_encode(emb, codebooks)
+    return pq_topk(codes, codebooks, emb.filter(F.col("vec_id") < 8), k=10)
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries

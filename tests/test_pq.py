@@ -1,0 +1,91 @@
+"""Product quantization: trainer determinism, encode/ADC correctness,
+and recall of the trained path on clustered data."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from astro_sdk_spark.functions.pq import pq_encode, pq_topk, train_pq
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """400 vectors in 8 tight clusters (dim 16) + their ids."""
+    rng = random.Random(11)
+    centers = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(8)]
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in c]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_train_pq_shapes_and_determinism(clustered):
+    cb1 = train_pq(clustered, m=4, k=8, iters=3)
+    cb2 = train_pq(clustered, m=4, k=8, iters=3)
+    assert len(cb1) == 4 and len(cb1[0]) == 8 and len(cb1[0][0]) == 4
+    assert cb1 == cb2
+
+
+def test_train_pq_validates_divisibility(clustered):
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq(clustered, m=5, k=8, iters=1)
+
+
+def test_pq_encode_codes_in_range(clustered):
+    cb = train_pq(clustered, m=4, k=8, iters=2)
+    codes = pq_encode(clustered, cb)
+    assert codes.columns == ["vec_id", "pq_code"]
+    rows = codes.collect()
+    assert len(rows) == 400
+    for r in rows:
+        assert len(r.pq_code) == 4
+        assert all(0 <= c < 8 for c in r.pq_code)
+
+
+def test_pq_topk_finds_query_cluster(clustered):
+    # Quantization collapses each tight cluster to (nearly) one code word
+    # per subspace, so ADC cannot order WITHIN a cluster (ties broken by
+    # vec_id) — the contract PQ can honor here is cluster-level: every
+    # returned neighbor belongs to the query's cluster.
+    cb = train_pq(clustered, m=4, k=8, iters=5)
+    codes = pq_encode(clustered, cb)
+    queries = clustered.filter(F.col("vec_id") < 4)
+    got = pq_topk(codes, cb, queries, k=10)
+    by_q: dict[int, list[int]] = {}
+    for r in got.orderBy("query_id", "rank").collect():
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    assert set(by_q) == {0, 1, 2, 3}
+    total, same_cluster = 0, 0
+    for qid, ids in by_q.items():
+        assert len(ids) == 10
+        same_cluster += sum(1 for vid in ids if vid % 8 == qid % 8)
+        total += 10
+    assert same_cluster / total >= 0.9, f"cluster accuracy {same_cluster/total:.2f}"
+
+
+def test_pq_topk_rank_contract(clustered):
+    cb = train_pq(clustered, m=4, k=8, iters=2)
+    codes = pq_encode(clustered, cb)
+    out = pq_topk(codes, cb, clustered.filter(F.col("vec_id") == 0), k=5)
+    rows = out.orderBy("rank").collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    # adist non-decreasing with rank; self should be rank 1 (dist ~0)
+    dists = [r.adist for r in rows]
+    assert dists == sorted(dists)
+    assert rows[0].vec_id == 0
+
+
+def test_pq_topk_empty_queries_raises(clustered):
+    cb = train_pq(clustered, m=4, k=8, iters=1)
+    codes = pq_encode(clustered, cb)
+    with pytest.raises(ValueError, match="queries is empty"):
+        pq_topk(codes, cb, clustered.filter(F.col("vec_id") < 0))
+
+
+def test_codebook_shape_validation(clustered):
+    with pytest.raises(ValueError, match="codebooks"):
+        pq_encode(clustered, [[1.0, 2.0]])
