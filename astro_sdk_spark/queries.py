@@ -2026,6 +2026,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TAIL_VARIANTS = [
     # variant pushed to tail        family representative(s) still in window
+    "q_neardup_renamed_cols",  # minhash: q_minhash_neardup (same oracle)
     "q_cube",              # aggregation: q_rollup, q_grouping_sets, q_pivot
     "q_distinct_counts",   # aggregation: q_pricing_summary, q_group_having
     "q_window_extended",   # windows: q_window_topk, q_window_running
