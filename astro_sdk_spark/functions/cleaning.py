@@ -27,6 +27,31 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+def _check_kinds(kinds: tuple[str, ...]) -> None:
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"Unknown PII kinds {sorted(unknown)}; "
+                         f"available: {sorted(PII_PATTERNS)}")
+
+
+def redact_col(
+    text,
+    kinds: tuple[str, ...] = ("email", "ipv4", "ssn", "phone"),
+    token: str = "[{kind}]",
+) -> Column:
+    """Redacted-text Column expression: a chain of ``regexp_replace``
+    calls in ``kinds`` order, fused into whole-stage codegen. Usable
+    in-place (``withColumn(text_col, redact_col(...))``) so pipelines
+    redact without a join."""
+    _check_kinds(kinds)
+    redacted: Column = text if isinstance(text, Column) else F.col(text)
+    for kind in kinds:
+        redacted = F.regexp_replace(
+            redacted, PII_PATTERNS[kind], token.format(kind=kind)
+        )
+    return redacted
+
+
 def redact_pii(
     df: DataFrame,
     text_col: str = "text",
@@ -37,25 +62,18 @@ def redact_pii(
     """Replace PII matches with a redaction token and count matches per
     kind. Returns ``(id_col, <text_col>_redacted, n_<kind>..., n_pii)``.
 
-    One projection pass — a chain of ``regexp_replace``/``regexp_count``
-    expressions fused into whole-stage codegen; order follows ``kinds``
-    (count before replace, and e.g. SSNs are counted before a phone
-    pattern could consume them)."""
-    unknown = set(kinds) - set(PII_PATTERNS)
-    if unknown:
-        raise ValueError(f"Unknown PII kinds {sorted(unknown)}; "
-                         f"available: {sorted(PII_PATTERNS)}")
-    redacted: Column = F.col(text_col)
-    counts = []
-    for kind in kinds:
-        pat = PII_PATTERNS[kind]
-        counts.append(
-            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
-        )
-        redacted = F.regexp_replace(redacted, pat, token.format(kind=kind))
+    One projection pass — ``regexp_count`` per kind plus the
+    :func:`redact_col` replace chain; counts run against the ORIGINAL
+    text (e.g. SSNs are counted before a phone pattern could consume
+    them)."""
+    _check_kinds(kinds)
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[k])).alias(f"n_{k}")
+        for k in kinds
+    ]
     out = df.select(
         F.col(id_col),
-        redacted.alias(f"{text_col}_redacted"),
+        redact_col(F.col(text_col), kinds, token).alias(f"{text_col}_redacted"),
         *counts,
     )
     total = sum((F.col(f"n_{k}") for k in kinds[1:]), F.col(f"n_{kinds[0]}"))

@@ -60,25 +60,31 @@ def stopword_ratio(text, stopwords: list[str] | None = None) -> Column:
     return n_stop / F.size(toks)
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Composite quality score in [0,1]: length band + lexical diversity +
-    stopword presence (a Gopher-rules-style heuristic filter)."""
-    t = F.col(text_col)
-    n_tok = token_count(t)
+def quality_score_col(text) -> Column:
+    """Composite quality score in [0,1] as a single Column expression:
+    length band + lexical diversity + stopword presence (a
+    Gopher-rules-style heuristic filter). Usable directly in filters
+    (e.g. the streaming clean-ingest quality gate) without a join."""
+    n_tok = token_count(text)
     length_ok = (n_tok >= 5) & (n_tok <= 100000)
-    ttr = type_token_ratio(t)
-    sw = stopword_ratio(t)
-    score = (
+    ttr = type_token_ratio(text)
+    sw = stopword_ratio(text)
+    return (
         length_ok.cast("double") * 0.4
         + F.least(ttr * 2, F.lit(1.0)) * 0.3
         + F.least(sw * 10, F.lit(1.0)) * 0.3
     )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality diagnostics; see :func:`quality_score_col`."""
+    t = F.col(text_col)
     return df.select(
         F.col(id_col),
-        n_tok.alias("n_tokens"),
-        F.round(ttr, 4).alias("ttr"),
-        F.round(sw, 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        token_count(t).alias("n_tokens"),
+        F.round(type_token_ratio(t), 4).alias("ttr"),
+        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
+        F.round(quality_score_col(t), 4).alias("quality_score"),
     )
 
 

@@ -8,7 +8,12 @@ identical (Structured Streaming's core design), so the batch oracles in
 the same logic the streaming path runs.
 """
 
-from astro_sdk_spark.streaming.ingest import admit_batch, stream_ingest_neardup
+from astro_sdk_spark.streaming.ingest import (
+    admit_batch,
+    clean_batch,
+    stream_clean_ingest,
+    stream_ingest_neardup,
+)
 from astro_sdk_spark.streaming.ops import (
     read_events_stream,
     session_window_agg,
@@ -29,6 +34,8 @@ __all__ = [
     "stream_to_table",
     "stateful_user_stats",
     "admit_batch",
+    "clean_batch",
+    "stream_clean_ingest",
     "stream_ingest_neardup",
     "ContinuousAggregate",
     "time_bucket",

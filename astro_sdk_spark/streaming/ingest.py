@@ -143,3 +143,96 @@ def stream_ingest_neardup(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def clean_batch(
+    batch: DataFrame,
+    corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.0,
+    pii_kinds: tuple[str, ...] | None = ("email", "ipv4", "ssn", "phone"),
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Full cleaning admission for one batch: quality gate → PII redaction
+    → exact/near self-dedup → near-dedup vs corpus (``admit_batch``).
+
+    The gate and the redaction are pure Column expressions folded into one
+    projection (no joins): ``quality_score_col`` filters, ``redact_col``
+    rewrites ``text_col`` IN PLACE before any hashing — so dedup operates
+    on redacted text, and two documents identical up to their embedded
+    PII (the same form letter sent to different addresses) correctly
+    collapse to one."""
+    from astro_sdk_spark.functions.cleaning import redact_col
+    from astro_sdk_spark.functions.text import quality_score_col
+
+    if min_quality > 0.0:
+        batch = batch.filter(quality_score_col(F.col(text_col)) >= min_quality)
+    if pii_kinds:
+        batch = batch.withColumn(text_col, redact_col(F.col(text_col), pii_kinds))
+    return admit_batch(
+        batch, corpus, text_col, id_col, threshold,
+        num_hashes, bands, shingle_k, corpus_sigs=corpus_sigs,
+    )
+
+
+def stream_clean_ingest(
+    docs_stream: DataFrame,
+    accepted_table: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.0,
+    pii_kinds: tuple[str, ...] | None = ("email", "ipv4", "ssn", "phone"),
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    trigger_once: bool = True,
+):
+    """End-to-end streaming corpus builder: every micro-batch is quality-
+    gated, PII-redacted, self-deduped, and near-deduped against everything
+    already accepted, then appended (with its signatures) to
+    ``accepted_table`` — the one pipeline a training-data team actually
+    deploys. Identical signature-store economics to
+    :func:`stream_ingest_neardup`: per-batch cost is O(batch + collisions);
+    the accepted corpus text is never re-read."""
+    sigs_table = sigs_table_name(accepted_table)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        have_sigs = spark.catalog.tableExists(sigs_table)
+        have_corpus = spark.catalog.tableExists(accepted_table)
+        try:
+            if have_corpus and not have_sigs:
+                minhash_signatures(
+                    spark.table(accepted_table), text_col, id_col,
+                    num_hashes, shingle_k,
+                ).write.mode("append").saveAsTable(sigs_table)
+                have_sigs = True
+            corpus_sigs = spark.table(sigs_table) if have_sigs else None
+            admitted = clean_batch(
+                batch, None, text_col, id_col, min_quality, pii_kinds,
+                threshold, num_hashes, bands, shingle_k,
+                corpus_sigs=corpus_sigs,
+            ).persist()
+            admitted.write.mode("append").saveAsTable(accepted_table)
+            minhash_signatures(
+                admitted, text_col, id_col, num_hashes, shingle_k
+            ).write.mode("append").saveAsTable(sigs_table)
+            admitted.unpersist()
+        finally:
+            release_intermediates()
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

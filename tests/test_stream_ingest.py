@@ -150,3 +150,76 @@ def test_admit_batch_empty_corpus_keeps_unique_docs(spark):
     )
     admitted = admit_batch(df, None, **LSH)
     assert {r.doc_id for r in admitted.collect()} == {1, 3}
+
+
+def test_clean_batch_quality_and_redaction(spark):
+    from astro_sdk_spark.streaming.ingest import clean_batch
+
+    rows = [
+        (1, "the cat sat on the mat and it was a fine day for the cat"),
+        (2, "short junk"),  # fails the length band of the quality gate
+        (3, "write to alice@example.com about the cat on the mat and the fine day it was"),
+        (4, "write to bob@other.org about the cat on the mat and the fine day it was"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_batch(df, min_quality=0.5, threshold=0.7)
+    got = {r.doc_id: r.text for r in out.collect()}
+    # doc 2 gated out on quality; docs 3/4 identical AFTER redaction ->
+    # exact dedup keeps only the min id
+    assert set(got) == {1, 3}
+    assert "[email]" in got[3] and "alice@example.com" not in got[3]
+
+
+def test_clean_batch_no_redaction_keeps_both(spark):
+    from astro_sdk_spark.streaming.ingest import clean_batch
+
+    rows = [
+        (3, "write to alice@example.com about the cat on the mat and the fine day it was"),
+        (4, "write to bob@other.org about the cat on the mat and the fine day it was"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # Without redaction the two letters differ by one token (jaccard of
+    # 3-shingles < 0.7) - both survive; with redaction they collapse.
+    out = clean_batch(df, pii_kinds=None, threshold=0.7)
+    assert out.count() == 2
+
+
+def test_stream_clean_ingest_matches_sequential(spark, docs, tmp_path):
+    from astro_sdk_spark.streaming.ingest import clean_batch, stream_clean_ingest
+
+    CLEAN = dict(min_quality=0.3, pii_kinds=("email", "ipv4"), **LSH)
+    lo = docs.filter(F.col("doc_id") < 250)
+    hi = docs.filter(F.col("doc_id") >= 250)
+
+    acc1 = clean_batch(lo, None, "text", "doc_id", **CLEAN)
+    sigs1 = minhash_signatures(acc1, "text", "doc_id", LSH["num_hashes"], LSH["shingle_k"])
+    acc2 = clean_batch(hi, None, "text", "doc_id", corpus_sigs=sigs1, **CLEAN)
+    expect = {r.doc_id for r in acc1.select("doc_id").collect()} | {
+        r.doc_id for r in acc2.select("doc_id").collect()
+    }
+
+    d = str(tmp_path / "docs_clean_stream")
+    lo.coalesce(1).write.mode("overwrite").parquet(d)
+    hi.coalesce(1).write.mode("append").parquet(d)
+
+    _drop(spark, "accepted_clean")
+    _drop(spark, sigs_table_name("accepted_clean"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = stream_clean_ingest(
+        stream, "accepted_clean", str(tmp_path / "ckpt_clean"), **CLEAN
+    )
+    q.awaitTermination(300)
+
+    got = {r.doc_id for r in spark.table("accepted_clean").select("doc_id").collect()}
+    assert got == expect and len(got) > 0
+    sig_ids = {
+        r.doc_id
+        for r in spark.table(sigs_table_name("accepted_clean")).select("doc_id").collect()
+    }
+    assert sig_ids == got
+    _drop(spark, "accepted_clean")
+    _drop(spark, sigs_table_name("accepted_clean"))
