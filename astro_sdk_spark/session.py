@@ -53,6 +53,12 @@ def get_session(
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # janino codegen class cache is a 100-entry LRU by default; a
+        # session running many distinct wide-aggregate queries (this
+        # library registers 60+) evicts and recompiles constantly —
+        # compile is ~70% of a cold LSH-query run. Static conf: must be
+        # set before the first session is created.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -6,12 +6,17 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion (count() of the result — forces the
 full plan without driver-side data transfer) and timed wall-clock.
 
-Methodology: before timing, every query runs once at sf0.001 (tiny data,
-same plans). That compiles the Catalyst plans and janino codegen units
-up front — for the wide-aggregate LSH pipelines this one-time compile is
-~70% of a cold run and is amortized to nothing at real scale, so the
-timed pass measures steady-state throughput at the target SF (scan,
-shuffle, and compute included; set SPARK_GRAFT_NO_WARMUP=1 to skip).
+Methodology: immediately before timing, each query runs once at sf0.001
+(tiny data, same plans). That compiles the Catalyst plans and janino
+codegen units — for the wide-aggregate LSH pipelines this one-time
+compile is ~70% of a cold run and is amortized to nothing at real scale,
+so the timed pass measures steady-state throughput at the target SF
+(scan, shuffle, and compute included; set SPARK_GRAFT_NO_WARMUP=1 to
+skip). Warmup is per-query (warm A, time A, warm B, time B, ...) rather
+than one up-front pass: the JVM's codegen class cache is a bounded LRU,
+and with 60 queries an up-front pass evicts the early queries' compiled
+units before the timed loop reaches them, re-introducing exactly the
+compile cost warmup exists to amortize.
 """
 
 from __future__ import annotations
@@ -37,18 +42,17 @@ def main() -> None:
     # warm the JVM/codegen once on a trivial action
     spark.range(1).count()
 
-    if not os.environ.get("SPARK_GRAFT_NO_WARMUP"):
-        warm_dir = "/root/testdata/sf0.001"
-        if os.path.isdir(warm_dir):
-            for name, fn in spark_queries().items():
-                try:
-                    fn(spark, warm_dir).count()
-                except Exception:  # noqa: BLE001 - warmup is best-effort
-                    pass
-            spark.catalog.clearCache()
+    warm_dir = "/root/testdata/sf0.001"
+    do_warm = not os.environ.get("SPARK_GRAFT_NO_WARMUP") and os.path.isdir(warm_dir)
 
     timings: dict[str, float] = {}
     for name, fn in spark_queries().items():
+        if do_warm:
+            try:
+                fn(spark, warm_dir).count()
+            except Exception:  # noqa: BLE001 - warmup is best-effort
+                pass
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
