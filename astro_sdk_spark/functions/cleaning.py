@@ -126,6 +126,67 @@ def decontaminate(
     return corpus.join(hits.select(id_col), id_col, "left_anti")
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """C4-style line-level corpus dedup: every duplicate occurrence of a
+    line ACROSS the whole corpus is removed, keeping only the first
+    occurrence (lowest ``(id, position)``); lines shorter than
+    ``min_chars`` are always kept (too short to be meaningful
+    boilerplate). Documents are reassembled in original line order.
+
+    Returns ``(id_col, text_col, n_lines, n_kept)`` — one row per input
+    document, including documents whose every line was removed
+    (``text_col`` is then the empty string), so callers can decide their
+    own empty-doc policy.
+
+    Scale shape: exactly two shuffles — (1) a window partitioned by the
+    line text (the same exchange a ``groupBy(line)`` would use) marks the
+    first occurrence; (2) a ``groupBy(id)`` reassembles. The line split is
+    a map-side ``posexplode``; reassembly sorts each document's surviving
+    lines with ``array_sort`` over ``(pos, line)`` structs (per-group
+    memory is one document's lines — bounded by max doc size, not corpus
+    size). No Python UDFs, no driver-side iteration.
+    """
+    import re as _re
+
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), F.lit(_re.escape(delimiter)), -1)
+        ).alias("_pos", "_line"),
+    )
+    w = Window.partitionBy("_line").orderBy(id_col, "_pos")
+    keep = (F.row_number().over(w) == 1) | (F.length("_line") < min_chars)
+    marked = lines.withColumn("_keep", keep)
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"), F.struct("_pos", "_line")
+                            )
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                delimiter,
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("_keep").cast("int")).alias("n_kept"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

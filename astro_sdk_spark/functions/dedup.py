@@ -649,3 +649,88 @@ def embedding_near_dup(
     return cands.select(
         "id_a", "id_b", cosine_similarity_col(F.col("_va"), F.col("_vb")).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "pairs",
+    cluster_cap: int | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest centroid by
+    cosine, then compare pairs ONLY within a cluster — the cluster step
+    turns the corpus-quadratic similarity problem into a sum of small
+    cluster-quadratic ones.
+
+    ``mode='pairs'`` returns ``(id_a, id_b, cosine)`` for within-cluster
+    pairs with rounded cosine >= ``threshold``; ``mode='keep'`` returns the
+    deduplicated ``emb`` rows, dropping the HIGHER id of every such pair
+    (deterministic min-id-wins, matching the text-dedup keep rule; for
+    transitive closure feed the pairs through :func:`near_dup_clusters`).
+
+    Scale shape: centroid assignment is the IVF build pass — one broadcast
+    of the small centroid set, no shuffle (``similarity.py:ivf_topk``
+    shares it). Pair generation shuffles members by cluster id once and
+    self-joins co-partitioned, so cost is Σ|cluster|², governed by k (pick
+    k ≈ N/target_cluster_size; SemDeDup uses k in the tens of thousands at
+    100M-document scale). ``cluster_cap`` bounds adversarial mega-clusters:
+    members beyond the cap (in id order) skip pairing — same safety valve
+    as the LSH ``bucket_cap``. ``centroids`` is caller-supplied
+    (:func:`~astro_sdk_spark.functions.similarity.train_centroids`, a
+    coreset, or a deterministic sample) so the operator stays deterministic
+    and engine-checkable."""
+    from astro_sdk_spark.functions.similarity import cosine_similarity_col
+
+    if mode not in ("pairs", "keep"):
+        raise ValueError(f"mode must be 'pairs' or 'keep', got {mode!r}")
+    cent = centroids.select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_centvec")
+    )
+    scored = emb.select(id_col, vec_col).crossJoin(F.broadcast(cent)).select(
+        F.col(id_col),
+        "cent_id",
+        F.round(
+            cosine_similarity_col(F.col(vec_col), F.col("_centvec")), 4
+        ).alias("_csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "cent_id")
+    )
+    members = emb.select(id_col, vec_col).join(assigned, on=id_col)
+    if cluster_cap is not None:
+        cw = Window.partitionBy("cent_id").orderBy(id_col)
+        members = (
+            members.withColumn("_m", F.row_number().over(cw))
+            .filter(F.col("_m") <= cluster_cap)
+            .drop("_m")
+        )
+    a = members.select(
+        "cent_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = members.select(
+        "cent_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    pairs = (
+        a.join(b, on="cent_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_similarity_col(F.col("_va"), F.col("_vb")), round_digits
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    if mode == "pairs":
+        return pairs
+    drop = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates([id_col])
+    return emb.join(drop, on=id_col, how="left_anti")

@@ -180,3 +180,35 @@ def pack_greedy(
     bucketed = df.withColumn("bucket", hash_bucket(F.col(key_col), salt, n_buckets))
     out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in bucketed.schema.fields)
     return bucketed.groupBy("bucket").applyInPandas(pack, out_schema + ", pack_id long")
+
+
+def domain_mix(
+    df: DataFrame,
+    rates: dict[str, float],
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-domain downsampling — the mixture-rebalancing
+    pass of a pre-training pipeline (e.g. keep 100% of books, 30% of
+    common-crawl): a row survives iff its hash bucket falls under its
+    domain's keep-rate. Domains absent from ``rates`` use
+    ``default_rate``.
+
+    Pure projection (no shuffle, no RNG): decisions are
+    ``hash_bucket(key, salt) < rate·granularity`` — reproducible across
+    cluster sizes, stable under appends (a new document never flips an
+    old one's decision), and engine-portable, so mixtures are auditable
+    bit-for-bit. Rates compose with :func:`deterministic_split` under a
+    different salt (the decisions are independent)."""
+    for d, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {d!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    bucket = hash_bucket(F.col(key_col), salt)
+    rate = F.lit(default_rate)
+    for d, r in rates.items():
+        rate = F.when(F.col(domain_col) == d, F.lit(r)).otherwise(rate)
+    return df.filter(bucket < (rate * GRANULARITY).cast("bigint"))

@@ -8,7 +8,7 @@ no Python UDFs in any hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _WS = " "
@@ -125,3 +125,50 @@ def bpe_ish_token_count(text) -> Column:
     words = F.size(F.split(F.trim(text), r"\s+"))
     punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
     return words + punct
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document top-``top_n`` terms by TF-IDF — the standard keyword
+    extraction / document-signature pass. ``tfidf = tf · ln(N / df_t)``
+    with raw term counts (no length normalization — rank order within a
+    document is unchanged by it) and unsmoothed IDF (a term in every
+    document scores exactly 0).
+
+    Returns ``(id_col, term, tf, tfidf, rank)``, ``rank`` 1..top_n per
+    document, ties broken on term.
+
+    Scale shape: tokenize+explode is map-side; then three key-partitioned
+    shuffles, each on a natural key — groupBy (doc, term) for tf; a window
+    over term for document frequency (same exchange a groupBy(term) would
+    use, reusing the (doc,term) frame so corpus tokens are read once); a
+    window over doc for the final rank. The corpus document count N is a
+    one-row aggregate broadcast into the projection — never a driver
+    collect inside the plan."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    scored = (
+        tf.withColumn("_dft", dft)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("_n").cast("double") / F.col("_dft")),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )

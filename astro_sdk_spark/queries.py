@@ -1940,6 +1940,59 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(T(spark, sf_dir, "documents"))
 
 
+_LINE_DEDUP_ORACLE = """
+    WITH chunked AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(
+                 range(1, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) + 1),
+                 i -> array_to_string(
+                        string_split(text, ' ')[(i-1)*8+1 : i*8], ' ')
+               ), chr(10)) AS t2
+      FROM documents),
+    lines AS (
+      SELECT doc_id,
+             unnest(string_split(t2, chr(10))) AS line,
+             generate_subscripts(string_split(t2, chr(10)), 1) AS pos
+      FROM chunked),
+    marked AS (
+      SELECT doc_id, pos, line,
+             (row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
+              OR length(line) < 1) AS keep
+      FROM lines)
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE keep), '') AS text,
+           count(*) AS n_lines,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
+    FROM marked GROUP BY doc_id
+"""
+
+
+@q("q_line_dedup", _LINE_DEDUP_ORACLE)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level corpus dedup (functions/cleaning.py:line_dedup):
+    drop every duplicate occurrence of a line corpus-wide, keep the first
+    (lowest id, position), reassemble documents in order. The synthetic
+    corpus has no newlines, so both engines first chunk each text into
+    deterministic 8-token lines — the dedup machinery under test is
+    identical to what a real multi-line crawl would see (~5% of lines at
+    sf0.01 are corpus-level duplicates, from the planted near-dup docs)."""
+    from astro_sdk_spark.functions.cleaning import line_dedup
+
+    docs = T(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(1), nl),
+        lambda i: F.array_join(F.slice(toks, (i - 1) * 8 + 1, 8), " "),
+    )
+    chunked = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    return line_dedup(chunked)
+
+
 # --------------------------------------------------------------------------
 # Product quantization (functions/pq.py): encode + ADC top-k.
 # Codebooks here are the subvectors of the 16 lowest vec_ids (deterministic,
@@ -2014,6 +2067,111 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): nearest-centroid clustering + within-cluster
+# pairwise cosine. Centroids = the 16 lowest vec_ids (the same deterministic
+# device as q_ivf_topk) so the oracle replicates assignment exactly; the
+# k-means-trained path is exercised in tests.
+
+_SEMANTIC_ORACLE = """
+    WITH cent AS (
+      SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 16),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assign_scored AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY round(list_cosine_similarity(v, cvec), 4) DESC,
+                        cent_id) AS rk
+      FROM v CROSS JOIN cent),
+    assigned AS (SELECT vec_id, cent_id FROM assign_scored WHERE rk = 1),
+    m AS (SELECT a.cent_id, v.vec_id, v.v FROM v JOIN assigned a USING (vec_id)),
+    pairs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             round(list_cosine_similarity(x.v, y.v), 4) AS cosine
+      FROM m x JOIN m y
+        ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id)
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2
+"""
+
+
+@q("q_semantic_dedup", _SEMANTIC_ORACLE)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup (functions/dedup.py:semantic_dedup):
+    nearest-of-16-centroids assignment (broadcast, the IVF build pass),
+    then within-cluster pairwise cosine >= 0.2. Threshold is low because
+    this corpus has no engineered embedding near-dups (max pairwise cosine
+    ~0.51) — the check exercises clustering + co-partitioned pairing on
+    real collisions."""
+    from astro_sdk_spark.functions.dedup import semantic_dedup
+
+    emb = T(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, centroids=emb.filter(F.col("vec_id") < 16), threshold=0.2
+    )
+
+
+_TFIDF_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dft), 4) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tf, tfidf,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+    SELECT doc_id, term, tf, CAST(rank AS BIGINT) AS rank, tfidf
+    FROM ranked WHERE rank <= 3
+"""
+
+
+@q("q_tfidf", _TFIDF_ORACLE)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (functions/text.py:tf_idf):
+    tokenize once, three key-partitioned shuffles (tf groupBy, term-window
+    document frequency, per-doc rank), corpus N broadcast as a one-row
+    aggregate. Oracle recomputes the identical unsmoothed formula."""
+    from astro_sdk_spark.functions.text import tf_idf
+
+    out = tf_idf(T(spark, sf_dir, "documents"), top_n=3)
+    return out.select(
+        "doc_id", "term", "tf", F.col("rank").cast("long").alias("rank"), "tfidf"
+    )
+
+
+@q(
+    "q_domain_mix",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_DUCK_BUCKET.format(salt="mix", gran=10000)}
+          < CAST((CASE source WHEN 'src0' THEN 0.5
+                              WHEN 'src1' THEN 0.25
+                              WHEN 'src2' THEN 0.0
+                              ELSE 1.0 END) * 10000 AS BIGINT)
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture rebalancing (functions/sampling.py:domain_mix):
+    keep 50% of src0, 25% of src1, none of src2, all else — decisions are
+    pure hash-bucket projections, so the oracle reproduces exact
+    membership, not just proportions."""
+    from astro_sdk_spark.functions.sampling import domain_mix
+
+    docs = T(spark, sf_dir, "documents")
+    return domain_mix(
+        docs, rates={"src0": 0.5, "src1": 0.25, "src2": 0.0}, salt="mix"
+    ).select("doc_id", "source")
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -2027,6 +2185,10 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TAIL_VARIANTS = [
     # variant pushed to tail        family representative(s) still in window
     "q_neardup_renamed_cols",  # minhash: q_minhash_neardup (same oracle)
+    "q_merge_ignore",      # merge: q_merge_update
+    "q_date_funcs",        # scalar fns: q_scalar_funcs, q_json_extract
+    "q_window_running",    # windows: q_window_topk
+    "q_doc_fingerprint",   # text: q_token_stats
     "q_cube",              # aggregation: q_rollup, q_grouping_sets, q_pivot
     "q_distinct_counts",   # aggregation: q_pricing_summary, q_group_having
     "q_window_extended",   # windows: q_window_topk, q_window_running

@@ -98,3 +98,44 @@ def test_repetition_stats_values(spark):
     assert out[2].dup_ngram_frac == 0.0
     # doc 2: every 3-gram unique -> top is 1 of 5
     assert out[2].top_ngram_frac == pytest.approx(1 / 5, abs=1e-4)
+
+
+def test_line_dedup_removes_corpus_duplicates(spark):
+    from astro_sdk_spark.functions.cleaning import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\ncommon line\ngamma"),
+            (2, "common line\ndelta"),         # dup of doc 1's line -> removed
+            (3, "common line\ncommon line"),   # fully emptied
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert out[1].text == "alpha beta\ncommon line\ngamma"
+    assert out[2].text == "delta" and out[2].n_lines == 2 and out[2].n_kept == 1
+    # every input doc survives as a row, even when all its lines were dups
+    assert out[3].text == "" and out[3].n_kept == 0
+
+
+def test_line_dedup_min_chars_keeps_short_lines(spark):
+    from astro_sdk_spark.functions.cleaning import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x\nlong shared line"), (2, "x\nlong shared line")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, min_chars=2).collect()}
+    # the 1-char line is exempt from dedup in BOTH docs; the long one isn't
+    assert out[1].text == "x\nlong shared line"
+    assert out[2].text == "x"
+
+
+def test_line_dedup_custom_delimiter_is_literal(spark):
+    from astro_sdk_spark.functions.cleaning import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a.b.c"), (2, "b.z")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.text for r in line_dedup(docs, delimiter=".").collect()}
+    assert out[1] == "a.b.c" and out[2] == "z"

@@ -353,3 +353,56 @@ def test_dedup_corpus_custom_columns(spark, corpus):
     assert keep.columns == ["ident"]
     base = dedup_corpus(corpus, num_hashes=32, bands=8, threshold=0.5)
     assert {r.ident for r in keep.collect()} == {r.doc_id for r in base.collect()}
+
+
+# -- semantic_dedup (SemDeDup) ------------------------------------------------
+
+
+def _semdedup_fixture(spark):
+    # two tight clusters on orthogonal axes + one outlier direction;
+    # vectors 1/2 are near-identical, 3 is a looser member of cluster A
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid A (also a member)
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.98, 0.12, 0.0, 0.0]),
+        (3, [0.8, 0.5, 0.0, 0.0]),
+        (10, [0.0, 0.0, 1.0, 0.0]),  # centroid B
+        (11, [0.0, 0.0, 0.97, 0.2]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_pairs_within_cluster_only(spark):
+    from astro_sdk_spark.functions.dedup import semantic_dedup
+
+    emb = _semdedup_fixture(spark)
+    cents = emb.filter(F.col("vec_id").isin(0, 10))
+    pairs = semantic_dedup(emb, cents, threshold=0.95).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # high-sim pairs inside cluster A; nothing across clusters
+    assert (1, 2) in got and (0, 1) in got
+    assert all(not (a < 10 <= b) for a, b in got)
+
+
+def test_semantic_dedup_keep_drops_higher_id(spark):
+    from astro_sdk_spark.functions.dedup import semantic_dedup
+
+    emb = _semdedup_fixture(spark)
+    cents = emb.filter(F.col("vec_id").isin(0, 10))
+    kept = {
+        r.vec_id
+        for r in semantic_dedup(emb, cents, threshold=0.95, mode="keep").collect()
+    }
+    # 0 survives as the min of its dup-set; 10/11 are a cluster-B dup pair
+    assert 0 in kept and 3 in kept and 10 in kept
+    assert 1 not in kept and 2 not in kept and 11 not in kept
+
+
+def test_semantic_dedup_cluster_cap_bounds_pairing(spark):
+    from astro_sdk_spark.functions.dedup import semantic_dedup
+
+    emb = _semdedup_fixture(spark)
+    cents = emb.filter(F.col("vec_id").isin(0, 10))
+    pairs = semantic_dedup(emb, cents, threshold=0.0, cluster_cap=2).collect()
+    # only the 2 lowest ids per cluster may pair: one pair per cluster max
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1), (10, 11)}

@@ -123,3 +123,56 @@ def test_pack_greedy_matches_reference_walk(spark):
     # pack; then 100 starts pack3? greedy: after 700 (pack2, used=700),
     # 100 would exceed → pack3; 900 exceeds → pack4
     assert got == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_domain_mix_rates_and_determinism(spark):
+    from astro_sdk_spark.functions.sampling import domain_mix
+
+    rows = [(i, "heavy" if i % 2 else "light") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_mix(df, {"heavy": 0.25}, salt="t")
+    by_src = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["light"] == 1000            # default_rate=1.0 keeps all
+    assert 150 < by_src["heavy"] < 350        # ~25% of 1000
+    # decisions are per-row deterministic: repartitioning changes nothing
+    again = {r.doc_id for r in domain_mix(df.repartition(13), {"heavy": 0.25}, salt="t").collect()}
+    assert again == {r.doc_id for r in out.collect()}
+    # rate 0 removes the domain entirely
+    assert domain_mix(df, {"heavy": 0.0}, salt="t").filter("source='heavy'").count() == 0
+
+
+def test_domain_mix_validates_rates(spark):
+    import pytest as _pytest
+
+    from astro_sdk_spark.functions.sampling import domain_mix
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with _pytest.raises(ValueError):
+        domain_mix(df, {"a": 1.5})
+    with _pytest.raises(ValueError):
+        domain_mix(df, {"a": 0.5}, default_rate=-0.1)
+
+
+def test_tf_idf_ranks_distinctive_terms(spark):
+    from astro_sdk_spark.functions.text import tf_idf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra zebra zebra"),
+            (2, "common yak"),
+            (3, "common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tf_idf(docs, top_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    top1 = {d: rs[0] for d, rs in by_doc.items() for rs in [sorted(rs, key=lambda x: x.rank)]}
+    # 'common' is in every doc -> idf 0; distinctive terms win
+    assert top1[1].term == "zebra" and top1[1].tf == 3
+    assert top1[2].term == "yak"
+    import math
+    assert top1[1].tfidf == round(3 * math.log(3 / 1), 4)
+    # doc 3 has only a zero-idf term; it still gets ranked rows with tfidf 0
+    assert top1[3].term == "common" and top1[3].tfidf == 0.0
