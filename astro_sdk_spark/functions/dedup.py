@@ -684,25 +684,14 @@ def semantic_dedup(
     (:func:`~astro_sdk_spark.functions.similarity.train_centroids`, a
     coreset, or a deterministic sample) so the operator stays deterministic
     and engine-checkable."""
-    from astro_sdk_spark.functions.similarity import cosine_similarity_col
+    from astro_sdk_spark.functions.similarity import nearest_centroids
 
     if mode not in ("pairs", "keep"):
         raise ValueError(f"mode must be 'pairs' or 'keep', got {mode!r}")
-    cent = centroids.select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_centvec")
-    )
-    scored = emb.select(id_col, vec_col).crossJoin(F.broadcast(cent)).select(
-        F.col(id_col),
-        "cent_id",
-        F.round(
-            cosine_similarity_col(F.col(vec_col), F.col("_centvec")), 4
-        ).alias("_csim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_id"))
-    assigned = (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select(id_col, "cent_id")
+
+    assigned = nearest_centroids(
+        emb, centroids, id_col=id_col, vec_col=vec_col, n=1,
+        cent_id_col=id_col, cent_vec_col=vec_col,
     )
     members = emb.select(id_col, vec_col).join(assigned, on=id_col)
     if cluster_cap is not None:
@@ -712,11 +701,24 @@ def semantic_dedup(
             .filter(F.col("_m") <= cluster_cap)
             .drop("_m")
         )
+    # Precompute each member's L2 norm ONCE (|cluster| evaluations) instead
+    # of inside every pair's cosine (|cluster|² × 2 array traversals) — the
+    # pair stage then does a single dot product per pair. Same arithmetic,
+    # same values: sqrt(ΣxΣ)·sqrt(Σy²) either way.
+    from astro_sdk_spark.functions.similarity import _dot, _norm
+
+    members = members.withColumn("_nrm", _norm(F.col(vec_col)))
     a = members.select(
-        "cent_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+        "cent_id",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
     )
     b = members.select(
-        "cent_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+        "cent_id",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
     )
     pairs = (
         a.join(b, on="cent_id")
@@ -725,7 +727,8 @@ def semantic_dedup(
             "id_a",
             "id_b",
             F.round(
-                cosine_similarity_col(F.col("_va"), F.col("_vb")), round_digits
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                round_digits,
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

@@ -222,6 +222,99 @@ def lsh_bucket_join(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def nearest_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n: int = 1,
+    cent_id_col: str = "vec_id",
+    cent_vec_col: str = "embedding",
+    round_digits: int = 4,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """``(id_col, cent_id)`` — each vector's ``n`` nearest centroids by
+    cosine, rounded to ``round_digits`` before ranking, ties broken on
+    ascending centroid id (the determinism contract every oracle here
+    replicates).
+
+    This is THE inner loop of centroid-based indexing (IVF build +
+    probe, SemDeDup clustering): dense matrix × small-matrix. Default
+    path collects the centroid set to the driver (contractually small —
+    same device as PQ codebooks) and runs an Arrow-batched numpy matmul
+    per partition: one BLAS call replaces |df|·k interpreted
+    higher-order-function cosines (~100× on dim-64 data). Fallback
+    (``use_arrow=False`` or numpy absent): broadcast-join + HOF cosine,
+    norms precomputed once per side rather than once per pair."""
+    if use_arrow:
+        try:
+            import numpy as np
+            import pandas as pd  # noqa: F401 - mapInPandas interface
+        except ImportError:  # pragma: no cover - numpy ships with pyspark
+            use_arrow = False
+    if use_arrow:
+        cents = sorted(
+            centroids.select(cent_id_col, cent_vec_col).collect(),
+            key=lambda r: r[0],
+        )
+        cent_ids = np.array([r[0] for r in cents])
+        cmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in cents])
+        cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+        spark = df.sparkSession
+        id_type = dict(df.dtypes)[id_col]
+        cent_type = dict(centroids.dtypes)[cent_id_col]
+        out_schema = f"{id_col} {id_type}, cent_id {cent_type}"
+        b_cids = spark.sparkContext.broadcast(cent_ids)
+        b_cmat = spark.sparkContext.broadcast(cmat)
+        top_n = n
+
+        def _assign(batches):
+            cm = b_cmat.value
+            cid = b_cids.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vm = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+                )
+                vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+                sims = np.round(vm @ cm.T, round_digits)
+                # stable argsort of -sims: equal rounded cosines keep
+                # ascending centroid order — exactly ORDER BY sim DESC, id
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :top_n]
+                ids = pdf[id_col].to_numpy().repeat(order.shape[1])
+                yield pd.DataFrame(
+                    {id_col: ids, "cent_id": cid[order].ravel()}
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(_assign, out_schema)
+    cent = centroids.select(
+        F.col(cent_id_col).alias("cent_id"),
+        F.col(cent_vec_col).alias("_centvec"),
+        _norm(F.col(cent_vec_col)).alias("_cnrm"),
+    )
+    scored = (
+        df.select(id_col, vec_col)
+        .withColumn("_vnrm", _norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            "cent_id",
+            F.round(
+                _dot(F.col(vec_col), F.col("_centvec"))
+                / (F.col("_vnrm") * F.col("_cnrm")),
+                round_digits,
+            ).alias("_csim"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .select(id_col, "cent_id")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -246,23 +339,10 @@ def ivf_topk(
 
     Ranking determinism: cosines are rounded before every rank and ties
     break on ids, so the result is reproducible across engines."""
-    cent = centroids.select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_centvec")
-    )
-
     def _nearest(df: DataFrame, side_id: str, n: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent)).select(
-            F.col(side_id),
-            "cent_id",
-            F.round(
-                cosine_similarity_col(F.col(vec_col), F.col("_centvec")), 4
-            ).alias("_csim"),
-        )
-        w = Window.partitionBy(side_id).orderBy(F.desc("_csim"), F.asc("cent_id"))
-        return (
-            scored.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= n)
-            .select(side_id, "cent_id")
+        return nearest_centroids(
+            df, centroids, id_col=side_id, vec_col=vec_col, n=n,
+            cent_id_col=id_col, cent_vec_col=vec_col,
         )
 
     cand = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col))
