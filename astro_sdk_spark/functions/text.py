@@ -172,3 +172,63 @@ def tf_idf(
         .filter(F.col("rank") <= top_n)
         .select(id_col, "term", "tf", "tfidf", "rank")
     )
+
+
+def lm_score(
+    corpus: DataFrame,
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Language-model quality scoring, CCNet-style (Wenzek et al. 2020):
+    fit a unigram model with add-k smoothing on ``corpus`` (the reference
+    text — CCNet uses Wikipedia), then score ``docs`` (default: the corpus
+    itself) by mean token log-probability. Low-probability documents are
+    gibberish/boilerplate; high are reference-like. Returns
+    ``(id_col, n_tokens, avg_logprob, perplexity)`` with
+    ``perplexity = exp(-avg_logprob)``.
+
+    Model: ``P(w) = (c(w)+k) / (T + k·(V+1))`` — unseen tokens take the
+    ``c=0`` slot. (CCNet's KenLM is a 5-gram; the unigram keeps the
+    operator closed over built-ins — same pipeline shape, pluggable
+    numerator.)
+
+    Scale shape: the model is a groupBy(term) count — one shuffle of
+    corpus tokens; scoring is a shuffle join of doc tokens against the
+    model on term (AQE broadcasts it when the vocabulary is small) plus
+    one groupBy(doc). The scalar normalizers (T, V) ride in as a one-row
+    broadcast aggregate, never a driver collect."""
+    if docs is None:
+        docs = corpus
+
+    def _toks(df: DataFrame):
+        norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+        return F.split(norm, " ")
+
+    model = (
+        corpus.select(F.explode(_toks(corpus)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    totals = model.agg(
+        F.sum("_c").alias("_T"), F.count(F.lit(1)).alias("_V")
+    )
+    doc_terms = docs.select(F.col(id_col), F.explode(_toks(docs)).alias("term"))
+    scored = (
+        doc_terms.join(model, on="term", how="left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(add_k))
+                / (F.col("_T") + F.lit(add_k) * (F.col("_V") + 1))
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("_lp"), round_digits).alias("avg_logprob"),
+        F.round(F.exp(-F.avg("_lp")), round_digits).alias("perplexity"),
+    )

@@ -2171,6 +2171,35 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+_LM_SCORE_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents),
+    model AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT sum(c) AS T, count(*) AS V FROM model),
+    lp AS (
+      SELECT t.doc_id,
+             ln((coalesce(m.c, 0) + 1.0) / (tot.T + 1.0 * (tot.V + 1))) AS lp
+      FROM toks t LEFT JOIN model m USING (term) CROSS JOIN tot)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(lp), 4) AS avg_logprob,
+           round(exp(-avg(lp)), 4) AS perplexity
+    FROM lp GROUP BY doc_id
+"""
+
+
+@q("q_lm_score", _LM_SCORE_ORACLE)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (functions/text.py:lm_score): add-1
+    unigram model fit on the corpus, every document scored by mean token
+    log-prob + perplexity. Model build and scoring are term-keyed
+    shuffles; normalizers ride in as a one-row broadcast aggregate."""
+    from astro_sdk_spark.functions.text import lm_score
+
+    return lm_score(T(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Driver window ordering.
 #
@@ -2189,6 +2218,7 @@ _TAIL_VARIANTS = [
     "q_date_funcs",        # scalar fns: q_scalar_funcs, q_json_extract
     "q_window_running",    # windows: q_window_topk
     "q_doc_fingerprint",   # text: q_token_stats
+    "q_stratified_sample", # sampling: q_train_split, q_domain_mix, q_seq_packing
     "q_cube",              # aggregation: q_rollup, q_grouping_sets, q_pivot
     "q_distinct_counts",   # aggregation: q_pricing_summary, q_group_having
     "q_window_extended",   # windows: q_window_topk, q_window_running

@@ -176,3 +176,26 @@ def test_tf_idf_ranks_distinctive_terms(spark):
     assert top1[1].tfidf == round(3 * math.log(3 / 1), 4)
     # doc 3 has only a zero-idf term; it still gets ranked rows with tfidf 0
     assert top1[3].term == "common" and top1[3].tfidf == 0.0
+
+
+def test_lm_score_ranks_reference_like_text_higher(spark):
+    import math
+
+    from astro_sdk_spark.functions.text import lm_score
+
+    corpus = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(100, "the cat sat"), (101, "zyx qwv jkl")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lm_score(corpus, docs).collect()}
+    # in-vocabulary text scores far better than unseen gibberish
+    assert out[100].avg_logprob > out[101].avg_logprob
+    assert out[100].perplexity < out[101].perplexity
+    # check the exact smoothed value for the unseen-token doc:
+    # corpus: T=60 tokens, V=5 distinct; unseen P = 1/(60 + 1*(5+1))
+    assert out[101].avg_logprob == round(math.log(1 / 66), 4)
+    assert out[100].n_tokens == 3
