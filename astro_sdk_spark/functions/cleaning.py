@@ -144,17 +144,21 @@ def line_dedup(
     (``text_col`` is then the empty string), so callers can decide their
     own empty-doc policy.
 
-    Scale shape: exactly two shuffles — (1) a window partitioned by the
-    line text (the same exchange a ``groupBy(line)`` would use) marks the
-    first occurrence; (2) a ``groupBy(id)`` reassembles. The line split is
-    a map-side ``posexplode``; reassembly sorts each document's surviving
-    lines with ``array_sort`` over ``(pos, line)`` structs (per-group
-    memory is one document's lines — bounded by max doc size, not corpus
-    size). No Python UDFs, no driver-side iteration.
+    Scale shape: (1) first-occurrence detection is a
+    ``groupBy(line).agg(min(struct(id, pos)))`` — partially aggregated
+    map-side, so the hottest line (empty-ish boilerplate that line dedup
+    exists to kill) ships ONE row per input partition instead of every
+    occurrence into a single window task — joined back on the line text
+    (sort-merge; AQE skew-join can split a hot line's probe partition,
+    which a window over the same key cannot); lines shorter than
+    ``min_chars`` are exempt from dropping and are filtered out BEFORE the
+    shuffle, not dragged through it. (2) a ``groupBy(id)`` reassembles.
+    The line split is a map-side ``posexplode``; reassembly sorts each
+    document's surviving lines with ``array_sort`` over ``(pos, line)``
+    structs (per-group memory is one document's lines — bounded by max doc
+    size, not corpus size). No Python UDFs, no driver-side iteration.
     """
     import re as _re
-
-    from pyspark.sql.window import Window
 
     lines = df.select(
         F.col(id_col),
@@ -162,9 +166,24 @@ def line_dedup(
             F.split(F.col(text_col), F.lit(_re.escape(delimiter)), -1)
         ).alias("_pos", "_line"),
     )
-    w = Window.partitionBy("_line").orderBy(id_col, "_pos")
-    keep = (F.row_number().over(w) == 1) | (F.length("_line") < min_chars)
-    marked = lines.withColumn("_keep", keep)
+    short = lines.filter(F.length("_line") < min_chars).withColumn(
+        "_keep", F.lit(True)
+    )
+    long_lines = lines.filter(F.length("_line") >= min_chars)
+    # min(struct(id, pos)) == the row that row_number()==1 over
+    # orderBy(id, pos) would pick: struct ordering is lexicographic.
+    firsts = long_lines.groupBy("_line").agg(
+        F.min(F.struct(F.col(id_col).alias("_fid"), F.col("_pos").alias("_fpos"))).alias(
+            "_first"
+        )
+    )
+    marked_long = long_lines.join(firsts, "_line").withColumn(
+        "_keep",
+        (F.col(id_col) == F.col("_first._fid")) & (F.col("_pos") == F.col("_first._fpos")),
+    )
+    marked = marked_long.select(id_col, "_pos", "_line", "_keep").unionByName(
+        short.select(id_col, "_pos", "_line", "_keep")
+    )
     return (
         marked.groupBy(id_col)
         .agg(

@@ -658,7 +658,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "pairs",
-    cluster_cap: int | None = None,
+    cluster_cap: int | None = 2000,
     round_digits: int = 4,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -678,9 +678,10 @@ def semantic_dedup(
     shares it). Pair generation shuffles members by cluster id once and
     self-joins co-partitioned, so cost is Σ|cluster|², governed by k (pick
     k ≈ N/target_cluster_size; SemDeDup uses k in the tens of thousands at
-    100M-document scale). ``cluster_cap`` bounds adversarial mega-clusters:
-    members beyond the cap (in id order) skip pairing — same safety valve
-    as the LSH ``bucket_cap``. ``centroids`` is caller-supplied
+    100M-document scale). ``cluster_cap`` (default 2000, mirroring the LSH
+    ``bucket_cap`` rationale) bounds adversarial mega-clusters: members
+    beyond the cap (in id order) skip pairing — pass ``None`` to disable
+    when the centroid set is known to partition the corpus evenly. ``centroids`` is caller-supplied
     (:func:`~astro_sdk_spark.functions.similarity.train_centroids`, a
     coreset, or a deterministic sample) so the operator stays deterministic
     and engine-checkable."""

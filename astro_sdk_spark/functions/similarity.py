@@ -382,6 +382,7 @@ def train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    seed_ids: list | None = None,
 ) -> DataFrame:
     """Spherical k-means (Lloyd's) trainer producing an ``ivf_topk``
     centroid set — makes the IVF path self-contained instead of
@@ -390,7 +391,10 @@ def train_centroids(
     Scale shape (the same Arrow machinery as ``banded_signatures``):
     - seeding is deterministic and order-independent: the k vectors with
       the smallest ``xxhash64(id, seed)`` (a hash-derived sample, no
-      ``rand()``);
+      ``rand()``); or, when ``seed_ids`` is given, the vectors with those
+      ids in ascending id order — an engine-agnostic seeding that an
+      external oracle can replicate exactly (the hash path is
+      Spark-specific);
     - each iteration is ONE ``mapInPandas`` pass: per partition, a numpy
       matmul assigns every vector to its nearest centroid (cosine) and
       emits k partial (count, sum) rows — the per-partition combine means
@@ -408,13 +412,23 @@ def train_centroids(
 
     spark = df.sparkSession
     vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    seeds = (
-        vecs.withColumn("_h", F.xxhash64(F.col("_id").cast("string"), F.lit(seed)))
-        .orderBy("_h", "_id")
-        .limit(k)
-        .select("_v")
-        .collect()
-    )
+    if seed_ids is not None:
+        if len(seed_ids) != k:
+            raise ValueError(f"seed_ids must have exactly k={k} ids, got {len(seed_ids)}")
+        seeds = (
+            vecs.filter(F.col("_id").isin(list(seed_ids)))
+            .orderBy("_id")
+            .select("_v")
+            .collect()
+        )
+    else:
+        seeds = (
+            vecs.withColumn("_h", F.xxhash64(F.col("_id").cast("string"), F.lit(seed)))
+            .orderBy("_h", "_id")
+            .limit(k)
+            .select("_v")
+            .collect()
+        )
     if len(seeds) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(seeds)}")
     cents = np.stack([np.asarray(r._v, dtype=np.float64) for r in seeds])

@@ -143,20 +143,22 @@ def tf_idf(
     Returns ``(id_col, term, tf, tfidf, rank)``, ``rank`` 1..top_n per
     document, ties broken on term.
 
-    Scale shape: tokenize+explode is map-side; then three key-partitioned
-    shuffles, each on a natural key — groupBy (doc, term) for tf; a window
-    over term for document frequency (same exchange a groupBy(term) would
-    use, reusing the (doc,term) frame so corpus tokens are read once); a
-    window over doc for the final rank. The corpus document count N is a
-    one-row aggregate broadcast into the projection — never a driver
-    collect inside the plan."""
+    Scale shape: tokenize+explode is map-side; then groupBy (doc, term)
+    for tf; document frequency is ``tf.groupBy(term).count()`` joined back
+    on term — partial aggregation means a stopword term (present in ~every
+    document) ships one row per map partition instead of funnelling every
+    (doc, stopword) row into a single window task, and AQE skew-join can
+    split the hot term's probe partition on the join back; a window over
+    doc for the final rank. The corpus document count N is a one-row
+    aggregate broadcast into the projection — never a driver collect
+    inside the plan."""
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
     terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dft = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_dft"))
     n_docs = df.select(F.countDistinct(id_col).alias("_n"))
     scored = (
-        tf.withColumn("_dft", dft)
+        tf.join(dft, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -181,6 +183,7 @@ def lm_score(
     id_col: str = "doc_id",
     add_k: float = 1.0,
     round_digits: int = 4,
+    broadcast_model: bool | None = None,
 ) -> DataFrame:
     """Language-model quality scoring, CCNet-style (Wenzek et al. 2020):
     fit a unigram model with add-k smoothing on ``corpus`` (the reference
@@ -196,10 +199,17 @@ def lm_score(
     numerator.)
 
     Scale shape: the model is a groupBy(term) count — one shuffle of
-    corpus tokens; scoring is a shuffle join of doc tokens against the
-    model on term (AQE broadcasts it when the vocabulary is small) plus
-    one groupBy(doc). The scalar normalizers (T, V) ride in as a one-row
-    broadcast aggregate, never a driver collect."""
+    corpus tokens; scoring joins doc tokens against the model on term —
+    a Zipf-skewed key, so the model side is broadcast-hinted by default
+    when scoring the corpus against itself (the vocabulary is
+    aggregate-sized, and a hash join sidesteps hot-token shuffle skew
+    entirely); pass ``broadcast_model=False`` for an open-vocabulary
+    corpus too large to broadcast (AQE skew-join then handles the hot
+    terms), or ``True`` to force the hint. Plus one groupBy(doc). The
+    scalar normalizers (T, V) ride in as a one-row broadcast aggregate,
+    never a driver collect."""
+    if broadcast_model is None:
+        broadcast_model = docs is None
     if docs is None:
         docs = corpus
 
@@ -216,8 +226,9 @@ def lm_score(
         F.sum("_c").alias("_T"), F.count(F.lit(1)).alias("_V")
     )
     doc_terms = docs.select(F.col(id_col), F.explode(_toks(docs)).alias("term"))
+    model_side = F.broadcast(model) if broadcast_model else model
     scored = (
-        doc_terms.join(model, on="term", how="left")
+        doc_terms.join(model_side, on="term", how="left")
         .crossJoin(F.broadcast(totals))
         .select(
             F.col(id_col),

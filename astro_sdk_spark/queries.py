@@ -51,20 +51,29 @@ from astro_sdk_spark.operators.merge import merge_insert_plan, merge_update_plan
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (direct parquet scan → full pushdown).
 
-    events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
-    reader rejects; read it as long nanos (legacy conf) and expose BOTH a
-    µs-truncated TIMESTAMP_NTZ ``ts`` (matches what DuckDB sees) and the raw
-    ``ts_ns`` for exact epoch arithmetic. Session tz pinned to UTC so
-    LTZ→NTZ conversion is wall-clock-stable regardless of host tz.
+    events.parquet has shipped ``ts`` both as parquet TIMESTAMP(NANOS) (which
+    Spark only reads as long nanos via the legacy conf) and as plain
+    timestamp[us]; branch on the dtype Spark actually sees so either physical
+    layout yields the same logical schema: a µs TIMESTAMP_NTZ ``ts`` (matches
+    what DuckDB sees) plus raw epoch-nanos ``ts_ns`` for exact arithmetic.
+    Session tz pinned to UTC so LTZ→NTZ conversion is wall-clock-stable
+    regardless of host tz.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_dtype = dict(df.dtypes).get("ts", "")
+        if ts_dtype == "bigint":  # TIMESTAMP(NANOS) surfaced as long nanos
+            ts_col = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            ts_ns_col = F.col("ts")
+        else:  # timestamp / timestamp_ntz — native µs timestamp
+            ts_col = F.col("ts").cast("timestamp_ntz")
+            ts_ns_col = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
         return df.select(
             "event_id",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz").alias("ts"),
-            F.col("ts").alias("ts_ns"),
+            ts_col.alias("ts"),
+            ts_ns_col.cast("bigint").alias("ts_ns"),
             "user_id",
             "event_type",
             "value",

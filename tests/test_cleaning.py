@@ -139,3 +139,29 @@ def test_line_dedup_custom_delimiter_is_literal(spark):
     )
     out = {r.doc_id: r.text for r in line_dedup(docs, delimiter=".").collect()}
     assert out[1] == "a.b.c" and out[2] == "z"
+
+
+def test_line_dedup_hot_line_in_every_doc(spark):
+    """De-skew regression: one line duplicated across EVERY document (the
+    boilerplate case line dedup exists for) must still keep exactly the
+    first occurrence, with first-occurrence detection done by a partially-
+    aggregatable groupBy(min(struct)) rather than a single-task window."""
+    from astro_sdk_spark.functions.cleaning import line_dedup
+
+    n = 200
+    docs = spark.createDataFrame(
+        [(i, f"unique line {i}\nHome | About | Contact") for i in range(n)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert len(out) == n
+    assert out[0].text == "unique line 0\nHome | About | Contact"
+    for i in range(1, n):
+        assert out[i].text == f"unique line {i}", i
+        assert out[i].n_lines == 2 and out[i].n_kept == 1
+
+    # plan assertion: first-occurrence detection is a partial aggregate
+    # (map-side combine), not a row_number window over the line text
+    plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan or "partial_finalmerge" in plan.lower() or "HashAggregate" in plan
+    assert "row_number" not in plan or "windowspecdefinition(_line" not in plan.lower()

@@ -199,3 +199,25 @@ def test_lm_score_ranks_reference_like_text_higher(spark):
     # corpus: T=60 tokens, V=5 distinct; unseen P = 1/(60 + 1*(5+1))
     assert out[101].avg_logprob == round(math.log(1 / 66), 4)
     assert out[100].n_tokens == 3
+
+
+def test_tf_idf_hot_term_in_every_doc(spark):
+    """De-skew regression: a stopword present in EVERY document gets IDF 0
+    (unsmoothed ln(N/N)), and document frequency comes from a partially-
+    aggregated groupBy(term) + join, not a term-partitioned window."""
+    from astro_sdk_spark.functions.text import tf_idf
+
+    n = 100
+    docs = spark.createDataFrame(
+        [(i, f"the word{i} filler{i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    out = tf_idf(docs, top_n=3)
+    rows = [(r.doc_id, r.term, r.tfidf) for r in out.collect()]
+    hot = [t for t in rows if t[1] == "the"]
+    assert len(hot) == n and all(t[2] == 0.0 for t in hot)
+    distinctive = [t for t in rows if t[1] == f"word{0}" and t[0] == 0]
+    assert distinctive and distinctive[0][2] > 0
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(term" not in plan.lower()
