@@ -88,6 +88,7 @@ def decontaminate(
     shingle_k: int = 3,
     min_hits: int = 1,
     mode: str = "flag",
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: find corpus documents sharing >=
     ``min_hits`` distinct word ``shingle_k``-grams with any benchmark
@@ -97,12 +98,17 @@ def decontaminate(
     contaminated docs; ``mode='drop'`` returns the clean corpus rows.
 
     Scale shape: the benchmark side (eval sets — thousands of docs, not
-    TBs) collapses to a DISTINCT n-gram set that AQE broadcasts; the
-    corpus explodes its n-grams once and inner-joins that set — work is
-    O(|corpus n-grams|) with no corpus x corpus interaction, and the
-    per-doc hit count folds back in the same shuffle as the join's
-    aggregation. The n-gram normalization (trim/lower/whitespace-collapse)
-    matches the dedup pipeline's shingles."""
+    TBs) collapses to a DISTINCT n-gram set that is broadcast-hinted by
+    default; the corpus explodes its n-grams once and inner-joins that
+    set — work is O(|corpus n-grams|) with no corpus x corpus
+    interaction, and the per-doc hit count folds back in the same shuffle
+    as the join's aggregation. For a benchmark union too large to fit in
+    executor memory, pass ``broadcast_benchmark=False``: the join becomes
+    a plain shuffle hash/sort-merge on the n-gram key (both sides
+    exchange, AQE handles hot n-grams) — same result, graceful
+    degradation instead of a driver OOM from a forced broadcast. The
+    n-gram normalization (trim/lower/whitespace-collapse) matches the
+    dedup pipeline's shingles."""
     if mode not in ("flag", "drop"):
         raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
     bench_grams = (
@@ -115,8 +121,9 @@ def decontaminate(
         F.col(id_col),
         F.explode(shingles_col(F.col(text_col), shingle_k)).alias("_g"),
     )
+    bench_side = F.broadcast(bench_grams) if broadcast_benchmark else bench_grams
     hits = (
-        corpus_grams.join(F.broadcast(bench_grams), "_g")
+        corpus_grams.join(bench_side, "_g")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_benchmark_ngrams"))
         .filter(F.col("n_benchmark_ngrams") >= min_hits)

@@ -257,3 +257,114 @@ def pq_topk(
         ),
     )
     return ranked.filter(F.col("rank") <= k)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou et al. 2011 §V): coarse inverted lists from
+    cosine-nearest centroid assignment + PQ codes inside the lists; each
+    query ADC-scans ONLY the codes in its ``nprobe`` probed lists.
+
+    This is the 100 TB ANN shape: the corpus is stored once as
+    (cent_id, pq_code) — a few bytes per vector — and a query touches
+    ``nprobe/n_centroids`` of it with table lookups instead of float math.
+    The probe map (|q| × nprobe pairs) and per-query distance tables are
+    driver-computed from the contractually small query side and broadcast;
+    candidates are pruned to the union of probed lists BEFORE the scan
+    (at scale, lists are partition-pruned by ``cent_id``), then each
+    partition emits its local top-k per query.
+
+    Returns ``(query_id, vec_id, adist, rank)`` — same contract as
+    :func:`pq_topk` (self-matches kept; ADC distance of a vector to its
+    own code is nonzero by construction)."""
+    import numpy as np
+    import pandas as pd
+
+    from astro_sdk_spark.functions.similarity import nearest_centroids
+
+    m, kc, dsub = _check_codebooks(codebooks)
+    cb = np.asarray(codebooks, dtype=np.float64)
+
+    codes = pq_encode(candidates, codebooks, id_col=id_col, vec_col=vec_col)
+    assigned = nearest_centroids(
+        candidates, centroids, id_col=id_col, vec_col=vec_col, n=1,
+        cent_id_col=id_col, cent_vec_col=vec_col,
+    )
+    lists = codes.join(assigned, on=id_col)
+
+    probe_rows = nearest_centroids(
+        queries.select(F.col(id_col).alias("_qid"), F.col(vec_col)),
+        centroids, id_col="_qid", vec_col=vec_col, n=nprobe,
+        cent_id_col=id_col, cent_vec_col=vec_col,
+    ).collect()
+    probe_map: dict = {}
+    for r in probe_rows:
+        probe_map.setdefault(r._qid, set()).add(r.cent_id)
+    if not probe_map:
+        raise ValueError("queries is empty")
+
+    qrows = queries.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).collect()
+    qids = [r._qid for r in qrows]
+    qmat = _as_matrix([r._qv for r in qrows]).reshape(len(qrows), m, dsub)
+    tables = ((qmat[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+
+    all_probed = sorted({c for s in probe_map.values() for c in s})
+    pruned = lists.filter(F.col("cent_id").isin(all_probed))
+
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast((qids, tables, probe_map))
+    local_k = k
+
+    def _scan(batches):
+        qids_l, tables_l, probes_l = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            code_mat = np.stack([np.asarray(c) for c in pdf["_code"]])
+            ids = pdf["_id"].values
+            cents = pdf["_cent"].values
+            out_q, out_id, out_d = [], [], []
+            for qi, qid in enumerate(qids_l):
+                mask = np.isin(cents, list(probes_l.get(qid, ())))
+                if not mask.any():
+                    continue
+                sub_codes = code_mat[mask]
+                d = np.zeros(len(sub_codes))
+                for s in range(tables_l.shape[1]):
+                    d += tables_l[qi, s, sub_codes[:, s]]
+                top = min(local_k, len(d))
+                idx = np.argpartition(d, top - 1)[:top]
+                out_q += [qid] * top
+                out_id += ids[mask][idx].tolist()
+                out_d += d[idx].tolist()
+            yield pd.DataFrame({"_qid": out_q, "_id": out_id, "_d": out_d})
+
+    scanned = pruned.select(
+        F.col(id_col).alias("_id"),
+        F.col("pq_code").alias("_code"),
+        F.col("cent_id").alias("_cent"),
+    ).mapInPandas(_scan, "_qid long, _id long, _d double")
+
+    adist = F.round("_d", round_digits) if round_digits is not None else F.col("_d")
+    ranked = scanned.select(
+        F.col("_qid").alias("query_id"),
+        F.col("_id").alias(id_col),
+        adist.alias("adist"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy("adist", id_col)
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k)

@@ -2210,6 +2210,204 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF-PQ composition (IVFADC): coarse inverted lists + PQ codes, query
+# ADC-scans only its probed lists. Oracle = q_ivf_topk's assignment/probes
+# (rounded-cosine rank) + q_pq_topk's encode/table-lookup, with the ADC
+# join restricted to (query, probed-cent) pairs. Self-matches kept (the
+# pq_topk contract — a vector's ADC distance to its own code is nonzero).
+
+_IVFPQ_ORACLE = """
+    WITH cent AS (
+      SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 16),
+    docs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assign_scored AS (
+      SELECT d.vec_id AS cand_id, cent_id,
+             row_number() OVER (
+               PARTITION BY d.vec_id
+               ORDER BY round(list_cosine_similarity(v, cvec), 4) DESC, cent_id) AS rk
+      FROM docs d CROSS JOIN cent),
+    assigned AS (SELECT cand_id, cent_id FROM assign_scored WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 8),
+    probe_scored AS (
+      SELECT query_id, cent_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_cosine_similarity(qv, cvec), 4) DESC, cent_id) AS rk
+      FROM q CROSS JOIN cent),
+    probes AS (SELECT query_id, cent_id FROM probe_scored WHERE rk <= 4),
+    cwsrc AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 16),
+    cb AS (
+      SELECT s.s AS sub, code_id,
+             list_slice(v, s.s*16 + 1, s.s*16 + 16) AS cvec
+      FROM cwsrc CROSS JOIN range(4) s(s)),
+    subv AS (
+      SELECT vec_id, s.s AS sub, list_slice(v, s.s*16 + 1, s.s*16 + 16) AS sv
+      FROM docs CROSS JOIN range(4) s(s)),
+    dists AS (
+      SELECT d.vec_id, d.sub, cb.code_id,
+             list_sum(list_transform(range(1, 17),
+                      i -> (d.sv[i] - cb.cvec[i]) * (d.sv[i] - cb.cvec[i])))
+               AS dist
+      FROM subv d JOIN cb USING (sub)),
+    codes AS (
+      SELECT vec_id, sub, code_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, sub ORDER BY dist, code_id) AS rn
+        FROM dists) WHERE rn = 1),
+    qd AS (
+      SELECT s.vec_id AS query_id, cb.sub, cb.code_id,
+             list_sum(list_transform(range(1, 17),
+                      i -> (s.sv[i] - cb.cvec[i]) * (s.sv[i] - cb.cvec[i])))
+               AS qdist
+      FROM subv s JOIN cb USING (sub) WHERE s.vec_id < 8),
+    adc AS (
+      SELECT p.query_id, c.vec_id, sum(qd.qdist) AS adist
+      FROM codes c
+      JOIN assigned a ON a.cand_id = c.vec_id
+      JOIN probes p ON p.cent_id = a.cent_id
+      JOIN qd ON qd.sub = c.sub AND qd.code_id = c.code_id
+             AND qd.query_id = p.query_id
+      GROUP BY p.query_id, c.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, round(adist, 4) AS adist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY round(adist, 4), vec_id) AS rank
+      FROM adc)
+    SELECT query_id, vec_id, adist, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@q("q_ivfpq_topk", _IVFPQ_ORACLE)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ / IVFADC (functions/pq.py:ivfpq_topk): candidates live as
+    (cent_id, pq_code) inverted lists; 8 queries probe their 4 nearest of
+    16 centroids and ADC-scan only those lists. Same deterministic
+    codebook/centroid devices as q_pq_topk / q_ivf_topk so the oracle
+    replicates every stage."""
+    from astro_sdk_spark.functions.pq import ivfpq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    cw = (
+        emb.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    m, dsub = 4, 16
+    codebooks = [
+        [[float(r.embedding[s * dsub + t]) for t in range(dsub)] for r in cw]
+        for s in range(m)
+    ]
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") < 8),
+        emb,
+        centroids=emb.filter(F.col("vec_id") < 16),
+        codebooks=codebooks,
+        nprobe=4,
+        k=10,
+    )
+
+
+# --------------------------------------------------------------------------
+# Trained k-means centroids under the oracle gate: seeds are an explicit,
+# engine-agnostic id set (stride 31 — present at every SF), and the oracle
+# unrolls both Lloyd iterations in SQL: assign by dot-product argmax
+# (per-vector scaling never changes the argmax, so raw dot == cosine here),
+# elementwise mean of raw vectors per cluster, renormalize; empty clusters
+# keep their previous centroid (LEFT JOIN + CASE).
+
+_IVF_TRAINED_SEEDS = [31 * i for i in range(16)]
+
+_IVF_TRAINED_ORACLE = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, v
+      FROM v WHERE vec_id % 31 = 0 AND vec_id <= 465),
+    c0 AS (
+      SELECT cent_id,
+             list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS c
+      FROM seeds),
+    a1 AS (
+      SELECT v.vec_id, c0.cent_id,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_dot_product(v.v, c0.c) DESC, c0.cent_id) AS rk
+      FROM v CROSS JOIN c0),
+    asg1 AS (SELECT vec_id, cent_id FROM a1 WHERE rk = 1),
+    el1 AS (
+      SELECT a.cent_id,
+             unnest(range(len(v.v))) AS pos,
+             unnest(v.v) AS val
+      FROM asg1 a JOIN v USING (vec_id)),
+    m1 AS (
+      SELECT cent_id, list(m ORDER BY pos) AS mv
+      FROM (SELECT cent_id, pos, avg(val) AS m FROM el1 GROUP BY cent_id, pos)
+      GROUP BY cent_id),
+    c1 AS (
+      SELECT c0.cent_id,
+             CASE WHEN m1.cent_id IS NULL THEN c0.c
+                  ELSE list_transform(m1.mv,
+                         x -> x / greatest(sqrt(list_dot_product(m1.mv, m1.mv)), 1e-12))
+             END AS c
+      FROM c0 LEFT JOIN m1 USING (cent_id)),
+    a2 AS (
+      SELECT v.vec_id, c1.cent_id,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_dot_product(v.v, c1.c) DESC, c1.cent_id) AS rk
+      FROM v CROSS JOIN c1),
+    asg2 AS (SELECT vec_id, cent_id FROM a2 WHERE rk = 1),
+    el2 AS (
+      SELECT a.cent_id,
+             unnest(range(len(v.v))) AS pos,
+             unnest(v.v) AS val
+      FROM asg2 a JOIN v USING (vec_id)),
+    m2 AS (
+      SELECT cent_id, list(m ORDER BY pos) AS mv
+      FROM (SELECT cent_id, pos, avg(val) AS m FROM el2 GROUP BY cent_id, pos)
+      GROUP BY cent_id),
+    c2 AS (
+      SELECT c1.cent_id,
+             CASE WHEN m2.cent_id IS NULL THEN c1.c
+                  ELSE list_transform(m2.mv,
+                         x -> x / greatest(sqrt(list_dot_product(m2.mv, m2.mv)), 1e-12))
+             END AS c
+      FROM c1 LEFT JOIN m2 USING (cent_id)),
+    flat AS (
+      SELECT cent_id,
+             unnest(range(len(c))) AS pos,
+             unnest(c) AS val
+      FROM c2)
+    SELECT cent_id, CAST(pos AS BIGINT) AS pos, round(val, 4) AS val FROM flat
+"""
+
+
+@q("q_ivf_trained", _IVF_TRAINED_ORACLE)
+def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end k-means trainer under the oracle gate
+    (functions/similarity.py:train_centroids): 2 Lloyd iterations, k=16,
+    seeded from an explicit id set so DuckDB replicates the seeding; the
+    oracle unrolls both iterations in SQL. Output is the trained centroid
+    matrix exploded to (cent_id, pos, val) — 16×64 rounded values, a
+    stronger trainer check than any downstream probe."""
+    from astro_sdk_spark.functions.similarity import train_centroids
+
+    emb = T(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, k=16, iters=2, seed_ids=_IVF_TRAINED_SEEDS)
+    return cents.select(
+        F.col("vec_id").alias("cent_id"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "cent_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round("val", 4).alias("val"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -2222,6 +2420,10 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TAIL_VARIANTS = [
     # variant pushed to tail        family representative(s) still in window
+    "q_ann_lsh",           # similarity: q_embedding_topk, q_ann_recall (LSH
+                           # vs exact), q_ivf_topk, q_ivf_trained, q_ivfpq_topk
+    "q_pq_topk",           # PQ: q_ivfpq_topk runs the same encode+ADC
+                           # machinery inside its in-window oracle
     "q_neardup_renamed_cols",  # minhash: q_minhash_neardup (same oracle)
     "q_merge_ignore",      # merge: q_merge_update
     "q_date_funcs",        # scalar fns: q_scalar_funcs, q_json_extract

@@ -165,3 +165,43 @@ def test_line_dedup_hot_line_in_every_doc(spark):
     plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan or "partial_finalmerge" in plan.lower() or "HashAggregate" in plan
     assert "row_number" not in plan or "windowspecdefinition(_line" not in plan.lower()
+
+
+def test_decontaminate_no_broadcast_path(spark):
+    """Benchmark set too big to broadcast: broadcast_benchmark=False must
+    produce identical results through a plain shuffle join, with the
+    forced-broadcast hint absent from the plan (run with
+    autoBroadcastJoinThreshold=-1 so AQE can't silently re-broadcast)."""
+    from astro_sdk_spark.functions.cleaning import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with no overlap here at all"),
+            (3, "quick brown fox appears in this document too"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        flagged = decontaminate(
+            corpus, bench, broadcast_benchmark=False
+        )
+        rows = {r.doc_id: r.n_benchmark_ngrams for r in flagged.collect()}
+        ref = {
+            r.doc_id: r.n_benchmark_ngrams
+            for r in decontaminate(corpus, bench).collect()
+        }
+        assert rows == ref and 1 in rows and 2 not in rows
+        plan = flagged._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        dropped = decontaminate(
+            corpus, bench, mode="drop", broadcast_benchmark=False
+        )
+        assert {r.doc_id for r in dropped.collect()} == {2}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -89,3 +89,54 @@ def test_pq_topk_empty_queries_raises(clustered):
 def test_codebook_shape_validation(clustered):
     with pytest.raises(ValueError, match="codebooks"):
         pq_encode(clustered, [[1.0, 2.0]])
+
+
+def test_ivfpq_topk_scans_only_probed_lists(spark):
+    """IVFADC composition: results agree with a full pq_topk scan for
+    every (query, candidate) pair whose list was probed, and candidates
+    in unprobed lists never appear."""
+    import numpy as np
+
+    from astro_sdk_spark.functions.pq import ivfpq_topk, pq_topk, pq_encode
+    from astro_sdk_spark.functions.similarity import nearest_centroids
+
+    rng = np.random.RandomState(7)
+    dim, n = 8, 60
+    vecs = [(i, rng.randn(dim).astype(float).tolist()) for i in range(n)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = emb.filter("vec_id < 6")
+    queries = emb.filter("vec_id < 3")
+    # m=2 subspaces, 4 codewords from the first 4 vectors
+    cw = [v for _, v in vecs[:4]]
+    codebooks = [
+        [[cwv[s * 4 + t] for t in range(4)] for cwv in cw] for s in range(2)
+    ]
+
+    out = ivfpq_topk(
+        queries, emb, cents, codebooks, nprobe=2, k=5
+    ).collect()
+    assert out, "ivfpq returned nothing"
+
+    # every returned candidate must live in one of its query's probed lists
+    probes = {}
+    for r in nearest_centroids(
+        queries.selectExpr("vec_id as _qid", "embedding"),
+        cents, id_col="_qid", vec_col="embedding", n=2,
+    ).collect():
+        probes.setdefault(r._qid, set()).add(r.cent_id)
+    assigned = {
+        r.vec_id: r.cent_id
+        for r in nearest_centroids(emb, cents, n=1).collect()
+    }
+    for r in out:
+        assert assigned[r.vec_id] in probes[r.query_id], (
+            r.query_id, r.vec_id, assigned[r.vec_id], probes[r.query_id])
+
+    # ADC distances agree with the unrestricted pq_topk scan
+    codes = pq_encode(emb, codebooks)
+    full = {
+        (r.query_id, r.vec_id): r.adist
+        for r in pq_topk(codes, codebooks, queries, k=60).collect()
+    }
+    for r in out:
+        assert full[(r.query_id, r.vec_id)] == r.adist
