@@ -205,3 +205,46 @@ def test_decontaminate_no_broadcast_path(spark):
         assert {r.doc_id for r in dropped.collect()} == {2}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_line_dedup_matches_bruteforce_reference(spark):
+    """Cross-check the distributed first-occurrence logic against a
+    sequential reference over a corpus with empty docs, unicode, repeated
+    lines inside one doc, and interleaved duplicates across docs."""
+    from astro_sdk_spark.functions.cleaning import line_dedup
+
+    corpus = [
+        (10, "alpha\nbeta\nalpha"),          # dup inside one doc
+        (11, ""),                             # empty doc -> one empty line
+        (12, "beta\nγράμμα\ndelta"),         # cross-doc dup of beta
+        (13, "γράμμα\nalpha\nepsilon"),      # unicode dup + late alpha
+        (14, "zeta"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    # sequential reference: first (doc_id, pos) wins, min_chars=1 exempts
+    # only lines shorter than 1 char (i.e. empty lines always kept)
+    seen, expect = set(), {}
+    for doc_id, text in sorted(corpus):
+        kept = []
+        for pos, line in enumerate(text.split("\n")):
+            if len(line) < 1:
+                kept.append(line)
+            elif line not in seen:
+                seen.add(line)
+                kept.append(line)
+        expect[doc_id] = "\n".join(kept)
+    out = {r.doc_id: r.text for r in line_dedup(docs).collect()}
+    assert out == expect, (out, expect)
+
+
+def test_line_dedup_min_chars_zero_no_short_branch(spark):
+    from astro_sdk_spark.functions.cleaning import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\n\nb"), (2, "\nb")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.text for r in line_dedup(docs, min_chars=0).collect()}
+    # with min_chars=0 even empty lines dedup: doc1 keeps a,"",b; doc2's
+    # "" and b are corpus-dups
+    assert out[1] == "a\n\nb" and out[2] == ""

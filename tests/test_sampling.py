@@ -221,3 +221,37 @@ def test_tf_idf_hot_term_in_every_doc(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(term" not in plan.lower()
+
+
+def test_tf_idf_matches_bruteforce_reference(spark):
+    """Cross-check the groupBy+join document frequency against a Python
+    reference (raw tf, unsmoothed ln(N/df), top-3, term tiebreak)."""
+    import math
+    from collections import Counter
+
+    from astro_sdk_spark.functions.text import tf_idf
+
+    corpus = [
+        (0, "apple banana apple"),
+        (1, "banana cherry"),
+        (2, "apple cherry date date date"),
+        (3, "elderberry"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    n = len(corpus)
+    tfs = {d: Counter(t.lower().split()) for d, t in corpus}
+    dfreq = Counter(term for c in tfs.values() for term in c)
+    expect = {}
+    for d, c in tfs.items():
+        scored = sorted(
+            ((round(tf * math.log(n / dfreq[t]), 4), t, tf) for t, tf in c.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        expect[d] = [(t, tf, s, i + 1) for i, (s, t, tf) in enumerate(scored)]
+
+    got = {}
+    for r in tf_idf(docs, top_n=3).collect():
+        got.setdefault(r.doc_id, []).append((r.term, r.tf, r.tfidf, r.rank))
+    got = {d: sorted(v, key=lambda x: x[3]) for d, v in got.items()}
+    assert got == expect, (got, expect)
