@@ -238,6 +238,11 @@ class SparkEngine:
         opts.update(extra_options or {})
         if ftype == FileType.PARQUET:
             return self.spark.read.options(**opts).parquet(path)
+        if ftype == FileType.ORC:
+            # columnar sibling of parquet (Spark-native reader; same
+            # vectorized scan + predicate pushdown machinery). No reference
+            # counterpart — the warehouse owned storage formats there.
+            return self.spark.read.options(**opts).orc(path)
         if ftype == FileType.CSV:
             # defaults merge UNDER user options — typed LoadOptions set these
             # same keys, so keyword-arg passing would raise "multiple values"

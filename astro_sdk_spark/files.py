@@ -59,6 +59,7 @@ class FileType(str, Enum):
     JSON = "json"
     NDJSON = "ndjson"
     PARQUET = "parquet"
+    ORC = "orc"
     XLSX = "xlsx"
     XLS = "xls"
 
@@ -70,6 +71,7 @@ _EXTENSION_TO_TYPE = {
     ".jsonl": FileType.NDJSON,
     ".parquet": FileType.PARQUET,
     ".pq": FileType.PARQUET,
+    ".orc": FileType.ORC,
     ".xlsx": FileType.XLSX,
     ".xls": FileType.XLS,
 }

@@ -44,7 +44,7 @@ def export_to_file(
     engine: SparkEngine | None = None,
     spark: SparkSession | None = None,
 ) -> File:
-    """Write a single file at output_file.path (csv/json/ndjson/parquet/xlsx)."""
+    """Write a single file at output_file.path (csv/json/ndjson/parquet/orc/xlsx)."""
     if if_exists not in ("replace", "exception"):
         raise ValueError(f"if_exists must be 'replace' or 'exception', got {if_exists!r}")
     eng = engine or SparkEngine(spark or default_session())
@@ -84,6 +84,9 @@ def export_to_file(
     elif ftype == FileType.PARQUET:
         writer.parquet(out_dir)
         pattern = "part-*.parquet"
+    elif ftype == FileType.ORC:
+        writer.orc(out_dir)
+        pattern = "part-*.orc"
     elif ftype in (FileType.NDJSON, FileType.JSON):
         writer.json(out_dir)
         pattern = "part-*.json"

@@ -134,3 +134,11 @@ def test_get_file_list(sf_dir, spark):
     files = get_file_list(f"{sf_dir}/*.parquet", spark=spark)
     assert any("lineitem" in f for f in files)
     assert len(files) == 10
+
+
+def test_export_orc_roundtrip_through_read_file(engine, nation, tmp_path):
+    out = str(tmp_path / "nation.orc")
+    export_to_file(nation, File(out), engine=engine)
+    df = engine.read_file(File(out))  # extension → FileType.ORC
+    assert df.count() == 25
+    assert set(df.columns) == {"n_nationkey", "n_name", "n_regionkey"}

@@ -41,13 +41,30 @@ def normalize(rows, columns):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
-    from astro_sdk_spark import get_session
     from astro_sdk_spark.queries import oracle_queries, spark_queries
 
-    spark = get_session(shuffle_partitions=16)
+    if plain:
+        # the driver's session, verbatim: NO library confs. Queries must
+        # self-carry any conf they depend on (e.g. T() sets the events
+        # nanos conf at runtime) — this mode catches accidental reliance
+        # on get_session's tuned defaults.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from astro_sdk_spark import get_session
+
+        spark = get_session(shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
