@@ -259,3 +259,98 @@ def repetition_stats(
         F.round((n_grams - n_distinct) / n_grams, 4).alias("dup_ngram_frac"),
         F.round(top_count / n_grams, 4).alias("top_ngram_frac"),
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Windowed substring dedup (the ExactSubstr pass of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, approximated with fixed-width token windows): any
+    ``k``-token span whose token sequence appeared earlier in the corpus
+    (earlier = smaller ``(id, position)``) is removed from the document;
+    the FIRST occurrence is kept. Output text is whitespace-normalized and
+    reassembled in token order.
+
+    Returns ``(id_col, text_col, n_tokens, n_removed)`` — one row per
+    input document (documents shorter than ``k`` tokens pass through
+    untouched; a fully-duplicated document comes back as the empty
+    string).
+
+    Scale shape (the same de-skewed pattern as :func:`line_dedup`):
+    - tokenize once, build k-gram windows with ``transform(sequence)``
+      over the per-doc token array — map-side, codegen;
+    - first-occurrence detection is
+      ``groupBy(gram).agg(min(struct(id, pos)))`` + join back — partial
+      aggregation means a boilerplate gram duplicated 10⁸ times ships one
+      row per input partition, and AQE skew-join can split the hot gram's
+      probe partition (a window over the gram could not be split);
+    - duplicated spans become dropped positions via
+      ``explode(sequence(pos, pos+k-1))`` + distinct — no interval
+      merging needed, the union of spans IS the distinct position set;
+    - tokens survive through a (doc, pos) anti-join; one groupBy(doc)
+      reassembles. At real scale, join on a 64-bit gram hash instead of
+      the gram text to shrink the exchange (kept as text here so the
+      DuckDB oracle replicates byte-for-byte)."""
+    norm = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    base = df.select(F.col(id_col), norm.alias("_arr"))
+    toks = base.select(
+        id_col, F.posexplode("_arr").alias("_pos", "_tok")
+    )
+    gram_idx = F.when(
+        F.size("_arr") >= k, F.sequence(F.lit(0), F.size("_arr") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                gram_idx,
+                lambda i: F.struct(
+                    i.alias("_pos"),
+                    F.concat_ws(" ", F.slice("_arr", i + 1, k)).alias("_gram"),
+                ),
+            )
+        ).alias("_g"),
+    ).select(id_col, "_g._pos", "_g._gram")
+    firsts = grams.groupBy("_gram").agg(
+        F.min(F.struct(F.col(id_col).alias("_fid"), F.col("_pos").alias("_fpos"))).alias("_f")
+    )
+    dups = (
+        grams.join(firsts, "_gram")
+        .filter(
+            (F.col(id_col) != F.col("_f._fid")) | (F.col("_pos") != F.col("_f._fpos"))
+        )
+        .select(id_col, "_pos")
+    )
+    drop_pos = dups.select(
+        id_col, F.explode(F.sequence(F.col("_pos"), F.col("_pos") + (k - 1))).alias("_p")
+    ).dropDuplicates([id_col, "_p"])
+    kept = toks.join(
+        drop_pos,
+        (toks[id_col] == drop_pos[id_col]) & (toks._pos == drop_pos._p),
+        "left_anti",
+    )
+    n_tok = df.select(F.col(id_col), F.size(norm).alias("n_tokens"))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+        .join(n_tok, id_col, "right")
+        .select(
+            id_col,
+            F.coalesce(text_col, F.lit("")).alias(text_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )

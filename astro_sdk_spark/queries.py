@@ -2408,6 +2408,70 @@ def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Windowed substring dedup (ExactSubstr of Lee et al. 2022, fixed-k
+# approximation): every 8-token span whose sequence appeared earlier in the
+# corpus is removed, first occurrence kept. The oracle replicates
+# tokenization, first-occurrence (row_number over (doc,pos)), span→position
+# expansion, anti-join, and ordered reassembly. Sits in the registry tail:
+# its family (corpus-content dedup) is represented in-window by q_line_dedup.
+
+_SUBSTR_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS arr
+      FROM documents),
+    idx AS (
+      SELECT doc_id, arr,
+             unnest(range(greatest(len(arr) - 7, 0))) AS pos
+      FROM base),
+    grams AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(arr, pos + 1, pos + 8), ' ') AS gram
+      FROM idx),
+    firsts AS (
+      SELECT gram, doc_id AS fid, pos AS fpos FROM (
+        SELECT gram, doc_id, pos,
+               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM grams) WHERE rn = 1),
+    dups AS (
+      SELECT g.doc_id, g.pos
+      FROM grams g JOIN firsts f USING (gram)
+      WHERE g.doc_id <> f.fid OR g.pos <> f.fpos),
+    drop_pos AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT doc_id, unnest(range(pos, pos + 8)) AS p FROM dups)),
+    toks AS (
+      SELECT doc_id, unnest(arr) AS tok, unnest(range(len(arr))) AS pos
+      FROM base),
+    kept AS (
+      SELECT t.doc_id, t.tok, t.pos
+      FROM toks t LEFT JOIN drop_pos d
+        ON t.doc_id = d.doc_id AND t.pos = d.p
+      WHERE d.doc_id IS NULL),
+    reass AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id)
+    SELECT b.doc_id,
+           coalesce(r.text, '') AS text,
+           len(b.arr) AS n_tokens,
+           len(b.arr) - coalesce(r.n_kept, 0) AS n_removed
+    FROM base b LEFT JOIN reass r USING (doc_id)
+"""
+
+
+@q("q_substring_dedup", _SUBSTR_ORACLE)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed substring dedup (functions/cleaning.py:substring_dedup):
+    corpus-wide removal of repeated 8-token spans, first occurrence kept,
+    whitespace-normalized reassembly. First-occurrence detection is the
+    de-skewed groupBy(min(struct)) + join pattern shared with line_dedup."""
+    from astro_sdk_spark.functions.cleaning import substring_dedup
+
+    return substring_dedup(T(spark, sf_dir, "documents"), k=8)
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries

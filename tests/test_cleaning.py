@@ -248,3 +248,49 @@ def test_line_dedup_min_chars_zero_no_short_branch(spark):
     # with min_chars=0 even empty lines dedup: doc1 keeps a,"",b; doc2's
     # "" and b are corpus-dups
     assert out[1] == "a\n\nb" and out[2] == ""
+
+
+def test_substring_dedup_semantics(spark):
+    from astro_sdk_spark.functions.cleaning import substring_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine ten"),
+            (2, "zzz one two three four five six seven eight yyy"),
+            (3, "short doc"),
+            (4, "one   two\tthree four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in substring_dedup(docs, k=8).collect()}
+    # doc 1 is the global first occurrence — untouched
+    assert out[1].text == "one two three four five six seven eight nine ten"
+    assert out[1].n_removed == 0
+    # doc 2's embedded 8-token span is removed, flanks survive
+    assert out[2].text == "zzz yyy" and out[2].n_removed == 8
+    # shorter than k → pass-through
+    assert out[3].text == "short doc" and out[3].n_removed == 0
+    # doc 4 normalizes to an exact dup of doc 1 → fully removed
+    assert out[4].text == "" and out[4].n_removed == 10 and out[4].n_tokens == 10
+
+
+def test_substring_dedup_hot_gram_partial_agg(spark):
+    """A gram repeated in every doc must dedup via a partially-aggregated
+    groupBy, not a gram-keyed window (same de-skew contract as
+    line_dedup)."""
+    from astro_sdk_spark.functions.cleaning import substring_dedup
+
+    n = 100
+    boiler = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(i, f"u{i} {boiler}") for i in range(n)], "doc_id long, text string"
+    )
+    res = substring_dedup(docs, k=8)
+    out = {r.doc_id: r for r in res.collect()}
+    # doc 0 keeps everything; every later doc keeps only its unique prefix
+    # and the tail tokens not covered by a duplicated 8-gram window.
+    assert out[0].text == f"u0 {boiler}" and out[0].n_removed == 0
+    assert all(out[i].n_removed > 0 for i in range(1, n))
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_gram" not in plan.lower()
