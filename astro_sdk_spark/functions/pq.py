@@ -219,6 +219,12 @@ def pq_topk(
     spark = codes.sparkSession
     bc = spark.sparkContext.broadcast((qids, tables))
     local_k = k
+    # local-selection slack: one rounding quantum. argpartition alone
+    # breaks exact ties arbitrarily, so a candidate that the global
+    # (rounded adist, id) order would rank ahead could be dropped HERE and
+    # never reach the rank — keep everything within the quantum of the
+    # k-th distance and let the deterministic global rank trim.
+    tol = 10.0 ** -round_digits if round_digits is not None else 0.0
 
     def _scan(batches):
         qids_l, tables_l = bc.value
@@ -235,8 +241,9 @@ def pq_topk(
                 for s in range(tables_l.shape[1]):
                     d += tables_l[qi, s, code_mat[:, s]]
                 top = min(local_k, len(d))
-                idx = np.argpartition(d, top - 1)[:top]
-                out_q += [qid] * top
+                kth = np.partition(d, top - 1)[top - 1]
+                idx = np.nonzero(d <= kth + tol)[0]
+                out_q += [qid] * len(idx)
                 out_id += ids[idx].tolist()
                 out_d += d[idx].tolist()
             yield pd.DataFrame({"_qid": out_q, "_id": out_id, "_d": out_d})
@@ -325,6 +332,8 @@ def ivfpq_topk(
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast((qids, tables, probe_map))
     local_k = k
+    # same tie-safe local selection as pq_topk (see comment there)
+    tol = 10.0 ** -round_digits if round_digits is not None else 0.0
 
     def _scan(batches):
         qids_l, tables_l, probes_l = bc.value
@@ -344,8 +353,9 @@ def ivfpq_topk(
                 for s in range(tables_l.shape[1]):
                     d += tables_l[qi, s, sub_codes[:, s]]
                 top = min(local_k, len(d))
-                idx = np.argpartition(d, top - 1)[:top]
-                out_q += [qid] * top
+                kth = np.partition(d, top - 1)[top - 1]
+                idx = np.nonzero(d <= kth + tol)[0]
+                out_q += [qid] * len(idx)
                 out_id += ids[mask][idx].tolist()
                 out_d += d[idx].tolist()
             yield pd.DataFrame({"_qid": out_q, "_id": out_id, "_d": out_d})

@@ -33,8 +33,13 @@ from astro_sdk_spark.functions._cache import track
 
 
 def _dot(a, b):
+    # cast operands to double BEFORE multiplying: on array<float> columns
+    # Spark would otherwise compute float32 products (then promote), a
+    # ~1e-8 relative divergence from any all-double engine — enough to
+    # flip a round(x, 4) boundary. With double products and this strict
+    # left fold, the result is bit-identical to DuckDB's double math.
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -42,7 +47,11 @@ def _dot(a, b):
 
 def _norm(a):
     return F.sqrt(
-        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
     )
 
 
