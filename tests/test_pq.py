@@ -140,3 +140,35 @@ def test_ivfpq_topk_scans_only_probed_lists(spark):
     }
     for r in out:
         assert full[(r.query_id, r.vec_id)] == r.adist
+
+
+def test_pq_topk_exact_tie_lower_id_wins(spark):
+    """Two candidates with identical codes have identical ADC distance;
+    the (adist, vec_id) contract must keep the LOWER id at the k
+    boundary — the local argpartition must not drop it arbitrarily."""
+    import numpy as np
+
+    from astro_sdk_spark.functions.pq import pq_encode, pq_topk
+
+    rng = np.random.RandomState(3)
+    dim = 8
+    base = [(i, rng.randn(dim).tolist()) for i in range(4)]
+    twin = base[2][1][:]  # vec 9 is an exact copy of vec 2
+    emb = spark.createDataFrame(
+        base + [(9, twin)], "vec_id long, embedding array<double>"
+    ).repartition(4)  # spread candidates so locals see partial views
+    cw = [v for _, v in base]
+    codebooks = [[[c[s * 4 + t] for t in range(4)] for c in cw] for s in range(2)]
+    codes = pq_encode(emb, codebooks)
+    queries = emb.filter("vec_id = 0")
+
+    out = pq_topk(codes, codebooks, queries, k=3).collect()
+    by_rank = {r.rank: r for r in out}
+    assert len(by_rank) == 3
+    tied = [r for r in out if r.vec_id in (2, 9)]
+    if len(tied) == 2:
+        a, b = sorted(tied, key=lambda r: r.rank)
+        assert a.vec_id == 2 and b.vec_id == 9  # lower id ranks first
+    else:
+        # only one of the twins fits in k → it must be the lower id
+        assert tied and tied[0].vec_id == 2
