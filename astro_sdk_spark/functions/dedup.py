@@ -518,13 +518,20 @@ def near_dup_clusters(
         .dropDuplicates(["_src", "_dst"])
         .persist()
     )
+    # fused first round: with identity labels, round 1's join-with-labels
+    # reduces to min-neighbor-id — compute it directly as the initial
+    # label (one groupBy, no join, one fewer full round for the dense
+    # small-diameter clumps near-dup graphs are made of)
     labels = (
-        edges.select(F.col("_src").alias("_id"))
-        .dropDuplicates(["_id"])
-        .select("_id", F.col("_id").alias("_lbl"))
+        edges.groupBy("_src")
+        .agg(F.min("_dst").alias("_m"))
+        .select(
+            F.col("_src").alias("_id"),
+            F.least(F.col("_src"), F.col("_m")).alias("_lbl"),
+        )
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         nbr = (
             edges.join(labels, edges._dst == labels._id)
             .groupBy("_src")
