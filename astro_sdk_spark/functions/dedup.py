@@ -667,6 +667,7 @@ def semantic_dedup(
     mode: str = "pairs",
     cluster_cap: int | None = 2000,
     round_digits: int = 4,
+    count_capped: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): assign every embedding to its nearest centroid by
@@ -688,7 +689,12 @@ def semantic_dedup(
     100M-document scale). ``cluster_cap`` (default 2000, mirroring the LSH
     ``bucket_cap`` rationale) bounds adversarial mega-clusters: members
     beyond the cap (in id order) skip pairing — pass ``None`` to disable
-    when the centroid set is known to partition the corpus evenly. ``centroids`` is caller-supplied
+    when the centroid set is known to partition the corpus evenly. The
+    truncation is never silent: a warning is logged whenever a cap is in
+    effect, and ``count_capped=True`` additionally runs a diagnostic job
+    that logs HOW MANY clusters exceeded the cap (opt-in because it
+    re-evaluates the assignment — default call cost is unchanged).
+    ``centroids`` is caller-supplied
     (:func:`~astro_sdk_spark.functions.similarity.train_centroids`, a
     coreset, or a deterministic sample) so the operator stays deterministic
     and engine-checkable."""
@@ -703,6 +709,29 @@ def semantic_dedup(
     )
     members = emb.select(id_col, vec_col).join(assigned, on=id_col)
     if cluster_cap is not None:
+        import logging
+
+        log = logging.getLogger(__name__)
+        if count_capped:
+            n_capped = (
+                members.groupBy("cent_id")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > cluster_cap)
+                .count()
+            )
+            log.warning(
+                "semantic_dedup: %d cluster(s) exceed cluster_cap=%d; members "
+                "beyond the cap (in %s order) are excluded from pairing",
+                n_capped, cluster_cap, id_col,
+            )
+        else:
+            log.info(
+                "semantic_dedup: cluster_cap=%d in effect — clusters larger "
+                "than the cap contribute only their first %d members (by %s); "
+                "pass cluster_cap=None for exhaustive pairing or "
+                "count_capped=True to count affected clusters",
+                cluster_cap, cluster_cap, id_col,
+            )
         cw = Window.partitionBy("cent_id").orderBy(id_col)
         members = (
             members.withColumn("_m", F.row_number().over(cw))

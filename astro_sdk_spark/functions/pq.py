@@ -49,6 +49,46 @@ def _check_codebooks(codebooks) -> tuple[int, int, int]:
     return cb.shape
 
 
+def _local_topk(d, ids, top: int, tol: float):
+    """Bounded, tie-safe local top-k for ADC scans.
+
+    Returns positions (into ``d``/``ids``) of every row that could still
+    win the GLOBAL ``(rounded adist, id)`` rank — a row is dropped only
+    when at least ``top`` rows *provably* precede it in that order:
+    either their distance is smaller by MORE than one rounding quantum
+    ``tol`` (then the rounded values differ no matter how the engine
+    rounds), or their distance is bit-identical and their id is smaller
+    (id order is engine-independent). This keeps the old slack rule's
+    safety (a candidate inside the quantum of the k-th distance is never
+    dropped) while capping the adversarial identical-vector flood: n
+    copies of one vector share one code and one EXACT distance, so only
+    the ``top`` smallest ids survive instead of the whole partition. The
+    residual unbounded case — many DISTINCT distances inside a single
+    quantum — cannot be pruned without replicating the engine's exact
+    decimal rounding and is the same documented trade as ``bucket_cap``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = len(d)
+    if n <= top:
+        return np.arange(n)
+    sdf = (
+        pd.DataFrame({"_d": d, "_i": ids, "_p": np.arange(n)})
+        .sort_values(["_d", "_i"], kind="stable")
+    )
+    ds = sdf["_d"].to_numpy()
+    pos = np.arange(n)
+    # rows with the SAME distance and a smaller id: offset inside the
+    # equal-distance run
+    dom_eq = pos - np.searchsorted(ds, ds, side="left")
+    # rows smaller by more than one quantum (strict: boundary-equal rows
+    # could still round together, so they don't count as dominators)
+    dom_lt = np.searchsorted(ds, ds - tol, side="left")
+    keep = (dom_lt + dom_eq) < top
+    return sdf["_p"].to_numpy()[keep]
+
+
 def train_pq(
     df: DataFrame,
     m: int = 8,
@@ -175,9 +215,10 @@ def pq_encode(
                 {"_id": pdf["_id"].values, "_code": [c.tolist() for c in codes]}
             )
 
+    id_type = dict(df.dtypes)[id_col]
     out = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).mapInPandas(_encode, "_id long, _code array<int>")
+    ).mapInPandas(_encode, f"_id {id_type}, _code array<int>")
     return out.select(F.col("_id").alias(id_col), F.col("_code").alias(code_col))
 
 
@@ -219,11 +260,9 @@ def pq_topk(
     spark = codes.sparkSession
     bc = spark.sparkContext.broadcast((qids, tables))
     local_k = k
-    # local-selection slack: one rounding quantum. argpartition alone
-    # breaks exact ties arbitrarily, so a candidate that the global
-    # (rounded adist, id) order would rank ahead could be dropped HERE and
-    # never reach the rank — keep everything within the quantum of the
-    # k-th distance and let the deterministic global rank trim.
+    # local selection: tie-safe AND bounded — see _local_topk. tol is one
+    # rounding quantum: candidates within it of the k-th distance can
+    # still win the global (rounded adist, id) rank and must survive.
     tol = 10.0 ** -round_digits if round_digits is not None else 0.0
 
     def _scan(batches):
@@ -240,17 +279,19 @@ def pq_topk(
                 d = np.zeros(len(code_mat))
                 for s in range(tables_l.shape[1]):
                     d += tables_l[qi, s, code_mat[:, s]]
-                top = min(local_k, len(d))
-                kth = np.partition(d, top - 1)[top - 1]
-                idx = np.nonzero(d <= kth + tol)[0]
+                idx = _local_topk(d, ids, min(local_k, len(d)), tol)
                 out_q += [qid] * len(idx)
                 out_id += ids[idx].tolist()
                 out_d += d[idx].tolist()
             yield pd.DataFrame({"_qid": out_q, "_id": out_id, "_d": out_d})
 
+    # derive id dtypes from the inputs (nearest_centroids pattern) so
+    # string / non-long id columns pass through instead of null-casting
+    qtype = dict(queries.dtypes)[id_col]
+    ctype = dict(codes.dtypes)[id_col]
     scanned = codes.select(
         F.col(id_col).alias("_id"), F.col(code_col).alias("_code")
-    ).mapInPandas(_scan, "_qid long, _id long, _d double")
+    ).mapInPandas(_scan, f"_qid {qtype}, _id {ctype}, _d double")
 
     adist = F.round("_d", round_digits) if round_digits is not None else F.col("_d")
     ranked = scanned.select(
@@ -332,7 +373,7 @@ def ivfpq_topk(
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast((qids, tables, probe_map))
     local_k = k
-    # same tie-safe local selection as pq_topk (see comment there)
+    # same tie-safe bounded local selection as pq_topk (see _local_topk)
     tol = 10.0 ** -round_digits if round_digits is not None else 0.0
 
     def _scan(batches):
@@ -349,22 +390,25 @@ def ivfpq_topk(
                 if not mask.any():
                     continue
                 sub_codes = code_mat[mask]
+                sub_ids = ids[mask]
                 d = np.zeros(len(sub_codes))
                 for s in range(tables_l.shape[1]):
                     d += tables_l[qi, s, sub_codes[:, s]]
-                top = min(local_k, len(d))
-                kth = np.partition(d, top - 1)[top - 1]
-                idx = np.nonzero(d <= kth + tol)[0]
+                idx = _local_topk(d, sub_ids, min(local_k, len(d)), tol)
                 out_q += [qid] * len(idx)
-                out_id += ids[mask][idx].tolist()
+                out_id += sub_ids[idx].tolist()
                 out_d += d[idx].tolist()
             yield pd.DataFrame({"_qid": out_q, "_id": out_id, "_d": out_d})
 
+    # derive id dtypes from the inputs (nearest_centroids pattern) so
+    # string / non-long id columns pass through instead of null-casting
+    qtype = dict(queries.dtypes)[id_col]
+    ctype = dict(candidates.dtypes)[id_col]
     scanned = pruned.select(
         F.col(id_col).alias("_id"),
         F.col("pq_code").alias("_code"),
         F.col("cent_id").alias("_cent"),
-    ).mapInPandas(_scan, "_qid long, _id long, _d double")
+    ).mapInPandas(_scan, f"_qid {qtype}, _id {ctype}, _d double")
 
     adist = F.round("_d", round_digits) if round_digits is not None else F.col("_d")
     ranked = scanned.select(

@@ -457,7 +457,15 @@ def train_centroids(
                     continue
                 mat = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
                 norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-                cids = ((mat / norms) @ cl.T).argmax(axis=1)
+                # Round cosines BEFORE argmax — the same determinism
+                # contract as ``nearest_centroids``: numpy matmul (pairwise
+                # summation) and an external oracle's sequential list_sum
+                # can differ at ~1e-16, which would flip near-tied
+                # assignments nondeterministically. argmax takes the FIRST
+                # max, i.e. the lowest centroid id on rounded ties —
+                # exactly ORDER BY sim DESC, cent_id.
+                sims = np.round((mat / norms) @ cl.T, 4)
+                cids = sims.argmax(axis=1)
                 for c in np.unique(cids):
                     mask = cids == c
                     sums[c] += mat[mask].sum(axis=0)

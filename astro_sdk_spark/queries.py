@@ -2316,10 +2316,12 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Trained k-means centroids under the oracle gate: seeds are an explicit,
 # engine-agnostic id set (stride 31 — present at every SF), and the oracle
-# unrolls both Lloyd iterations in SQL: assign by dot-product argmax
-# (per-vector scaling never changes the argmax, so raw dot == cosine here),
-# elementwise mean of raw vectors per cluster, renormalize; empty clusters
-# keep their previous centroid (LEFT JOIN + CASE).
+# unrolls both Lloyd iterations in SQL: assign by argmax over the cosine
+# ROUNDED to 4 digits (ties → lowest cent_id), mirroring the trainer's
+# np.round-before-argmax determinism contract — raw unrounded dots would
+# let a ~1e-16 matmul-vs-list_sum summation difference flip a near-tied
+# assignment. Elementwise mean of raw vectors per cluster, renormalize;
+# empty clusters keep their previous centroid (LEFT JOIN + CASE).
 
 _IVF_TRAINED_SEEDS = [31 * i for i in range(16)]
 
@@ -2335,7 +2337,9 @@ _IVF_TRAINED_ORACLE = """
     a1 AS (
       SELECT v.vec_id, c0.cent_id,
              row_number() OVER (PARTITION BY v.vec_id
-                                ORDER BY list_dot_product(v.v, c0.c) DESC, c0.cent_id) AS rk
+                                ORDER BY round(list_dot_product(v.v, c0.c)
+                                  / greatest(sqrt(list_dot_product(v.v, v.v)), 1e-12), 4)
+                                  DESC, c0.cent_id) AS rk
       FROM v CROSS JOIN c0),
     asg1 AS (SELECT vec_id, cent_id FROM a1 WHERE rk = 1),
     el1 AS (
@@ -2357,7 +2361,9 @@ _IVF_TRAINED_ORACLE = """
     a2 AS (
       SELECT v.vec_id, c1.cent_id,
              row_number() OVER (PARTITION BY v.vec_id
-                                ORDER BY list_dot_product(v.v, c1.c) DESC, c1.cent_id) AS rk
+                                ORDER BY round(list_dot_product(v.v, c1.c)
+                                  / greatest(sqrt(list_dot_product(v.v, v.v)), 1e-12), 4)
+                                  DESC, c1.cent_id) AS rk
       FROM v CROSS JOIN c1),
     asg2 AS (SELECT vec_id, cent_id FROM a2 WHERE rk = 1),
     el2 AS (

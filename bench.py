@@ -63,6 +63,10 @@ def main() -> None:
             except Exception:  # noqa: BLE001 - warmup is best-effort
                 pass
             spark.catalog.clearCache()
+        # -1.0 means "never ran successfully": a transient failure on a
+        # later rep must NOT discard a valid earlier timing (that's the
+        # host-noise condition the reps exist to mitigate), so track
+        # successes separately and keep the min of those.
         best = None
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -72,9 +76,7 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             except Exception as e:  # noqa: BLE001
-                best = -1.0
                 print(f"# bench error in {name}: {e}", file=sys.stderr)
-                break
             # Some pipelines persist small intermediates (LSH candidate
             # sets) for intra-query plan reuse; drop them between reps and
             # queries so each measurement stands alone instead of

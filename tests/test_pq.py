@@ -172,3 +172,91 @@ def test_pq_topk_exact_tie_lower_id_wins(spark):
     else:
         # only one of the twins fits in k → it must be the lower id
         assert tied and tied[0].vec_id == 2
+
+
+def test_local_topk_caps_identical_distance_flood():
+    """Adversarial flood: n copies of one vector share one code and one
+    exact ADC distance. The old kth+tol rule emitted the WHOLE partition;
+    _local_topk must keep exactly the `top` smallest ids."""
+    import numpy as np
+
+    from astro_sdk_spark.functions.pq import _local_topk
+
+    n, top = 5000, 10
+    d = np.full(n, 3.14159)
+    ids = np.arange(n)[::-1].copy()  # descending, so id order != position
+    idx = _local_topk(d, ids, top, tol=1e-4)
+    assert len(idx) == top
+    assert sorted(ids[idx].tolist()) == list(range(top))
+
+
+def test_local_topk_never_drops_within_quantum_candidates():
+    """Rows within one rounding quantum of the k-th distance can still win
+    the global (rounded, id) rank and must survive local selection."""
+    import numpy as np
+
+    from astro_sdk_spark.functions.pq import _local_topk
+
+    # top=2: d=1.0 (kept), d=1.00003 (kept: within quantum of 2nd),
+    # d=1.00009 (within quantum of the 2nd-best → must be kept),
+    # d=2.0 (provably dominated by 2 rows → dropped)
+    d = np.array([1.0, 1.00003, 1.00009, 2.0])
+    ids = np.array([7, 8, 9, 10])
+    idx = _local_topk(d, ids, 2, tol=1e-4)
+    kept = sorted(ids[idx].tolist())
+    assert kept == [7, 8, 9]
+
+
+def test_local_topk_exact_when_tol_zero():
+    import numpy as np
+
+    from astro_sdk_spark.functions.pq import _local_topk
+
+    rng = np.random.RandomState(0)
+    d = rng.rand(100)
+    ids = rng.permutation(100)
+    idx = _local_topk(d, ids, 5, tol=0.0)
+    assert len(idx) == 5
+    want = sorted(range(100), key=lambda i: (d[i], ids[i]))[:5]
+    assert sorted(idx.tolist()) == sorted(want)
+
+
+def test_pq_topk_string_ids(spark):
+    """Schema is derived from input dtypes (advice fix): string id
+    columns survive the Arrow boundary instead of null-casting."""
+    import numpy as np
+
+    from astro_sdk_spark.functions.pq import pq_encode, pq_topk
+
+    rng = np.random.RandomState(5)
+    dim = 8
+    rows = [(f"doc-{i:03d}", rng.randn(dim).tolist()) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    cw = [v for _, v in rows[:4]]
+    codebooks = [[[c[s * 4 + t] for t in range(4)] for c in cw] for s in range(2)]
+    codes = pq_encode(emb, codebooks)
+    assert dict(codes.dtypes)["vec_id"] == "string"
+    out = pq_topk(codes, codebooks, emb.filter("vec_id = 'doc-000'"), k=3)
+    got = out.orderBy("rank").collect()
+    assert [r.rank for r in got] == [1, 2, 3]
+    assert got[0].vec_id == "doc-000"
+    assert all(isinstance(r.vec_id, str) for r in got)
+
+
+def test_ivfpq_topk_string_ids(spark):
+    import numpy as np
+
+    from astro_sdk_spark.functions.pq import ivfpq_topk
+
+    rng = np.random.RandomState(6)
+    dim = 8
+    rows = [(f"v{i:02d}", rng.randn(dim).tolist()) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    cw = [v for _, v in rows[:4]]
+    codebooks = [[[c[s * 4 + t] for t in range(4)] for c in cw] for s in range(2)]
+    out = ivfpq_topk(
+        emb.filter("vec_id < 'v03'"), emb, emb.filter("vec_id < 'v06'"),
+        codebooks, nprobe=2, k=5,
+    ).collect()
+    assert out
+    assert all(isinstance(r.vec_id, str) and isinstance(r.query_id, str) for r in out)
