@@ -492,70 +492,110 @@ def near_dup_clusters(
     out_id: str = "doc_id",
     out_cluster: str = "cluster_id",
     max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id),
     where cluster_id is the smallest doc id in the component. This is the
     step that turns pairwise LSH matches into canonical-document groups
     (keep min id per cluster, drop the rest).
 
-    Iterative min-label propagation: every node starts labeled with its own
-    id; each round adopts the minimum label among itself and its neighbors;
-    stop when no label changes (or after ``max_iter`` rounds — propagation
-    converges in O(component diameter) rounds, and near-dup graphs are
-    dense clumps with tiny diameters, not long chains). Each round is one
-    shuffle join + grouped min — the standard Spark shape for iterative
-    graph algorithms; ``localCheckpoint`` truncates the growing lineage so
-    round N's plan does not replay rounds 1..N-1. Only ids that appear in
-    ``pairs`` are returned (singletons are their own implicit cluster).
+    Alternating large-star/small-star rounds (Kiveris, Lattanzi, Mirrokni,
+    Rastogi & Vassilvitskii, "Connected Components in MapReduce and
+    Beyond", SOCC'14, Algorithm 2) — the round count is O(log² n)
+    guaranteed and ~log n in practice on EVERY graph shape, unlike plain
+    min-label propagation whose round count is the component DIAMETER: a
+    duplicated-document chain A ≈ B ≈ C ≈ … forces propagation through
+    O(n) shuffles, while star-rounds contract such chains geometrically.
+    Each round:
 
-    At extreme scale swap the propagation body for the alternating
-    large-star/small-star rounds of Kiveris et al., "Connected Components
-    in MapReduce and Beyond" (SOCC'14) — same driver loop, fewer rounds on
-    adversarially long paths."""
-    e = pairs.select(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst"))
-    edges = (
-        e.unionByName(e.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst")))
-        .dropDuplicates(["_src", "_dst"])
-        .persist()
-    )
-    # fused first round: with identity labels, round 1's join-with-labels
-    # reduces to min-neighbor-id — compute it directly as the initial
-    # label (one groupBy, no join, one fewer full round for the dense
-    # small-diameter clumps near-dup graphs are made of)
-    labels = (
-        edges.groupBy("_src")
-        .agg(F.min("_dst").alias("_m"))
-        .select(
-            F.col("_src").alias("_id"),
-            F.least(F.col("_src"), F.col("_m")).alias("_lbl"),
+    - **large-star**: every node connects its LARGER neighbors to the
+      minimum of its closed neighborhood — one groupBy(min) + one join,
+      both map-side-combinable, edge count never grows;
+    - **small-star**: every node connects its smaller neighbors (and
+      itself) to their minimum — same shape over the (child > parent)
+      oriented edges.
+
+    Both transforms preserve components (Kiveris §3) and maintain the
+    child > parent invariant, so the fixpoint is a star forest whose
+    roots are the component minima — detected with one semi-join per
+    round ("is any parent still a child?"), which doubles as the label
+    extraction: children point at their root, roots label themselves.
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1. Only ids that appear in ``pairs`` are
+    returned (singletons are their own implicit cluster). When ``stats``
+    is supplied, ``stats["rounds"]`` records the executed round count
+    (the convergence-proof hook used by the chain regression test)."""
+    # orient every pair (child=_a > parent=_b); drop self-pairs
+    sm = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("_a"),
+            F.least(F.col(id_a), F.col(id_b)).alias("_b"),
         )
+        .filter(F.col("_a") != F.col("_b"))
+        .dropDuplicates(["_a", "_b"])
         .localCheckpoint()
     )
-    for _ in range(max_iter - 1):
-        nbr = (
-            edges.join(labels, edges._dst == labels._id)
-            .groupBy("_src")
-            .agg(F.min("_lbl").alias("_nbr"))
-        )
-        # carry a per-row changed flag through the update instead of
-        # re-joining old vs new labels afterwards: the convergence check
-        # becomes a scan-only count over the (already materialized)
-        # checkpoint — one fewer shuffle join and one fewer job per round
-        new_labels = (
-            labels.join(nbr, labels._id == nbr._src, "left")
-            .select(
-                "_id",
-                F.least(F.col("_lbl"), F.coalesce("_nbr", F.col("_lbl"))).alias("_lbl"),
-                (F.coalesce("_nbr", F.col("_lbl")) < F.col("_lbl")).alias("_chg"),
+
+    rounds = 0
+    for _ in range(max_iter):
+        # fixpoint test: the edge set is a star forest iff no node is
+        # both a parent (_b) and a child (_a) AND no child has two
+        # parents (small-star reducers for different u can emit the same
+        # child with different minima mid-convergence — "no parent is a
+        # child" alone would declare victory one round early and emit a
+        # duplicate, conflicting label for that child). One fused
+        # groupBy over tagged endpoints checks both.
+        deg = sm.select(
+            F.col("_a").alias("_n"), F.lit(1).alias("_ch"), F.lit(0).alias("_pa")
+        ).unionByName(
+            sm.select(
+                F.col("_b").alias("_n"), F.lit(0).alias("_ch"), F.lit(1).alias("_pa")
             )
-            .localCheckpoint()
         )
-        changed = new_labels.filter(F.col("_chg")).count()
-        labels = new_labels.select("_id", "_lbl")
-        if changed == 0:
+        not_star = (
+            deg.groupBy("_n")
+            .agg(F.sum("_ch").alias("_c"), F.sum("_pa").alias("_p"))
+            .filter((F.col("_c") > 1) | ((F.col("_c") > 0) & (F.col("_p") > 0)))
+        )
+        if not_star.isEmpty():
             break
-    edges.unpersist()
-    return labels.select(
+        rounds += 1
+        # ---- large-star: for each node u, connect larger neighbors to
+        # min(closed neighborhood of u). Emitted edges (v, m) keep v > m.
+        sym = sm.select(F.col("_a").alias("_u"), F.col("_b").alias("_v")).unionByName(
+            sm.select(F.col("_b").alias("_u"), F.col("_a").alias("_v"))
+        )
+        lmin = (
+            sym.groupBy("_u")
+            .agg(F.min("_v").alias("_mv"))
+            .select("_u", F.least("_u", "_mv").alias("_m"))
+        )
+        ls = (
+            sym.join(lmin, "_u")
+            .filter(F.col("_v") > F.col("_u"))
+            .select(F.col("_v").alias("_a"), F.col("_m").alias("_b"))
+            .dropDuplicates(["_a", "_b"])
+        )
+        # ---- small-star: for each node u over its smaller neighbors N,
+        # connect N ∪ {u} (minus the min itself) to min(N)
+        smin = ls.groupBy("_a").agg(F.min("_b").alias("_m"))
+        ss = (
+            ls.join(smin, "_a")
+            .filter(F.col("_b") != F.col("_m"))
+            .select(F.col("_b").alias("_a"), F.col("_m").alias("_b"))
+            .unionByName(smin.select("_a", F.col("_m").alias("_b")))
+            .dropDuplicates(["_a", "_b"])
+        )
+        sm = ss.localCheckpoint()
+    if stats is not None:
+        stats["rounds"] = rounds
+    roots = (
+        sm.select(F.col("_b").alias("_id"))
+        .dropDuplicates(["_id"])
+        .select("_id", F.col("_id").alias("_lbl"))
+    )
+    leaves = sm.select(F.col("_a").alias("_id"), F.col("_b").alias("_lbl"))
+    return leaves.unionByName(roots).select(
         F.col("_id").alias(out_id), F.col("_lbl").alias(out_cluster)
     )
 

@@ -406,3 +406,55 @@ def test_semantic_dedup_cluster_cap_bounds_pairing(spark):
     pairs = semantic_dedup(emb, cents, threshold=0.0, cluster_cap=2).collect()
     # only the 2 lowest ids per cluster may pair: one pair per cluster max
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1), (10, 11)}
+
+
+def test_near_dup_clusters_chain_converges_in_log_rounds(spark):
+    """A 200-link near-dup chain (A ≈ B ≈ C ≈ …) is the adversarial input
+    for min-label propagation — O(n) rounds. The large-star/small-star
+    rounds (Kiveris et al., SOCC'14) must contract it in O(log n):
+    empirically 8 rounds for n=201; assert the ceil(2·log2 n) envelope."""
+    import math
+
+    from astro_sdk_spark.functions.dedup import near_dup_clusters
+
+    n = 201
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    rows = near_dup_clusters(pairs, stats=stats).collect()
+    assert sorted(r.doc_id for r in rows) == list(range(n))
+    assert all(r.cluster_id == 0 for r in rows)
+    bound = math.ceil(2 * math.log2(n))
+    assert stats["rounds"] <= bound, f"{stats['rounds']} rounds > {bound}"
+
+
+def test_near_dup_clusters_matches_union_find(spark):
+    """Label equivalence vs a driver-side union-find on a mixed graph:
+    several clumps plus a bridge and an isolated pair."""
+    from astro_sdk_spark.functions.dedup import near_dup_clusters
+
+    edges = [
+        (1, 2), (2, 3), (3, 1),          # triangle
+        (10, 11), (11, 12),              # path
+        (3, 10),                         # bridge: {1,2,3,10,11,12}
+        (20, 21),                        # isolated pair
+        (31, 30), (32, 30), (33, 32),    # star with reversed orientation
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {(r.doc_id, r.cluster_id) for r in near_dup_clusters(pairs).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(x, find(x)) for x in parent}
+    assert got == want
