@@ -139,6 +139,7 @@ def line_dedup(
     id_col: str = "doc_id",
     delimiter: str = "\n",
     min_chars: int = 1,
+    broadcast_firsts: bool | None = None,
 ) -> DataFrame:
     """C4-style line-level corpus dedup: every duplicate occurrence of a
     line ACROSS the whole corpus is removed, keeping only the first
@@ -151,32 +152,48 @@ def line_dedup(
     (``text_col`` is then the empty string), so callers can decide their
     own empty-doc policy.
 
-    Scale shape: (1) first-occurrence detection is a
-    ``groupBy(line).agg(min(struct(id, pos)))`` — partially aggregated
-    map-side, so the hottest line (empty-ish boilerplate that line dedup
-    exists to kill) ships ONE row per input partition instead of every
-    occurrence into a single window task — joined back on the line text
-    (sort-merge; AQE skew-join can split a hot line's probe partition,
-    which a window over the same key cannot); lines shorter than
-    ``min_chars`` are exempt from dropping and are filtered out BEFORE the
-    shuffle, not dragged through it. (2) a ``groupBy(id)`` reassembles.
-    The line split is a map-side ``posexplode``; reassembly sorts each
-    document's surviving lines with ``array_sort`` over ``(pos, line)``
-    structs (per-group memory is one document's lines — bounded by max doc
-    size, not corpus size). No Python UDFs, no driver-side iteration.
+    Scale shape — the key observation is that the KEPT long-line
+    occurrences are exactly the ``min(struct(id, pos))`` values of the
+    first-occurrence aggregate, so the corpus text never needs to be
+    joined back or re-shuffled for reassembly:
+
+    1. first-occurrence detection is a ``groupBy(line).agg(min(struct(id,
+       pos)))`` over the exploded long lines — partially aggregated
+       map-side, so the hottest line (empty-ish boilerplate that line
+       dedup exists to kill) ships ONE row per input partition instead of
+       every occurrence into a single window task; lines shorter than
+       ``min_chars`` are exempt from dropping and are filtered out BEFORE
+       the shuffle, not dragged through it;
+    2. the winners are re-keyed to ``(id, kept positions array)`` — the
+       line TEXT is projected away first, so this aggregate and the join
+       below move only integers;
+    3. one join of that positions table against the INTACT document rows,
+       then per-document JVM array ops (filter/concat/array_sort/
+       transform) index the original split array by the kept positions —
+       short lines are recovered locally from the document's own array,
+       and no exploded or reassembled text ever crosses a shuffle.
+
+    The old shape (join lines back on text, regroup by id) shuffled the
+    full corpus text twice more than this one; here the only text that
+    shuffles is the one distinct-line aggregation in step 1. Per-document
+    memory is one document's split array — bounded by max doc size, not
+    corpus size. No Python UDFs, no driver-side iteration.
+
+    ``broadcast_firsts`` controls the positions-join strategy: ``None``
+    (default) lets AQE pick — it converts the join to broadcast at
+    runtime when the aggregated positions side lands under
+    ``spark.sql.adaptive.autoBroadcastJoinThreshold``, the safe default
+    when distinct-line volume is unknown; ``True`` hints broadcast
+    explicitly (the positions side is ints-per-document — tiny whenever
+    boilerplate collapses distinct lines below corpus size); ``False``
+    forces the shuffle join.
     """
     import re as _re
 
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.split(F.col(text_col), F.lit(_re.escape(delimiter)), -1)
-        ).alias("_pos", "_line"),
-    )
-    short = lines.filter(F.length("_line") < min_chars).withColumn(
-        "_keep", F.lit(True)
-    )
-    long_lines = lines.filter(F.length("_line") >= min_chars)
+    arr = F.split(F.col(text_col), F.lit(_re.escape(delimiter)), -1)
+    long_lines = df.select(
+        F.col(id_col), F.posexplode(arr).alias("_pos", "_line")
+    ).filter(F.length("_line") >= min_chars)
     # min(struct(id, pos)) == the row that row_number()==1 over
     # orderBy(id, pos) would pick: struct ordering is lexicographic.
     firsts = long_lines.groupBy("_line").agg(
@@ -184,32 +201,39 @@ def line_dedup(
             "_first"
         )
     )
-    marked_long = long_lines.join(firsts, "_line").withColumn(
-        "_keep",
-        (F.col(id_col) == F.col("_first._fid")) & (F.col("_pos") == F.col("_first._fpos")),
-    )
-    marked = marked_long.select(id_col, "_pos", "_line", "_keep").unionByName(
-        short.select(id_col, "_pos", "_line", "_keep")
-    )
-    return (
-        marked.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("_keep"), F.struct("_pos", "_line")
-                            )
-                        )
-                    ),
-                    lambda s: s["_line"],
-                ),
-                delimiter,
-            ).alias(text_col),
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum(F.col("_keep").cast("int")).alias("n_kept"),
+    kept_pos = (
+        firsts.select(
+            F.col("_first._fid").alias(id_col), F.col("_first._fpos").alias("_kp")
         )
+        .groupBy(id_col)
+        .agg(F.collect_list("_kp").alias("_kept_long"))
+    )
+    if broadcast_firsts:
+        kept_pos = F.broadcast(kept_pos)
+    base = df.select(F.col(id_col), arr.alias("_arr")).join(
+        kept_pos, id_col, "left"
+    )
+    n = F.size("_arr")
+    # short lines are always kept and never reach the aggregate — recover
+    # their positions locally from the document's own array
+    short_pos = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.length(F.element_at(F.col("_arr"), i + 1)) < min_chars,
+    )
+    kept = F.array_sort(
+        F.concat(
+            F.coalesce(F.col("_kept_long"), F.expr("array()").cast("array<int>")),
+            short_pos,
+        )
+    )
+    return base.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(kept, lambda p: F.element_at(F.col("_arr"), p + 1)),
+            delimiter,
+        ).alias(text_col),
+        n.cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
     )
 
 
