@@ -29,6 +29,7 @@ Coverage map (SURVEY §2.5 + extensions):
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2478,6 +2479,71 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CTAS operator path END-TO-END under the oracle gate: load_file stages the
+# parquet into a managed table, transform() renders the identifier-validated
+# template and CTAS-materializes the aggregate, and the result is read back
+# from the catalog — covering engine.load_file →
+# create_table_from_select_statement → catalog read, not just the plan
+# builders the merge/append queries exercise. Fixed table names + overwrite
+# semantics keep repeated driver runs idempotent.
+
+_TRANSFORM_CTAS_ORACLE = """
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS total_price,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+def _drop_table_and_location(spark: SparkSession, name: str) -> None:
+    """DROP TABLE IF EXISTS plus orphaned-location cleanup: a managed
+    table written by a PREVIOUS session leaves its warehouse directory
+    behind while the new session's in-memory catalog has never heard of
+    it — saveAsTable then fails with LOCATION_ALREADY_EXISTS. Only
+    local-filesystem warehouses are scrubbed (the only kind in this
+    environment); remote schemes are left to the catalog."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    if wh.scheme in ("", "file"):
+        shutil.rmtree(
+            os.path.join(wh.path or wh.netloc, name.lower()), ignore_errors=True
+        )
+
+
+@q("q_transform_ctas", _TRANSFORM_CTAS_ORACLE)
+def q_transform_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform → CTAS → read-back (operators/transform.py:run_transform,
+    engine.py:create_table_from_select_statement; reference
+    python-sdk/src/astro/sql/operators/transform.py:20-191). The one
+    CORRECTNESS row that drives the flagship operator layer end-to-end."""
+    from astro_sdk_spark.engine import SparkEngine
+    from astro_sdk_spark.files import File
+    from astro_sdk_spark.operators.load_file import load_file
+    from astro_sdk_spark.operators.transform import run_transform
+    from astro_sdk_spark.table import Table
+
+    eng = SparkEngine(spark)
+    _drop_table_and_location(spark, "q_ctas_orders_src")
+    _drop_table_and_location(spark, "q_ctas_orders_agg")
+    src = Table(name="q_ctas_orders_src")
+    load_file(File(f"{sf_dir}/orders.parquet"), src, engine=eng)
+    out = run_transform(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "round(sum(o_totalprice), 2) AS total_price, "
+        "count(*) AS n_orders "
+        "FROM {{ src }} GROUP BY o_orderstatus, o_orderpriority",
+        parameters={"src": src},
+        output_table=Table(name="q_ctas_orders_agg"),
+        engine=eng,
+    )
+    return spark.table(out.qualified_name)
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -2500,8 +2566,12 @@ _TAIL_VARIANTS = [
     "q_window_running",    # windows: q_window_topk
     "q_doc_fingerprint",   # text: q_token_stats
     "q_stratified_sample", # sampling: q_train_split, q_domain_mix, q_seq_packing
-    "q_cube",              # aggregation: q_rollup, q_grouping_sets, q_pivot
-    "q_distinct_counts",   # aggregation: q_pricing_summary, q_group_having
+    "q_cube",              # grouping analytics: q_rollup, q_grouping_sets
+    "q_pivot",             # grouping analytics: q_rollup, q_grouping_sets
+                           # (tailed to make window room for q_transform_ctas)
+    "q_distinct_counts",   # aggregation: q_pricing_summary
+    "q_group_having",      # aggregation: q_pricing_summary (tailed to make
+                           # window room for q_transform_ctas)
     "q_window_extended",   # windows: q_window_topk, q_window_running
     "q_string_funcs",      # scalar fns: q_scalar_funcs, q_date_funcs, q_json_extract
     "q_events_sliding",    # events: q_events_tumbling, q_events_sessions
