@@ -236,6 +236,7 @@ def minhash_near_dup(
     shingle_k: int = 3,
     bucket_cap: int | None = 500,
     pre_dedup: bool = False,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: minhash → banded LSH → exact Jaccard verify.
     Returns (id_a, id_b, jaccard) pairs above threshold.
@@ -245,11 +246,20 @@ def minhash_near_dup(
     exact dups, which otherwise all land in the same buckets in every band
     and blow up the candidate self-join quadratically. Combine with
     ``exact_dedup`` output to recover the identical groups. ``bucket_cap``
-    bounds whatever skew remains."""
+    bounds whatever skew remains.
+
+    ``sigs`` — a precomputed ``(id_col, minhash)`` frame from
+    :func:`minhash_signatures` with the same ``num_hashes``/``shingle_k``
+    (the ``incremental_near_dup`` contract): signature computation is the
+    dominant shared prefix of every dedup pipeline, so a caller running
+    several passes over one corpus computes it once and hands it to each.
+    Must describe exactly the documents in ``df`` (after ``pre_dedup``,
+    if set — combining both is the caller's responsibility)."""
     if pre_dedup:
         reps = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
         df = reps.select(id_col, text_col)
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    if sigs is None:
+        sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands, bucket_cap)
     return jaccard_pairs(df, cands, text_col, id_col, shingle_k).filter(
         F.col("jaccard") >= threshold
@@ -626,17 +636,24 @@ def dedup_corpus(
        any near-dup pair is a singleton and kept as-is.
 
     Scale shape: one hash shuffle for exact groups, the capped banded LSH
-    pipeline for pairs, O(diameter) label-propagation rounds, and a final
+    pipeline for pairs, O(log n) star-contraction rounds, and a final
     left-anti join against the (tiny — dup cluster members only) drop set,
-    which AQE broadcasts. To dedup a stream against this corpus
-    incrementally, persist signatures and use
-    :func:`incremental_near_dup` / ``streaming.ingest`` instead of
+    which AQE broadcasts. The representatives' minhash signatures are
+    computed ONCE and persisted (id + num_hashes ints — the signature-store
+    footprint, a vanishing fraction of corpus text): they feed the LSH
+    candidate stage AND serve as the keep-list spine, so the final
+    anti-join does not replay the exact-dedup shuffle a third time. To
+    dedup a stream against this corpus incrementally, persist signatures
+    and use :func:`incremental_near_dup` / ``streaming.ingest`` instead of
     re-running this batch operator.
     """
     reps = (
         df.groupBy(text_col)
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, text_col)
+    )
+    sigs = track(
+        minhash_signatures(reps, text_col, id_col, num_hashes, shingle_k)
     )
     pairs = minhash_near_dup(
         reps,
@@ -647,6 +664,7 @@ def dedup_corpus(
         threshold=threshold,
         shingle_k=shingle_k,
         bucket_cap=bucket_cap,
+        sigs=sigs,
     )
     clusters = near_dup_clusters(
         pairs, out_id="_nd_id", out_cluster="_nd_cluster", max_iter=max_iter
@@ -654,7 +672,7 @@ def dedup_corpus(
     drops = clusters.filter(F.col("_nd_id") != F.col("_nd_cluster")).select(
         F.col("_nd_id").alias(id_col)
     )
-    return reps.select(id_col).join(drops, id_col, "left_anti")
+    return sigs.select(id_col).join(drops, id_col, "left_anti")
 
 
 def embedding_near_dup(

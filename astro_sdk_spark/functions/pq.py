@@ -97,6 +97,8 @@ def train_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    seed_ids: list | None = None,
+    round_digits: int | None = None,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: an independent L2 k-means per subspace, all
     ``m`` subspaces advanced in the SAME ``mapInPandas`` pass per
@@ -105,19 +107,40 @@ def train_pq(
 
     Seeding is deterministic and order-independent: the ``k`` vectors
     with the smallest ``xxhash64(id, seed)`` provide the initial
-    codewords for every subspace. Empty cells keep their codeword."""
+    codewords for every subspace; or, when ``seed_ids`` is given, the
+    vectors with those ids in ascending id order — the engine-agnostic
+    seeding an external oracle can replicate exactly (the
+    ``train_centroids`` pattern). Empty cells keep their codeword.
+
+    ``round_digits``: when set, cell assignment ranks on the FULL squared
+    L2 distance (‖x‖² included) ROUNDED to that many digits, ties → lowest
+    codeword index — the same cross-engine determinism contract as
+    ``train_centroids``/``nearest_centroids`` (numpy's pairwise-summed
+    matmul and an oracle's sequential ``list_sum`` can differ at ~1e-16,
+    flipping near-tied cells). Default None keeps the fast path: unrounded
+    ``‖c‖² − 2x·c`` (the row-constant ‖x‖² dropped before argmin)."""
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
     vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    seeds = (
-        vecs.withColumn("_h", F.xxhash64(F.col("_id").cast("string"), F.lit(seed)))
-        .orderBy("_h", "_id")
-        .limit(k)
-        .select("_v")
-        .collect()
-    )
+    if seed_ids is not None:
+        if len(seed_ids) != k:
+            raise ValueError(f"seed_ids must have exactly k={k} ids, got {len(seed_ids)}")
+        seeds = (
+            vecs.filter(F.col("_id").isin(list(seed_ids)))
+            .orderBy("_id")
+            .select("_v")
+            .collect()
+        )
+    else:
+        seeds = (
+            vecs.withColumn("_h", F.xxhash64(F.col("_id").cast("string"), F.lit(seed)))
+            .orderBy("_h", "_id")
+            .limit(k)
+            .select("_v")
+            .collect()
+        )
     if len(seeds) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(seeds)}")
     seed_mat = _as_matrix([r._v for r in seeds])
@@ -129,6 +152,7 @@ def train_pq(
     cb = np.stack([seed_mat[:, s * dsub:(s + 1) * dsub] for s in range(m)])
 
     only_vecs = vecs.select("_v")
+    rd = round_digits
     for _ in range(iters):
         bc = spark.sparkContext.broadcast(cb)
 
@@ -147,6 +171,13 @@ def train_pq(
                     # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant
                     # per row, irrelevant to the argmin
                     d2 = cb_sq[s] - 2.0 * (xs[:, s, :] @ cbl[s].T)  # (n, k)
+                    if rd is not None:
+                        # determinism contract: rank on the FULL distance
+                        # rounded (argmin takes the first/lowest index on
+                        # rounded ties — ORDER BY round(dist), code_id)
+                        d2 = np.round(
+                            d2 + (xs[:, s, :] ** 2).sum(axis=1)[:, None], rd
+                        )
                     cid = d2.argmin(axis=1)
                     for c in np.unique(cid):
                         mask = cid == c
@@ -184,12 +215,19 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     code_col: str = "pq_code",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Encode vectors into PQ codes: ``(id_col, code_col array<int>)``.
 
     One Arrow-batched numpy pass; per subspace the argmin is a
     (batch × k) matmul. Ties go to the smallest codeword index (numpy
-    argmin), mirroring the SQL oracle's (dist, code) ordering."""
+    argmin), mirroring the SQL oracle's (dist, code) ordering.
+
+    ``round_digits``: when set, the argmin ranks on the FULL squared L2
+    distance rounded to that many digits — required whenever the
+    codebooks were TRAINED (two engines' trained codewords differ at
+    ~1e-15, so near-tied unrounded cells would flip; exact inlined
+    codebooks don't need it)."""
     import numpy as np
     import pandas as pd
 
@@ -198,6 +236,7 @@ def pq_encode(
     bc = spark.sparkContext.broadcast(
         np.asarray(codebooks, dtype=np.float64)
     )
+    rd = round_digits
 
     def _encode(batches):
         cbl = bc.value
@@ -210,6 +249,10 @@ def pq_encode(
             codes = np.empty((len(mat), m), dtype=np.int64)
             for s in range(m):
                 d2 = cb_sq[s] - 2.0 * (xs[:, s, :] @ cbl[s].T)
+                if rd is not None:
+                    d2 = np.round(
+                        d2 + (xs[:, s, :] ** 2).sum(axis=1)[:, None], rd
+                    )
                 codes[:, s] = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {"_id": pdf["_id"].values, "_code": [c.tolist() for c in codes]}
@@ -317,6 +360,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 4,
+    encode_round_digits: int | None = None,
 ) -> DataFrame:
     """IVF-PQ (IVFADC, Jégou et al. 2011 §V): coarse inverted lists from
     cosine-nearest centroid assignment + PQ codes inside the lists; each
@@ -333,7 +377,9 @@ def ivfpq_topk(
 
     Returns ``(query_id, vec_id, adist, rank)`` — same contract as
     :func:`pq_topk` (self-matches kept; ADC distance of a vector to its
-    own code is nonzero by construction)."""
+    own code is nonzero by construction). ``encode_round_digits`` is
+    forwarded to :func:`pq_encode` — set it when ``codebooks`` came from
+    :func:`train_pq` (see the encode determinism note there)."""
     import numpy as np
     import pandas as pd
 
@@ -342,7 +388,10 @@ def ivfpq_topk(
     m, kc, dsub = _check_codebooks(codebooks)
     cb = np.asarray(codebooks, dtype=np.float64)
 
-    codes = pq_encode(candidates, codebooks, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(
+        candidates, codebooks, id_col=id_col, vec_col=vec_col,
+        round_digits=encode_round_digits,
+    )
     assigned = nearest_centroids(
         candidates, centroids, id_col=id_col, vec_col=vec_col, n=1,
         cent_id_col=id_col, cent_vec_col=vec_col,

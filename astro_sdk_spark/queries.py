@@ -2415,6 +2415,151 @@ def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF-PQ with TRAINED codebooks: the FULL train → encode → probe → ADC-scan
+# pipeline under the hash gate. train_pq runs 2 Lloyd iterations of L2
+# k-means per subspace (m=4, k=16 codewords, explicit stride-31 seed ids —
+# the q_ivf_trained device) with the round-before-argmin determinism
+# contract; the oracle unrolls both iterations in SQL per (sub, code) cell,
+# then replays q_ivfpq_topk's assignment/probe/encode/ADC stages against
+# the trained codebooks. Encode ranks on round(dist, 4) in BOTH engines —
+# trained codewords differ across engines at ~1e-15, so unrounded
+# near-tied cells would flip (exact inlined codebooks, as in
+# q_ivfpq_topk, don't need this).
+
+_IVFPQ_TRAINED_ORACLE = """
+    WITH docs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subv AS (
+      SELECT vec_id, s.s AS sub, list_slice(v, s.s*16 + 1, s.s*16 + 16) AS sv
+      FROM docs CROSS JOIN range(4) s(s)),
+    seedv AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, vec_id
+      FROM docs WHERE vec_id % 31 = 0 AND vec_id <= 465),
+    cb0 AS (
+      SELECT sv.sub, sd.code_id, sv.sv AS cvec
+      FROM seedv sd JOIN subv sv USING (vec_id)),
+    a1 AS (
+      SELECT d.vec_id, d.sub, cb.code_id,
+             row_number() OVER (PARTITION BY d.vec_id, d.sub
+               ORDER BY round(list_sum(list_transform(range(1, 17),
+                        i -> (d.sv[i] - cb.cvec[i]) * (d.sv[i] - cb.cvec[i]))), 4),
+                        cb.code_id) AS rk
+      FROM subv d JOIN cb0 cb USING (sub)),
+    asg1 AS (SELECT vec_id, sub, code_id FROM a1 WHERE rk = 1),
+    el1 AS (
+      SELECT a.sub, a.code_id,
+             unnest(range(len(s.sv))) AS pos, unnest(s.sv) AS val
+      FROM asg1 a JOIN subv s ON a.vec_id = s.vec_id AND a.sub = s.sub),
+    m1 AS (
+      SELECT sub, code_id, list(mn ORDER BY pos) AS mv
+      FROM (SELECT sub, code_id, pos, avg(val) AS mn
+            FROM el1 GROUP BY sub, code_id, pos)
+      GROUP BY sub, code_id),
+    cb1 AS (
+      SELECT cb0.sub, cb0.code_id,
+             CASE WHEN m1.code_id IS NULL THEN cb0.cvec ELSE m1.mv END AS cvec
+      FROM cb0 LEFT JOIN m1 ON cb0.sub = m1.sub AND cb0.code_id = m1.code_id),
+    a2 AS (
+      SELECT d.vec_id, d.sub, cb.code_id,
+             row_number() OVER (PARTITION BY d.vec_id, d.sub
+               ORDER BY round(list_sum(list_transform(range(1, 17),
+                        i -> (d.sv[i] - cb.cvec[i]) * (d.sv[i] - cb.cvec[i]))), 4),
+                        cb.code_id) AS rk
+      FROM subv d JOIN cb1 cb USING (sub)),
+    asg2 AS (SELECT vec_id, sub, code_id FROM a2 WHERE rk = 1),
+    el2 AS (
+      SELECT a.sub, a.code_id,
+             unnest(range(len(s.sv))) AS pos, unnest(s.sv) AS val
+      FROM asg2 a JOIN subv s ON a.vec_id = s.vec_id AND a.sub = s.sub),
+    m2 AS (
+      SELECT sub, code_id, list(mn ORDER BY pos) AS mv
+      FROM (SELECT sub, code_id, pos, avg(val) AS mn
+            FROM el2 GROUP BY sub, code_id, pos)
+      GROUP BY sub, code_id),
+    cb AS (
+      SELECT cb1.sub, cb1.code_id,
+             CASE WHEN m2.code_id IS NULL THEN cb1.cvec ELSE m2.mv END AS cvec
+      FROM cb1 LEFT JOIN m2 ON cb1.sub = m2.sub AND cb1.code_id = m2.code_id),
+    cent AS (
+      SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 16),
+    assign_scored AS (
+      SELECT d.vec_id AS cand_id, cent_id,
+             row_number() OVER (
+               PARTITION BY d.vec_id
+               ORDER BY round(list_cosine_similarity(v, cvec), 4) DESC, cent_id) AS rk
+      FROM docs d CROSS JOIN cent),
+    assigned AS (SELECT cand_id, cent_id FROM assign_scored WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 8),
+    probe_scored AS (
+      SELECT query_id, cent_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_cosine_similarity(qv, cvec), 4) DESC, cent_id) AS rk
+      FROM q CROSS JOIN cent),
+    probes AS (SELECT query_id, cent_id FROM probe_scored WHERE rk <= 4),
+    dists AS (
+      SELECT d.vec_id, d.sub, cb.code_id,
+             round(list_sum(list_transform(range(1, 17),
+                      i -> (d.sv[i] - cb.cvec[i]) * (d.sv[i] - cb.cvec[i]))), 4)
+               AS dist
+      FROM subv d JOIN cb USING (sub)),
+    codes AS (
+      SELECT vec_id, sub, code_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, sub ORDER BY dist, code_id) AS rn
+        FROM dists) WHERE rn = 1),
+    qd AS (
+      SELECT s.vec_id AS query_id, cb.sub, cb.code_id,
+             list_sum(list_transform(range(1, 17),
+                      i -> (s.sv[i] - cb.cvec[i]) * (s.sv[i] - cb.cvec[i])))
+               AS qdist
+      FROM subv s JOIN cb USING (sub) WHERE s.vec_id < 8),
+    adc AS (
+      SELECT p.query_id, c.vec_id, sum(qd.qdist) AS adist
+      FROM codes c
+      JOIN assigned a ON a.cand_id = c.vec_id
+      JOIN probes p ON p.cent_id = a.cent_id
+      JOIN qd ON qd.sub = c.sub AND qd.code_id = c.code_id
+             AND qd.query_id = p.query_id
+      GROUP BY p.query_id, c.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, round(adist, 4) AS adist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY round(adist, 4), vec_id) AS rank
+      FROM adc)
+    SELECT query_id, vec_id, adist, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@q("q_ivfpq_trained", _IVFPQ_TRAINED_ORACLE)
+def q_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with train_pq-trained codebooks (functions/pq.py:train_pq,
+    ivfpq_topk): 2 seeded Lloyd iterations of per-subspace L2 k-means
+    train the m=4 × k=16 codebooks inside the query, then the standard
+    IVFADC probe/scan runs against them — the full train → encode →
+    probe → scan pipeline in one hash-gated row. Encode rounds distances
+    to 4 digits in both engines (trained codewords differ at ~1e-15
+    across engines)."""
+    from astro_sdk_spark.functions.pq import ivfpq_topk, train_pq
+
+    emb = T(spark, sf_dir, "embeddings")
+    codebooks = train_pq(
+        emb, m=4, k=16, iters=2,
+        seed_ids=_IVF_TRAINED_SEEDS, round_digits=4,
+    )
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") < 8),
+        emb,
+        centroids=emb.filter(F.col("vec_id") < 16),
+        codebooks=codebooks,
+        nprobe=4,
+        k=10,
+        encode_round_digits=4,
+    )
+
+
+# --------------------------------------------------------------------------
 # Windowed substring dedup (ExactSubstr of Lee et al. 2022, fixed-k
 # approximation): every 8-token span whose sequence appeared earlier in the
 # corpus is removed, first occurrence kept. The oracle replicates
@@ -2560,6 +2705,8 @@ _TAIL_VARIANTS = [
                            # vs exact), q_ivf_topk, q_ivf_trained, q_ivfpq_topk
     "q_pq_topk",           # PQ: q_ivfpq_topk runs the same encode+ADC
                            # machinery inside its in-window oracle
+    "q_ivfpq_trained",     # PQ: q_ivfpq_topk (in-window) + q_ivf_trained
+                           # cover the probe/scan and trainer families
     "q_neardup_renamed_cols",  # minhash: q_minhash_neardup (same oracle)
     "q_merge_ignore",      # merge: q_merge_update
     "q_date_funcs",        # scalar fns: q_scalar_funcs, q_json_extract

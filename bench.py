@@ -154,6 +154,80 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 - ingest metric is best-effort
         print(f"# bench ingest error: {e}", file=sys.stderr)
 
+    # Skew stress: the adversarial-skew pytest proves the caps/de-skew
+    # designs are CORRECT; this stage proves they are FAST. The flooded
+    # corpus keeps the row count and volume of the uniform one, but 98%
+    # of documents share ONE multi-line body — so every hot-key hazard
+    # fires at once (one line repeated ~n times, each boilerplate term
+    # with df≈n, one LSH mega-bucket in every band). The contract being
+    # measured: bucket caps + partial-agg first-occurrence shapes keep
+    # flooded wall-time within a small factor of uniform (≤3× is the
+    # documented bar), instead of the quadratic/hot-partition blow-up an
+    # uncapped design exhibits. Timings are reported under their own
+    # "skew" key and excluded from the headline total. Opt out with
+    # SPARK_GRAFT_BENCH_SKEW=0.
+    skew: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SKEW", "1") != "0":
+        try:
+            from pyspark.sql import functions as SF
+
+            from astro_sdk_spark.functions.cleaning import line_dedup
+            from astro_sdk_spark.functions.dedup import dedup_corpus, minhash_near_dup
+            from astro_sdk_spark.functions.text import tf_idf
+            from astro_sdk_spark.queries import T as _T
+
+            docs = _T(spark, sf_dir, "documents").select("doc_id", "text")
+            boiler = "\n".join(
+                f"boilerplate navigation footer line {i} repeated on every page"
+                for i in range(8)
+            )
+            flooded = docs.select(
+                "doc_id",
+                SF.when(SF.col("doc_id") % 50 == 0, SF.col("text"))
+                .otherwise(SF.lit(boiler))
+                .alias("text"),
+            )
+            # minhash runs with pre_dedup=True — the documented 100 TB
+            # configuration for exact-dup-dominated corpora (collapse
+            # byte-identical texts BEFORE LSH; dedup_corpus hardwires the
+            # same exact-reps-first stage). Without it a flood SMALLER
+            # than bucket_cap legitimately pays cap²-bounded quadratic
+            # verify — bounded, but the bound is the cap, not 3×.
+            ops = {
+                "line_dedup": lambda d: line_dedup(d),
+                "tf_idf": lambda d: tf_idf(d),
+                "minhash_near_dup": lambda d: minhash_near_dup(
+                    d, threshold=0.5, pre_dedup=True
+                ),
+                "dedup_corpus": lambda d: dedup_corpus(d, threshold=0.5),
+            }
+            for op_name, op in ops.items():
+                entry: dict = {}
+                for variant, data in (("uniform", docs), ("flooded", flooded)):
+                    try:
+                        op(data).count()  # warm plans/codegen
+                        spark.catalog.clearCache()
+                        t0 = time.perf_counter()
+                        op(data).count()
+                        entry[variant] = round(time.perf_counter() - t0, 3)
+                    except Exception as e:  # noqa: BLE001
+                        print(
+                            f"# bench skew error in {op_name}/{variant}: {e}",
+                            file=sys.stderr,
+                        )
+                        entry[variant] = -1.0
+                    spark.catalog.clearCache()
+                if entry.get("uniform", 0) > 0 and entry.get("flooded", 0) > 0:
+                    entry["ratio"] = round(entry["flooded"] / entry["uniform"], 2)
+                skew[op_name] = entry
+        except Exception as e:  # noqa: BLE001 - skew stage is best-effort
+            print(f"# bench skew stage error: {e}", file=sys.stderr)
+    ratios = [v["ratio"] for v in skew.values() if "ratio" in v]
+    skew_out = (
+        {"skew": skew, "skew_max_ratio": max(ratios)} if ratios else
+        ({"skew": skew} if skew else {})
+    )
+
     print(
         json.dumps(
             {
@@ -163,6 +237,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 **ingest,
+                **skew_out,
             }
         )
     )

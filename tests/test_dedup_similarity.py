@@ -458,3 +458,16 @@ def test_near_dup_clusters_matches_union_find(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {(x, find(x)) for x in parent}
     assert got == want
+
+
+def test_minhash_near_dup_accepts_precomputed_sigs(corpus):
+    """A caller sharing one signature pass across pipelines gets
+    bit-identical pairs from the sigs fast-path."""
+    from astro_sdk_spark.functions.dedup import minhash_near_dup, minhash_signatures
+
+    base = minhash_near_dup(corpus, threshold=0.5).collect()
+    sigs = minhash_signatures(corpus)
+    reused = minhash_near_dup(corpus, threshold=0.5, sigs=sigs).collect()
+    assert sorted((r.id_a, r.id_b, round(r.jaccard, 6)) for r in base) == sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 6)) for r in reused
+    )

@@ -260,3 +260,42 @@ def test_ivfpq_topk_string_ids(spark):
     ).collect()
     assert out
     assert all(isinstance(r.vec_id, str) and isinstance(r.query_id, str) for r in out)
+
+
+def test_train_pq_seed_ids_explicit(clustered):
+    """seed_ids seeds from those exact vectors in ascending-id order —
+    the engine-agnostic seeding an external oracle replicates."""
+    import numpy as np
+
+    ids = [0, 7, 14, 21, 28, 35, 42, 49]
+    cb = train_pq(clustered, m=4, k=8, iters=0, seed_ids=ids)
+    seeds = {
+        r.vec_id: r.embedding
+        for r in clustered.filter(F.col("vec_id").isin(ids)).collect()
+    }
+    for pos, vid in enumerate(sorted(ids)):
+        full = np.concatenate([np.asarray(cb[s][pos]) for s in range(4)])
+        assert np.allclose(full, np.asarray(seeds[vid]))
+
+
+def test_train_pq_seed_ids_wrong_count_raises(clustered):
+    with pytest.raises(ValueError, match="exactly k=8"):
+        train_pq(clustered, m=4, k=8, iters=1, seed_ids=[0, 1])
+
+
+def test_train_pq_round_digits_tie_goes_to_lowest_code(spark):
+    """With round_digits set, two codewords equidistant (after rounding)
+    from every vector must both-assign to the LOWER code index — the mean
+    then moves codeword 0 and leaves codeword 1 at its seed."""
+    # vectors at ±1 on one axis; seeds at the two vectors themselves:
+    # each vector is distance 0 from one seed and 4 from the other, so
+    # cells split cleanly; the engineered midpoint vector 2 ties both
+    # seeds at distance 1 and must land in cell 0.
+    rows = [(0, [1.0, 0.0]), (1, [-1.0, 0.0]), (2, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = train_pq(
+        df, m=1, k=2, iters=1, seed_ids=[0, 1], round_digits=4
+    )
+    # cell 0 got vectors {0, 2} -> mean (0.5, 0); cell 1 got {1} -> (-1, 0)
+    assert cb[0][0] == [0.5, 0.0]
+    assert cb[0][1] == [-1.0, 0.0]

@@ -48,7 +48,10 @@ FAMILIES: dict[str, list[str]] = {
     "dedup-clusters": ["q_dedup_clusters", "q_dedup_keeplist"],
     "embedding-dedup": ["q_embedding_neardup", "q_semantic_dedup"],
     "ann": ["q_embedding_topk", "q_ann_recall", "q_ann_lsh"],
-    "ivf-pq": ["q_ivf_topk", "q_ivf_trained", "q_ivfpq_topk", "q_pq_topk"],
+    "ivf-pq": [
+        "q_ivf_topk", "q_ivf_trained", "q_ivfpq_topk", "q_pq_topk",
+        "q_ivfpq_trained",
+    ],
     "text-stats": [
         "q_token_stats", "q_quality_score", "q_doc_fingerprint",
         "q_top_ngrams", "q_bpe_token_count", "q_repetition_stats",
