@@ -126,6 +126,89 @@ def merge_update_plan(tgt, src, cmap: dict[str, str], keys: list[str]):
     return unchanged.unionByName(matched).unionByName(inserted)
 
 
+def table_provider(spark: SparkSession, qualified_name: str) -> str | None:
+    """The catalog provider of a table (``parquet``, ``delta``, ...),
+    lower-cased; None when the catalog won't say (view, missing table)."""
+    try:
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {qualified_name}").collect():
+            if (r.col_name or "").strip().lower() == "provider":
+                return (r.data_type or "").strip().lower() or None
+    except Exception:  # noqa: BLE001 - provider detection is best-effort
+        return None
+    return None
+
+
+def merge_into_sql(
+    target_name: str,
+    source_name: str,
+    mapped_target_cols: list[str],
+    keys: list[str],
+    if_conflicts: str,
+) -> str:
+    """Render the transactional ``MERGE INTO`` statement used when the
+    TARGET is a transaction-log format (Delta — reference
+    ``databricks/delta.py:357-441``; also correct for Iceberg/Hudi v2
+    tables). One statement replaces the whole staged-rewrite dance: the
+    log gives atomicity and only touched files are rewritten, so the
+    'update' path stops paying a full table rewrite.
+
+    ``mapped_target_cols`` are target column names fed by the column map
+    (the source is already projected to target shape); unmapped columns
+    are preserved simply by not being assigned. 'exception' renders
+    insert-only like 'ignore' — the caller raises on key clashes BEFORE
+    executing (MERGE has no raise-on-match clause)."""
+    on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+    insert_cols = ", ".join(f"`{c}`" for c in mapped_target_cols)
+    insert_vals = ", ".join(f"s.`{c}`" for c in mapped_target_cols)
+    stmt = f"MERGE INTO {target_name} t USING {source_name} s ON {on}"
+    if if_conflicts == "update":
+        sets = ", ".join(
+            f"t.`{c}` = s.`{c}`" for c in mapped_target_cols if c not in keys
+        )
+        if sets:
+            stmt += f" WHEN MATCHED THEN UPDATE SET {sets}"
+    stmt += f" WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    return stmt
+
+
+def _merge_native(eng, tgt, src_shaped, cmap, keys, if_conflicts, target_table):
+    """Transaction-log merge path (Delta & friends): one MERGE INTO.
+
+    Environment boundary: this sandbox has neither the delta-spark
+    package nor the Delta jars, so no delta-provider table can exist here
+    and this path is exercised by SQL-generation unit tests only — on a
+    real cluster with Delta configured (``spark.sql.extensions`` +
+    ``io.delta:delta-spark``), any delta-backed target routes here
+    automatically and the parquet join-rewrite below is never used."""
+    s = eng.spark
+    if if_conflicts == "exception":
+        n_dup = (
+            src_shaped.join(tgt.select(*keys), on=keys, how="left_semi")
+            .limit(1)
+            .count()
+        )
+        if n_dup:
+            raise MergeConflictException(
+                f"Merge would violate unique constraint on {keys} "
+                f"(source has keys already present in {target_table.qualified_name})"
+            )
+    view = f"_astro_merge_src_{abs(hash(target_table.qualified_name)) % 10**8}"
+    src_shaped.createOrReplaceTempView(view)
+    try:
+        s.sql(
+            merge_into_sql(
+                target_table.qualified_name,
+                view,
+                sorted(set(cmap.values())),
+                keys,
+                if_conflicts,
+            )
+        )
+    finally:
+        s.catalog.dropTempView(view)
+    return target_table
+
+
 def merge(
     source_table: BaseTable,
     target_table: BaseTable,
@@ -168,6 +251,13 @@ def merge(
         inputs=[_name_of(source_table)],
         outputs=[_name_of(target_table)],
     )
+
+    # transaction-log targets (Delta/Iceberg/Hudi) take the native
+    # MERGE INTO path: atomic, touched-files-only — no staged rewrite
+    if table_provider(s, target_table.qualified_name) in ("delta", "iceberg", "hudi"):
+        return _merge_native(
+            eng, tgt, src_shaped, cmap, keys, if_conflicts, target_table
+        )
 
     if if_conflicts == "exception":
         n_dup = src_shaped.join(tgt.select(*keys), on=keys, how="left_semi").limit(1).count()

