@@ -48,6 +48,8 @@ PY_BOUNDARY_WHITELIST = {
     "q_embedding_neardup": 1,
     "q_semantic_dedup": 1,
     "q_ivfpq_topk": 3,
+    "q_ivfpq_trained": 3,    # same final plan as q_ivfpq_topk; the trainer's
+                             # per-iteration passes run eagerly, outside it
     "q_ann_lsh": 2,
     "q_pq_topk": 2,
     "q_ann_recall": 2,       # exact + LSH subtrees may both materialize
