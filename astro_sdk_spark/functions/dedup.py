@@ -548,37 +548,54 @@ def near_dup_clusters(
 
     rounds = 0
     for _ in range(max_iter):
-        # fixpoint test: the edge set is a star forest iff no node is
-        # both a parent (_b) and a child (_a) AND no child has two
-        # parents (small-star reducers for different u can emit the same
-        # child with different minima mid-convergence — "no parent is a
-        # child" alone would declare victory one round early and emit a
-        # duplicate, conflicting label for that child). One fused
-        # groupBy over tagged endpoints checks both.
-        deg = sm.select(
-            F.col("_a").alias("_n"), F.lit(1).alias("_ch"), F.lit(0).alias("_pa")
+        # ONE aggregation per round serves BOTH control and transform:
+        # per node it computes (child-degree, parent-degree, min
+        # neighbor). The fixpoint test — the edge set is a star forest
+        # iff no node is both a parent (_b) and a child (_a) AND no
+        # child has two parents (small-star reducers for different u can
+        # emit the same child with different minima mid-convergence, so
+        # "no parent is a child" alone would declare victory one round
+        # early and emit a duplicate, conflicting label) — reads the
+        # degree columns; the large-star transform reads the min
+        # column. The check short-circuits (limit-1 count: any non-star
+        # node, found early on unconverged rounds); persisting the
+        # aggregate lets the large-star join read whatever the check
+        # already computed from cache instead of paying the endpoint
+        # shuffle twice per round.
+        ends = sm.select(
+            F.col("_a").alias("_n"), F.col("_b").alias("_nb"),
+            F.lit(1).alias("_ch"), F.lit(0).alias("_pa"),
         ).unionByName(
             sm.select(
-                F.col("_b").alias("_n"), F.lit(0).alias("_ch"), F.lit(1).alias("_pa")
+                F.col("_b").alias("_n"), F.col("_a").alias("_nb"),
+                F.lit(0).alias("_ch"), F.lit(1).alias("_pa"),
             )
         )
-        not_star = (
-            deg.groupBy("_n")
-            .agg(F.sum("_ch").alias("_c"), F.sum("_pa").alias("_p"))
-            .filter((F.col("_c") > 1) | ((F.col("_c") > 0) & (F.col("_p") > 0)))
+        node_stats = (
+            ends.groupBy("_n")
+            .agg(
+                F.min("_nb").alias("_mv"),
+                F.sum("_ch").alias("_c"),
+                F.sum("_pa").alias("_p"),
+            )
+            .persist()
         )
-        if not_star.isEmpty():
+        n_not_star = (
+            node_stats.filter(
+                (F.col("_c") > 1) | ((F.col("_c") > 0) & (F.col("_p") > 0))
+            )
+            .limit(1)
+            .count()
+        )
+        if not n_not_star:
+            node_stats.unpersist()
             break
         rounds += 1
         # ---- large-star: for each node u, connect larger neighbors to
         # min(closed neighborhood of u). Emitted edges (v, m) keep v > m.
-        sym = sm.select(F.col("_a").alias("_u"), F.col("_b").alias("_v")).unionByName(
-            sm.select(F.col("_b").alias("_u"), F.col("_a").alias("_v"))
-        )
-        lmin = (
-            sym.groupBy("_u")
-            .agg(F.min("_v").alias("_mv"))
-            .select("_u", F.least("_u", "_mv").alias("_m"))
+        sym = ends.select(F.col("_n").alias("_u"), F.col("_nb").alias("_v"))
+        lmin = node_stats.select(
+            F.col("_n").alias("_u"), F.least("_n", "_mv").alias("_m")
         )
         ls = (
             sym.join(lmin, "_u")
@@ -597,6 +614,7 @@ def near_dup_clusters(
             .dropDuplicates(["_a", "_b"])
         )
         sm = ss.localCheckpoint()
+        node_stats.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
     roots = (
