@@ -88,6 +88,102 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# Gopher quality rules (Rae et al., "Scaling Language Models: ... Gopher",
+# arXiv:2112.11446, Appendix A1.1): the standard pre-training document
+# filter. Stopword list per the paper.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-rules document filter: per-document quality metrics plus the
+    composite keep/drop verdict, one shuffle-free projection pass.
+
+    Rules (defaults are the paper's): word count in [50, 100k]; mean word
+    length in [3, 10]; '#'/ellipsis symbols ≤ 0.1 per word; < 90% of lines
+    bullet-led; ≤ 30% of lines ellipsis-terminated; ≥ 80% of words contain
+    an alphabetic character; ≥ 2 stopword occurrences. Words are
+    whitespace tokens of the lowercased, space-collapsed text (empty text
+    counts 1 empty word — the :func:`token_count` convention); line rules
+    read the RAW line structure before whitespace collapsing.
+
+    Scale shape: pure projection (no shuffle, no UDF) — line/word
+    fractions are array built-ins and counting is ``length`` arithmetic,
+    so the filter runs at scan speed and composes with any downstream
+    op. Returns ``(id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_frac, n_stop, passes)``."""
+    t = F.col(text_col)
+    # collapse THEN trim: trim() strips spaces only, so a leading newline
+    # would otherwise survive collapsing as a leading space → empty word
+    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    words = F.split(norm, _WS)
+    n_words = F.size(words)
+    n_chars = F.length(F.replace(norm, F.lit(" "), F.lit("")))
+    mean_wl = n_chars / n_words
+    n_hash = F.length(norm) - F.length(F.replace(norm, F.lit("#"), F.lit("")))
+    n_uni_ell = F.length(norm) - F.length(F.replace(norm, F.lit("…"), F.lit("")))
+    n_dot_ell = (
+        F.length(norm) - F.length(F.replace(norm, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_uni_ell + n_dot_ell) / n_words
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.ltrim(ln).startswith("-")
+            | F.ltrim(ln).startswith("*")
+            | F.ltrim(ln).startswith("•"),
+        )
+    )
+    n_ell_end = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.rtrim(ln).endswith("...") | F.rtrim(ln).endswith("…"),
+        )
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    bullet_frac = n_bullet / n_lines
+    ellipsis_frac = n_ell_end / n_lines
+    alpha_frac = n_alpha / n_words
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (n_stop >= min_stopwords)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        n_stop.alias("n_stop"),
+        passes.alias("passes"),
+    )
+
+
 # Language-ID: tiny per-language marker-token table (n-gram heuristic).
 # Deterministic and fully JVM-side; a real model would slot in as a
 # pandas_udf with the same output contract.

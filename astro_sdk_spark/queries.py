@@ -2689,6 +2689,121 @@ def q_transform_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A1.1) — the standard
+# pre-training document filter, as a shuffle-free projection. The oracle
+# replicates every metric: word/line splitting, length arithmetic for
+# symbol counts, list_filter for bullet/ellipsis/alpha/stopword fractions,
+# and the composite verdict on UNROUNDED values (identical arithmetic in
+# both engines — all counting, no summation-order ambiguity).
+
+_GOPHER_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents),
+    w AS (
+      SELECT doc_id,
+             string_split(norm, ' ') AS words,
+             string_split(text, chr(10)) AS lines,
+             norm
+      FROM base),
+    m AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(words) AS mean_wl,
+             (length(norm) - length(replace(norm, '#', ''))
+              + length(norm) - length(replace(norm, '…', ''))
+              + (length(norm) - length(replace(norm, '...', ''))) / 3.0
+             ) / len(words) AS symbol_ratio,
+             CAST(len(list_filter(lines, l ->
+                    starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
+                    OR starts_with(ltrim(l), '•'))) AS DOUBLE)
+               / len(lines) AS bullet_frac,
+             CAST(len(list_filter(lines, l ->
+                    ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+                  AS DOUBLE) / len(lines) AS ellipsis_frac,
+             CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+                  AS DOUBLE) / len(words) AS alpha_frac,
+             len(list_filter(words, x -> x IN
+                   ('the','be','to','of','and','that','have','with'))) AS n_stop
+      FROM w)
+    SELECT doc_id, n_words,
+           round(mean_wl, 4) AS mean_word_len,
+           round(symbol_ratio, 4) AS symbol_ratio,
+           round(bullet_frac, 4) AS bullet_frac,
+           round(ellipsis_frac, 4) AS ellipsis_frac,
+           round(alpha_frac, 4) AS alpha_frac,
+           n_stop,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_wl >= 3 AND mean_wl <= 10
+            AND symbol_ratio <= 0.1
+            AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+            AND alpha_frac >= 0.8 AND n_stop >= 2) AS passes
+    FROM m
+"""
+
+
+@q("q_gopher_filter", _GOPHER_ORACLE)
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules pre-training filter (functions/text.py:gopher_rules):
+    per-document word/line quality metrics + composite keep verdict, one
+    codegen projection pass over the corpus."""
+    from astro_sdk_spark.functions.text import gopher_rules
+
+    return gopher_rules(T(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Continuous-aggregate rollup END-TO-END under the oracle gate: the
+# hypertable-style materialized tumbling rollup (streaming/rollup.py) is
+# built in two refreshes — an initial build over the first half of the
+# events range, then an INCREMENTAL refresh over the full source that
+# recomputes only buckets at/after the high-water mark (including the
+# boundary bucket that was partial at the first refresh) and upserts via
+# the staged swap. The final table state must equal one flat tumbling
+# aggregate over all events — which is exactly what the oracle computes,
+# so the hash gate proves the incremental path loses and duplicates
+# nothing. Sits in the tail: the events family is represented in-window.
+
+_ROLLUP_ORACLE = """
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+@q("q_events_rollup", _ROLLUP_ORACLE)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ContinuousAggregate build + incremental refresh
+    (streaming/rollup.py:ContinuousAggregate.refresh): initial
+    materialization over events ≤ midpoint, second refresh over the full
+    source (bounded to buckets ≥ the high-water mark), read back from the
+    managed table."""
+    from astro_sdk_spark.streaming.rollup import ContinuousAggregate
+
+    e = T(spark, sf_dir, "events")
+    tbl = "q_rollup_events_agg"
+    _drop_table_and_location(spark, tbl)
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    aggs = {
+        "n": lambda: F.count(F.lit(1)),
+        "total_value": lambda: F.round(F.sum("value"), 2),
+    }
+
+    def ca(source):
+        return ContinuousAggregate(
+            spark, source, tbl, bucket="10 minutes", ts_col="ts",
+            group_cols=["event_type"], agg_exprs=aggs,
+        )
+
+    ca(e.filter(F.col("ts") <= F.lit(mid))).refresh()  # initial build
+    second = ca(e)
+    second.refresh()  # incremental: only buckets >= high-water mark
+    return second.read()
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -2722,10 +2837,13 @@ _TAIL_VARIANTS = [
     "q_window_extended",   # windows: q_window_topk, q_window_running
     "q_string_funcs",      # scalar fns: q_scalar_funcs, q_date_funcs, q_json_extract
     "q_events_sliding",    # events: q_events_tumbling, q_events_sessions
+    "q_events_rollup",     # events: continuous-aggregate round trip; family
+                           # represented in-window by q_events_tumbling
     "q_histogram",         # distribution: q_percentiles
     "q_lang_distribution", # text: q_lang_id
     "q_top_ngrams",        # text: q_token_stats, q_doc_fingerprint
     "q_bpe_token_count",   # text: q_token_stats
+    "q_gopher_filter",     # text quality: q_quality_score (in-window)
 ]
 
 

@@ -36,6 +36,7 @@ FAMILIES: dict[str, list[str]] = {
     "subquery": ["q_correlated_agg"],
     "events-streaming": [
         "q_events_tumbling", "q_events_sessions", "q_events_sliding",
+        "q_events_rollup",
     ],
     "merge-append": ["q_merge_update", "q_merge_ignore", "q_append_map"],
     "ctas-operator": ["q_transform_ctas"],
@@ -55,6 +56,7 @@ FAMILIES: dict[str, list[str]] = {
     "text-stats": [
         "q_token_stats", "q_quality_score", "q_doc_fingerprint",
         "q_top_ngrams", "q_bpe_token_count", "q_repetition_stats",
+        "q_gopher_filter",
     ],
     "lang-id": ["q_lang_id", "q_lang_distribution"],
     "tfidf-scoring": ["q_tfidf", "q_lm_score"],
