@@ -378,3 +378,64 @@ def substring_dedup(
             (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
         )
     )
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4 line-level cleaning rules (Raffel et al., "Exploring the Limits
+    of Transfer Learning with a Unified Text-to-Text Transformer",
+    arXiv:1910.10683, §2.2): keep only lines that end in terminal
+    punctuation (``.``, ``!``, ``?``, ``"``) and carry at least
+    ``min_words_per_line`` words; drop whole pages that contain
+    "lorem ipsum" or a ``{`` (code), or whose CLEANED text has fewer than
+    ``min_sentences`` sentences (terminal-punctuation count).
+
+    The line-level sibling of :func:`astro_sdk_spark.functions.text.
+    gopher_rules` (doc-level): C4 prunes boilerplate INSIDE a kept page,
+    Gopher rejects whole pages. Returns ``(id, clean_text, n_lines,
+    n_lines_kept, n_sentences, has_lorem, has_brace, keep)`` — callers
+    filter on ``keep`` and carry ``clean_text`` forward.
+
+    Scale shape: one shuffle-free projection — line filtering is an array
+    ``filter`` over the split text, sentence counting is ``length``
+    arithmetic on the reassembled string; no UDF, no join, runs at scan
+    speed ahead of the (expensive) dedup stages."""
+    t = F.col(text_col)
+
+    def _line_ok(ln):
+        r = F.rtrim(ln)
+        punct_ok = (
+            r.endswith(".") | r.endswith("!") | r.endswith("?") | r.endswith('"')
+        )
+        n_words = F.size(F.split(F.trim(F.regexp_replace(ln, r"\s+", " ")), " "))
+        return punct_ok & (n_words >= min_words_per_line)
+
+    lines = F.split(t, "\n")
+    kept = F.filter(lines, _line_ok)
+    clean = F.array_join(kept, "\n")
+    n_sent = (
+        F.length(clean)
+        - F.length(F.replace(clean, F.lit("."), F.lit("")))
+        + F.length(clean)
+        - F.length(F.replace(clean, F.lit("!"), F.lit("")))
+        + F.length(clean)
+        - F.length(F.replace(clean, F.lit("?"), F.lit("")))
+    )
+    has_lorem = F.contains(F.lower(t), F.lit("lorem ipsum"))
+    has_brace = F.contains(t, F.lit("{"))
+    keep = (~has_lorem) & (~has_brace) & (n_sent >= min_sentences)
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        keep.alias("keep"),
+    )

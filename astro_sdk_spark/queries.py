@@ -2689,6 +2689,72 @@ def q_transform_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# C4 line-level cleaning rules (Raffel et al. 2020 §2.2) — line filtering,
+# reassembly, sentence counting, and page-level verdicts all replicated in
+# SQL (list_filter + length arithmetic, same as the Spark projection).
+
+_C4_ORACLE = r"""
+    WITH staged AS (
+      SELECT doc_id,
+             regexp_replace(text, '((?:\S+ ){9}\S+) ', '\1.' || chr(10), 'g')
+               AS text
+      FROM documents),
+    base AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS lines
+      FROM staged),
+    k AS (
+      SELECT doc_id, text, len(lines) AS n_lines,
+             list_filter(lines, l ->
+               (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+                OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+               AND len(string_split(
+                     trim(regexp_replace(l, '\s+', ' ', 'g')), ' ')) >= 5
+             ) AS kept
+      FROM base),
+    c AS (
+      SELECT doc_id, text, n_lines, len(kept) AS n_lines_kept,
+             coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+      FROM k),
+    m AS (
+      SELECT doc_id, clean_text, n_lines, n_lines_kept,
+             (length(clean_text) - length(replace(clean_text, '.', ''))
+              + length(clean_text) - length(replace(clean_text, '!', ''))
+              + length(clean_text) - length(replace(clean_text, '?', '')))
+               AS n_sentences,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             contains(text, '{') AS has_brace
+      FROM c)
+    SELECT doc_id, clean_text, n_lines, n_lines_kept, n_sentences,
+           has_lorem, has_brace,
+           (NOT has_lorem AND NOT has_brace AND n_sentences >= 3) AS keep
+    FROM m
+"""
+
+
+@q("q_c4_rules", _C4_ORACLE)
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning pass (functions/cleaning.py:c4_rules): terminal-punct +
+    min-words line pruning, lorem-ipsum/brace page rejection, sentence
+    floor — one shuffle-free projection over the corpus.
+
+    The synthetic corpus is single-line and unpunctuated (every rule
+    would fire vacuously), so the query first stages a line-structured
+    variant — every 10th space becomes ``.\\n`` via one deterministic
+    regexp (identical non-overlapping semantics in both engines) — and
+    runs the rules on that; short trailing remainders then exercise the
+    drop path and full 10-word sentences the keep path."""
+    from astro_sdk_spark.functions.cleaning import c4_rules
+
+    staged = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"((?:\S+ ){9}\S+) ", "$1.\n"
+        ).alias("text"),
+    )
+    return c4_rules(staged)
+
+
+# --------------------------------------------------------------------------
 # Gopher quality rules (Rae et al. 2021, Appendix A1.1) — the standard
 # pre-training document filter, as a shuffle-free projection. The oracle
 # replicates every metric: word/line splitting, length arithmetic for
@@ -2844,6 +2910,7 @@ _TAIL_VARIANTS = [
     "q_top_ngrams",        # text: q_token_stats, q_doc_fingerprint
     "q_bpe_token_count",   # text: q_token_stats
     "q_gopher_filter",     # text quality: q_quality_score (in-window)
+    "q_c4_rules",          # cleaning: q_pii_redaction, q_line_dedup in-window
 ]
 
 

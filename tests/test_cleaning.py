@@ -294,3 +294,32 @@ def test_substring_dedup_hot_gram_partial_agg(spark):
 
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(_gram" not in plan.lower()
+
+
+def test_c4_rules_line_filtering_and_verdicts(spark):
+    """Terminal-punct + min-word lines survive; lorem/brace/short pages
+    are rejected; clean_text reassembles in original line order."""
+    from astro_sdk_spark.functions.cleaning import c4_rules
+
+    good = (
+        "This is a perfectly normal first sentence for the page.\n"
+        "menu home about\n"
+        "Another full sentence with enough words to be kept!\n"
+        "Is this a third full sentence with enough words here?\n"
+    )
+    rows = [
+        (1, good),
+        (2, "Lorem ipsum dolor sit amet and some more words here too.\n"
+            "A second real sentence that would otherwise be kept here.\n"
+            "And a third full sentence to clear the sentence floor now."),
+        (3, "function f() { return 1; } some page with code in it here."),
+        (4, "Too few sentences survive here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_rules(df).collect()}
+    assert out[1].keep and out[1].n_lines_kept == 3
+    assert "menu home about" not in out[1].clean_text
+    assert out[1].clean_text.splitlines()[0].startswith("This is")
+    assert not out[2].keep and out[2].has_lorem
+    assert not out[3].keep and out[3].has_brace
+    assert not out[4].keep and out[4].n_sentences < 3

@@ -60,7 +60,7 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "lang-id": ["q_lang_id", "q_lang_distribution"],
     "tfidf-scoring": ["q_tfidf", "q_lm_score"],
-    "cleaning": ["q_pii_redaction", "q_decontaminate"],
+    "cleaning": ["q_pii_redaction", "q_decontaminate", "q_c4_rules"],
     "content-dedup": ["q_line_dedup", "q_substring_dedup"],
     "sampling": [
         "q_train_split", "q_stratified_sample", "q_seq_packing", "q_domain_mix",
