@@ -212,3 +212,119 @@ def domain_mix(
     for d, r in rates.items():
         rate = F.when(F.col(domain_col) == d, F.lit(r)).otherwise(rate)
     return df.filter(bucket < (rate * GRANULARITY).cast("bigint"))
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    shingle_k: int = 2,
+    smoothing: float = 1.0,
+    hash_fn: str = "xxhash64",
+    round_digits: int | None = 4,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", arXiv:2302.03169): score every raw
+    document by how target-domain-like it is, via hashed n-gram bag
+    models.
+
+    Per the paper: features are word ``shingle_k``-grams hashed into
+    ``n_buckets``; two add-``smoothing`` unigram models over buckets are
+    fit — p from ``target``, q from ``df`` (the raw corpus) — and each
+    document's log importance weight is ``Σ_features ln p(b) − ln q(b)``.
+    Select with :func:`dsir_select`.
+
+    Scale shape: both models are ONE partial-aggregated groupBy(bucket)
+    each (≤ ``n_buckets`` rows out — broadcastable by construction, hint
+    controlled by ``broadcast_model``); scoring is explode → broadcast
+    join → groupBy(id) sum. No all-pairs stage, no driver data path; the
+    model table is the only state, so re-scoring a stream against a fixed
+    target is one joined projection.
+
+    ``hash_fn``: ``xxhash64`` (fastest, Spark-specific) or ``md5`` (the
+    60-bit engine-portable device from :func:`hash_bucket`, replicable in
+    an external SQL oracle). Returns ``(id, n_feats, logw)``."""
+    from astro_sdk_spark.functions.dedup import shingles_col
+
+    if hash_fn == "xxhash64":
+        def bucket(col):
+            return F.pmod(F.xxhash64(col), F.lit(n_buckets))
+    elif hash_fn == "md5":
+        def bucket(col):
+            return F.pmod(
+                F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint"),
+                F.lit(n_buckets),
+            )
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+    def feats(frame):
+        return frame.select(
+            F.col(id_col),
+            F.explode(
+                shingles_col(F.col(text_col), shingle_k, distinct=False)
+            ).alias("_g"),
+        ).select(F.col(id_col), bucket(F.col("_g")).alias("_b"))
+
+    raw_feats = feats(df)
+    tgt_counts = feats(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    raw_counts = raw_feats.groupBy("_b").agg(F.count(F.lit(1)).alias("_cq"))
+    model = (
+        raw_counts.join(tgt_counts, "_b", "left")
+        .select("_b", F.coalesce("_ct", F.lit(0)).alias("_ct"), "_cq")
+    )
+    # totals ride in as one-row broadcast aggregates (the tf_idf device)
+    tot = model.agg(
+        F.sum("_ct").alias("_T"), F.sum("_cq").alias("_Q")
+    )
+    s, b = float(smoothing), float(n_buckets)
+    scored_model = model.crossJoin(F.broadcast(tot)).select(
+        "_b",
+        (
+            F.log((F.col("_ct") + F.lit(s)) / (F.col("_T") + F.lit(s * b)))
+            - F.log((F.col("_cq") + F.lit(s)) / (F.col("_Q") + F.lit(s * b)))
+        ).alias("_lr"),
+    )
+    model_side = F.broadcast(scored_model) if broadcast_model else scored_model
+    out = (
+        raw_feats.join(model_side, "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("_lr").alias("_logw"),
+        )
+    )
+    logw = F.round("_logw", round_digits) if round_digits is not None else F.col("_logw")
+    return out.select(F.col(id_col), "n_feats", logw.alias("logw"))
+
+
+def dsir_select(
+    weights: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    logw_col: str = "logw",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Keep the most target-like ``fraction`` of documents given
+    :func:`dsir_weights` output — threshold selection: the cutoff is the
+    ``(1 − fraction)`` quantile of ``logw`` (``percentile_approx``, one
+    aggregate — no global sort), then one filter. At 100 TB a global
+    rank would funnel every weight through one partition; the quantile
+    threshold keeps selection a scan + broadcast-scalar compare. The
+    paper's Gumbel-noise resampling drops in by adding hash-derived
+    noise to ``logw`` before calling this (deterministic: seed the hash
+    with the id — no RNG state)."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    thr = weights.agg(
+        F.percentile_approx(logw_col, 1.0 - fraction, int(1.0 / relative_error))
+        .alias("_thr")
+    )
+    return (
+        weights.crossJoin(F.broadcast(thr))
+        .filter(F.col(logw_col) >= F.col("_thr"))
+        .drop("_thr")
+    )

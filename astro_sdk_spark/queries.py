@@ -2689,6 +2689,63 @@ def q_transform_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023): hashed-bigram bag models for
+# the target (lang='en') and raw corpora, per-document log importance
+# weight = Σ_features ln p − ln q. The oracle replicates the md5 bucket
+# device, both add-1 models (normalized over the raw support), and the
+# per-document feature-sum. Multiset bigrams (no list_distinct) — DSIR
+# counts occurrences.
+
+_DUCK_SHINGLES_K2_RAW = r"""
+    CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) >= 2
+      THEN list_transform(
+             range(1, len(string_split_regex(trim(lower(text)), '\s+'))),
+             i -> array_to_string(string_split_regex(trim(lower(text)), '\s+')[i:i+1], ' '))
+      ELSE [array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')]
+    END
+"""
+
+_DSIR_ORACLE = f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 10000 AS b
+      FROM (SELECT doc_id, unnest({_DUCK_SHINGLES_K2_RAW}) AS g FROM documents)),
+    tfeats AS (
+      SELECT CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 10000 AS b
+      FROM (SELECT unnest({_DUCK_SHINGLES_K2_RAW}) AS g FROM documents
+            WHERE lang = 'en')),
+    rawc AS (SELECT b, count(*) AS cq FROM feats GROUP BY b),
+    tgtc AS (SELECT b, count(*) AS ct FROM tfeats GROUP BY b),
+    model AS (
+      SELECT r.b, coalesce(t.ct, 0) AS ct, r.cq
+      FROM rawc r LEFT JOIN tgtc t USING (b)),
+    tot AS (SELECT sum(ct) AS tt, sum(cq) AS qq FROM model),
+    lr AS (
+      SELECT b,
+             ln((ct + 1.0) / (tt + 10000.0)) - ln((cq + 1.0) / (qq + 10000.0))
+               AS lr
+      FROM model CROSS JOIN tot)
+    SELECT f.doc_id, count(*) AS n_feats, round(sum(lr.lr), 4) AS logw
+    FROM feats f JOIN lr USING (b)
+    GROUP BY f.doc_id
+"""
+
+
+@q("q_dsir_weights", _DSIR_ORACLE)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection weights (functions/sampling.py:dsir_weights):
+    every document scored for target-domain (lang='en') likeness via
+    hashed-bigram importance ratios — the md5 hash path so the oracle
+    replicates bucketing bit-for-bit."""
+    from astro_sdk_spark.functions.sampling import dsir_weights
+
+    docs = T(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), hash_fn="md5"
+    )
+
+
+# --------------------------------------------------------------------------
 # C4 line-level cleaning rules (Raffel et al. 2020 §2.2) — line filtering,
 # reassembly, sentence counting, and page-level verdicts all replicated in
 # SQL (list_filter + length arithmetic, same as the Spark projection).
@@ -2911,6 +2968,7 @@ _TAIL_VARIANTS = [
     "q_bpe_token_count",   # text: q_token_stats
     "q_gopher_filter",     # text quality: q_quality_score (in-window)
     "q_c4_rules",          # cleaning: q_pii_redaction, q_line_dedup in-window
+    "q_dsir_weights",      # sampling/selection: q_train_split, q_domain_mix
 ]
 
 

@@ -255,3 +255,39 @@ def test_tf_idf_matches_bruteforce_reference(spark):
         got.setdefault(r.doc_id, []).append((r.term, r.tf, r.tfidf, r.rank))
     got = {d: sorted(v, key=lambda x: x[3]) for d, v in got.items()}
     assert got == expect, (got, expect)
+
+
+def test_dsir_weights_rank_target_domain_higher(spark):
+    """Documents from the target distribution must get higher importance
+    weights than off-domain documents; dsir_select keeps the top slice."""
+    from astro_sdk_spark.functions.sampling import dsir_select, dsir_weights
+
+    tgt_text = "the model trains on clean english data with many words"
+    off_text = "zzz qqq xxx vvv kkk jjj www uuu yyy ttt"
+    rows = [(i, tgt_text + f" extra{i}") for i in range(20)]
+    rows += [(100 + i, off_text + f" extra{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter("doc_id < 10")
+    w = dsir_weights(df, target, n_buckets=1000)
+    got = {r.doc_id: r.logw for r in w.collect()}
+    avg_on = sum(got[i] for i in range(20)) / 20
+    avg_off = sum(got[100 + i] for i in range(20)) / 20
+    assert avg_on > avg_off
+    kept = dsir_select(w, 0.5).collect()
+    kept_ids = {r.doc_id for r in kept}
+    # the on-domain half dominates the kept slice
+    assert sum(1 for i in kept_ids if i < 100) >= 18
+
+
+def test_dsir_hash_paths_agree_on_ranking(spark):
+    """xxhash64 and md5 bucketings give different absolute weights but
+    must agree on which group is more target-like."""
+    from astro_sdk_spark.functions.sampling import dsir_weights
+
+    rows = [(i, "alpha beta gamma delta common words here") for i in range(10)]
+    rows += [(100 + i, "totally different off domain tokens qqq zzz") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter("doc_id < 5")
+    for fn in ("xxhash64", "md5"):
+        got = {r.doc_id: r.logw for r in dsir_weights(df, target, hash_fn=fn).collect()}
+        assert min(got[i] for i in range(10)) > max(got[100 + i] for i in range(10))
