@@ -37,6 +37,7 @@ NESTED_LOOP_WHITELIST = {
     "q_embedding_topk": 1,   # query-set cross: |queries| rows, broadcast
     "q_tfidf": 1,            # corpus-constant (n_docs) one-row broadcast
     "q_lm_score": 1,         # model-normalizer one-row broadcast
+    "q_dsir_weights": 1,     # model-totals one-row broadcast (tf_idf device)
 }
 
 # query → max allowed Python/Arrow boundary nodes (MapInPandas etc.).
