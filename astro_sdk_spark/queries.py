@@ -2908,7 +2908,10 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = "q_rollup_events_agg"
     _drop_table_and_location(spark, tbl)
     lo, hi = e.agg(F.min("ts"), F.max("ts")).collect()[0]
-    mid = lo + (hi - lo) / 2
+    if lo is None:  # empty source: single full build, no split refresh
+        mid = None
+    else:
+        mid = lo + (hi - lo) / 2
     aggs = {
         "n": lambda: F.count(F.lit(1)),
         "total_value": lambda: F.round(F.sum("value"), 2),
@@ -2920,7 +2923,8 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             group_cols=["event_type"], agg_exprs=aggs,
         )
 
-    ca(e.filter(F.col("ts") <= F.lit(mid))).refresh()  # initial build
+    if mid is not None:
+        ca(e.filter(F.col("ts") <= F.lit(mid))).refresh()  # initial build
     second = ca(e)
     second.refresh()  # incremental: only buckets >= high-water mark
     return second.read()

@@ -323,3 +323,56 @@ def test_c4_rules_line_filtering_and_verdicts(spark):
     assert not out[2].keep and out[2].has_lorem
     assert not out[3].keep and out[3].has_brace
     assert not out[4].keep and out[4].n_sentences < 3
+
+
+def test_c4_rules_matches_python_reference_on_random_docs(spark):
+    """150 randomized multi-line documents vs an independent Python
+    reimplementation of every c4_rules output column."""
+    import random
+    import re
+
+    rng = random.Random(13)
+    vocab = ["alpha", "beta", "the", "run.", "fox!", "ok?", "x", "lorem", "{y}"]
+    docs = []
+    for i in range(150):
+        lines = []
+        for _ in range(rng.randint(1, 7)):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(1, 12))]
+            line = (" " * rng.randint(1, 2)).join(toks)
+            if rng.random() < 0.4:
+                line += rng.choice([".", "!", "?", '"', ""])
+            lines.append(line)
+        if rng.random() < 0.1:
+            lines.append("lorem ipsum dolor")
+        docs.append((i, "\n".join(lines)))
+
+    def ref(text):
+        lines = text.split("\n")
+        kept = [
+            ln for ln in lines
+            if ln.rstrip(" ").endswith((".", "!", "?", '"'))
+            and len(re.sub(r"\s+", " ", ln).strip(" ").split(" ")) >= 5
+        ]
+        clean = "\n".join(kept)
+        n_sent = clean.count(".") + clean.count("!") + clean.count("?")
+        has_lorem = "lorem ipsum" in text.lower()
+        has_brace = "{" in text
+        return {
+            "clean_text": clean,
+            "n_lines": len(lines),
+            "n_lines_kept": len(kept),
+            "n_sentences": n_sent,
+            "has_lorem": has_lorem,
+            "has_brace": has_brace,
+            "keep": (not has_lorem) and (not has_brace) and n_sent >= 3,
+        }
+
+    from astro_sdk_spark.functions.cleaning import c4_rules
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_rules(df).collect()}
+    for i, text in docs:
+        exp = ref(text)
+        row = got[i]
+        for k, v in exp.items():
+            assert getattr(row, k) == v, (i, k, getattr(row, k), v, text)

@@ -24,3 +24,72 @@ def test_gopher_rules_verdicts(spark):
     assert not out[2].passes and out[2].bullet_frac == 1.0
     assert not out[3].passes and out[3].symbol_ratio >= 1.0
     assert not out[4].passes and out[4].n_words < 50
+
+
+def _r4(x):
+    """Spark/DuckDB round() is HALF_UP; Python's is banker's — match."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
+def _py_gopher(text):
+    """Independent Python reference of the gopher_rules metrics."""
+    import re
+
+    norm = re.sub(r"\s+", " ", text.lower()).strip()
+    words = norm.split(" ")
+    n_words = len(words)
+    n_chars = len(norm.replace(" ", ""))
+    mean_wl = n_chars / n_words
+    n_sym = norm.count("#") + norm.count("…") + norm.count("...")
+    lines = text.split("\n")
+    n_bullet = sum(
+        1 for ln in lines if ln.lstrip(" ").startswith(("-", "*", "•"))
+    )
+    n_ell = sum(
+        1 for ln in lines if ln.rstrip(" ").endswith(("...", "…"))
+    )
+    n_alpha = sum(1 for w in words if re.search("[a-z]", w))
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    n_stop = sum(1 for w in words if w in stops)
+    return {
+        "n_words": n_words,
+        "mean_word_len": _r4(mean_wl),
+        "symbol_ratio": _r4(n_sym / n_words),
+        "bullet_frac": _r4(n_bullet / len(lines)),
+        "ellipsis_frac": _r4(n_ell / len(lines)),
+        "alpha_frac": _r4(n_alpha / n_words),
+        "n_stop": n_stop,
+    }
+
+
+def test_gopher_rules_matches_python_reference_on_random_docs(spark):
+    """150 randomized documents (bullets, symbols, unicode ellipses,
+    stopword mixes, multi-space runs): every metric must equal an
+    independent Python reimplementation."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["the", "fox", "run", "#tag", "data", "of", "x1", "…", "be", "zz"]
+    docs = []
+    for i in range(150):
+        lines = []
+        for _ in range(rng.randint(1, 6)):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(1, 30))]
+            line = (" " * rng.randint(1, 3)).join(toks)
+            if rng.random() < 0.3:
+                line = "- " + line
+            if rng.random() < 0.2:
+                line += "..."
+            lines.append(line)
+        docs.append((i, "\n".join(lines)))
+    from astro_sdk_spark.functions.text import gopher_rules
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_rules(df).collect()}
+    for i, text in docs:
+        ref = _py_gopher(text)
+        row = got[i]
+        for k, v in ref.items():
+            assert getattr(row, k) == v, (i, k, getattr(row, k), v, text)
