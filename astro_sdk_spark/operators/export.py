@@ -65,14 +65,16 @@ def export_to_file(
     ftype = output_file.type
     if ftype in (FileType.XLSX, FileType.XLS):
         # driver-side small-file path (reference files/types/excel.py);
-        # stdlib writer — no openpyxl/xlsxwriter in this environment
-        from astro_sdk_spark.xlsx import write_xlsx
-
+        # stdlib writers — no openpyxl/xlsxwriter/xlwt in this environment
+        rows = [tuple(r) for r in df.collect()]
         if ftype == FileType.XLS:
-            raise NotImplementedError(
-                "Legacy binary .xls export is not supported; use .xlsx"
-            )
-        write_xlsx(path, df.columns, [tuple(r) for r in df.collect()])
+            from astro_sdk_spark.xls import write_xls
+
+            write_xls(path, df.columns, [list(r) for r in rows])
+        else:
+            from astro_sdk_spark.xlsx import write_xlsx
+
+            write_xlsx(path, df.columns, rows)
         return output_file
 
     tmpdir = tempfile.mkdtemp(prefix="astro_export_")

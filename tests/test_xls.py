@@ -274,3 +274,74 @@ def test_not_ole_raises(tmp_path):
     p.write_bytes(b"this is not an excel file at all, not even close")
     with pytest.raises(ValueError, match="OLE2"):
         read_xls(str(p))
+
+
+# ----------------------------------------------------------------- writer
+
+
+def test_write_xls_round_trip_mini_stream(tmp_path):
+    """Small workbook → mini-stream container; values round-trip typed."""
+    from astro_sdk_spark.xls import write_xls
+
+    p = str(tmp_path / "t.xls")
+    header = ["name", "qty", "price", "ok", "note"]
+    rows = [
+        ["widget", 3, 1.5, True, None],
+        ["gadget é", -7, 2.25, False, "unicode ✓"],
+    ]
+    write_xls(p, header, rows)
+    h, r = read_xls(p)
+    assert h == header
+    assert r == [
+        ["widget", 3, 1.5, True, None],
+        ["gadget é", -7, 2.25, False, "unicode ✓"],
+    ]
+
+
+def test_write_xls_round_trip_fat_and_sst_continue(tmp_path):
+    """>4096-byte stream → regular FAT sectors; a large shared-string
+    table forces CONTINUE splits; a single giant string splits
+    mid-characters."""
+    from astro_sdk_spark.xls import write_xls
+
+    p = str(tmp_path / "big.xls")
+    rows = [[f"string-{i}-" + "y" * 120, i, i / 3] for i in range(1500)]
+    rows.append(["z" * 20000, -1, 0.5])
+    write_xls(p, ["s", "i", "f"], rows)
+    h, r = read_xls(p)
+    assert h == ["s", "i", "f"]
+    assert len(r) == 1501
+    assert r[0][0] == rows[0][0] and r[1499][1] == 1499
+    assert r[1500][0] == "z" * 20000
+
+
+def test_write_xls_caps_and_fallbacks(tmp_path):
+    from astro_sdk_spark.xls import write_xls
+
+    p = str(tmp_path / "caps.xls")
+    # int beyond double precision falls back to text (any .xls writer's
+    # limitation — the format stores numbers as IEEE doubles)
+    write_xls(p, ["v"], [[2 ** 60]])
+    _, r = read_xls(p)
+    assert r == [[str(2 ** 60)]]
+    with pytest.raises(ValueError, match="65536 rows"):
+        write_xls(p, ["v"], [[0]] * 65536)
+    with pytest.raises(ValueError, match="256 columns"):
+        write_xls(p, [f"c{i}" for i in range(300)], [])
+
+
+def test_export_to_file_xls(spark, tmp_path):
+    """export_to_file writes .xls end-to-end and the reader recovers the
+    exact frame."""
+    from astro_sdk_spark.files import File
+    from astro_sdk_spark.operators.export import export_to_file
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True), (2, "b", 2.5, False)],
+        "id long, s string, x double, b boolean",
+    )
+    out = str(tmp_path / "frame.xls")
+    export_to_file(df, File(out))
+    h, r = read_xls(out)
+    assert h == ["id", "s", "x", "b"]
+    assert sorted(r) == [[1, "a", 1.5, True], [2, "b", 2.5, False]]
