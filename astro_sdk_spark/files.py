@@ -7,11 +7,13 @@ pattern-resolution machinery (``files/base.py:253-286``) collapses to
 "pass the glob to spark.read".
 
 Supported formats: csv, json (array-of-records), ndjson (line-delimited),
-parquet, xlsx/xls (driver-side pandas — documented small-file path).
+parquet, xlsx/xls (driver-side — documented small-file path).
 Locations: local paths plus any scheme Spark's Hadoop FS understands
-(s3a://, gs://, wasbs://, abfss://). HTTP(S) is fetched on the driver to a
-staging dir (Spark cannot split or glob HTTP), matching the reference's
-smart_open behavior (``files/locations/http.py``).
+(s3a://, gs://, wasbs://, abfss://). HTTP(S)/FTP/SFTP are fetched on the
+driver to a staging dir (Spark cannot split or glob these streams),
+matching the reference's smart_open behavior (``files/locations/http.py``,
+``ftp.py``, ``sftp.py`` — SFTP rides the system OpenSSH client in batch
+mode instead of paramiko).
 """
 
 from __future__ import annotations
@@ -135,20 +137,81 @@ class File:
             return os.path.exists(p)
         return True  # remote existence is checked by the reader
 
+    def _sftp_fetch(self) -> str:
+        """Stage an ``sftp://[user@]host[:port]/abs/path`` file via the
+        system OpenSSH ``sftp`` client in batch mode (reference
+        ``files/locations/sftp.py`` used paramiko; the ssh binary is the
+        more universal dependency and inherits ~/.ssh config, agents, and
+        key auth for free). Non-interactive: BatchMode=yes, so password
+        prompts fail fast — use key-based auth. Hooks:
+
+        - ``load_options["sftp_server_command"]`` or env
+          ``ASTRO_SFTP_SERVER_CMD``: passed as ``sftp -D`` (connect
+          straight to an sftp-server command, no SSH transport — how the
+          tests drive the real client against a local stub server);
+        - env ``ASTRO_SFTP_SSH_OPTS``: extra ``-o`` options,
+          comma-separated (e.g. ``IdentityFile=/keys/ci,Port=2222``).
+        """
+        import shutil as _shutil
+        import subprocess
+
+        if _shutil.which("sftp") is None:
+            raise NotImplementedError(
+                "sftp:// staging shells out to the OpenSSH 'sftp' client, "
+                "which is not on PATH; install openssh-client or fetch the "
+                "file out-of-band"
+            )
+        rest = self.path.removeprefix("sftp://")
+        loc, _, remote = rest.partition("/")
+        remote = "/" + remote
+        host = loc
+        port = None
+        hostonly = loc.rsplit("@", 1)[-1]
+        if ":" in hostonly:
+            host = loc[: len(loc) - len(hostonly)] + hostonly.rsplit(":", 1)[0]
+            port = hostonly.rsplit(":", 1)[1]
+        suffix = pathlib.PurePosixPath(remote).suffix or ".dat"
+        fd, local = tempfile.mkstemp(suffix=suffix, prefix="astro_stage_")
+        os.close(fd)
+        cmd = ["sftp", "-q", "-b", "-"]
+        server_cmd = self.load_options.get("sftp_server_command") or os.environ.get(
+            "ASTRO_SFTP_SERVER_CMD"
+        )
+        if server_cmd:
+            cmd += ["-D", server_cmd]
+        else:
+            cmd += ["-o", "BatchMode=yes"]
+        for opt in os.environ.get("ASTRO_SFTP_SSH_OPTS", "").split(","):
+            if opt.strip():
+                cmd += ["-o", opt.strip()]
+        if port:
+            cmd += ["-P", port]
+        cmd.append(host or "localhost")
+        batch = f'get "{remote}" "{local}"\n'
+        proc = subprocess.run(  # noqa: S603 - argv built above, no shell
+            cmd, input=batch.encode(), capture_output=True, timeout=600
+        )
+        if proc.returncode != 0:
+            _unlink_quiet(local)
+            raise RuntimeError(
+                f"sftp fetch of {self.path!r} failed "
+                f"(exit {proc.returncode}): {proc.stderr.decode(errors='replace').strip()}"
+            )
+        return local
+
     def staged_path(self) -> str:
-        """Path Spark can read. HTTP(S) is downloaded to a temp file on the
-        driver first (Spark can't glob or split HTTP streams). The download
-        is cached on the instance (one fetch per File) and deleted at
-        interpreter exit."""
+        """Path Spark can read. HTTP(S)/SFTP are downloaded to a temp file
+        on the driver first (Spark can't glob or split these streams). The
+        download is cached on the instance (one fetch per File) and
+        deleted at interpreter exit."""
         if self.is_sftp():
-            # reference files/locations/sftp.py uses paramiko — absent here
-            try:
-                import paramiko  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "sftp:// staging needs paramiko, which is not installed; "
-                    "fetch the file out-of-band or serve it over http(s)/ftp"
-                ) from e
+            cached = getattr(self, "_staged", None)
+            if cached is not None and os.path.exists(cached):
+                return cached
+            local = self._sftp_fetch()
+            object.__setattr__(self, "_staged", local)
+            atexit.register(_unlink_quiet, local)
+            return local
         if self.is_gdrive() or self.is_http() or self.is_ftp():
             # driver-staged fetch (Spark can't glob/split http or ftp);
             # urllib handles both schemes — reference files/locations/http.py
