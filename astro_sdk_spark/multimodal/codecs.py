@@ -1,10 +1,11 @@
 """Real, dependency-free media codecs (stdlib + numpy only).
 
-The container has no Pillow/librosa/av, but PNG, uncompressed BMP, and WAV
-are fully decodable with ``zlib``/``struct``/``wave`` + numpy — so the
+The container has no Pillow/librosa/av, but PNG, uncompressed BMP, WAV,
+and baseline JPEG (``multimodal.jpeg`` — a pure-numpy T.81 codec) are
+fully decodable with ``zlib``/``struct``/``wave`` + numpy — so the
 decode/resize stages in ``multimodal.ops`` are REAL for these formats;
-only codecs that require external libraries (JPEG, MP3, H.264, …) remain
-env-gated behind NotImplementedError.
+only codecs that require external libraries (progressive JPEG, MP3,
+H.264, …) remain env-gated behind NotImplementedError.
 
 Throughput note: these codecs favor clarity over speed (the PNG unfilter
 walks filtered rows byte-wise); at production scale swap the per-blob
@@ -172,4 +173,14 @@ def sniff_image(blob: bytes) -> str | None:
         return "png"
     if blob[:2] == b"BM":
         return "bmp"
+    if blob[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Baseline JPEG → (H, W, C) uint8; see ``multimodal.jpeg`` (pure
+    numpy T.81 baseline codec — progressive raises NotImplementedError)."""
+    from astro_sdk_spark.multimodal.jpeg import decode_jpeg as _dec
+
+    return _dec(blob)

@@ -90,19 +90,27 @@ def _decode_image(blob: bytes, on_unsupported: str) -> tuple[int, int, int] | No
     from astro_sdk_spark.multimodal import codecs
 
     fmt = codecs.sniff_image(bytes(blob or b""))
-    if fmt == "png":
-        arr = codecs.decode_png(bytes(blob))
-    elif fmt == "bmp":
-        arr = codecs.decode_bmp(bytes(blob))
-    elif on_unsupported == "stub":
-        return _decode_image_stub(blob)
-    elif on_unsupported == "skip":
-        return None
-    else:
-        raise NotImplementedError(
-            "built-in codecs decode PNG/BMP only; JPEG/GIF/WebP need Pillow "
-            "(absent in this env) — pass on_unsupported='stub'/'skip' to proceed"
-        )
+    try:
+        if fmt == "png":
+            arr = codecs.decode_png(bytes(blob))
+        elif fmt == "bmp":
+            arr = codecs.decode_bmp(bytes(blob))
+        elif fmt == "jpeg":
+            arr = codecs.decode_jpeg(bytes(blob))
+        else:
+            raise NotImplementedError(
+                "built-in codecs decode PNG/BMP/baseline-JPEG only; "
+                "GIF/WebP/progressive-JPEG need Pillow (absent in this env) "
+                "— pass on_unsupported='stub'/'skip' to proceed"
+            )
+    except NotImplementedError:
+        # unsupported format OR an in-format gate (progressive JPEG,
+        # 16-bit PNG, compressed BMP): same dispatch policy
+        if on_unsupported == "stub":
+            return _decode_image_stub(blob)
+        if on_unsupported == "skip":
+            return None
+        raise
     h, w, ch = arr.shape
     return (w, h, ch)
 
@@ -233,11 +241,12 @@ def resize_images(
     id_col: str = "path",
     on_unsupported: str = "error",
 ) -> DataFrame:
-    """Real resize for PNG/BMP: decode → nearest-neighbor resample →
-    re-encode as PNG (output blobs are valid PNGs of the target size).
-    Unsupported formats follow ``on_unsupported``: error | passthrough |
-    skip ("passthrough" emits the original bytes with the recorded target
-    shape — the old stub behavior, for mixed-format tables)."""
+    """Real resize for PNG/BMP/baseline-JPEG: decode → nearest-neighbor
+    resample → re-encode as PNG (output blobs are valid PNGs of the
+    target size). Unsupported formats follow ``on_unsupported``: error |
+    passthrough | skip ("passthrough" emits the original bytes with the
+    recorded target shape — the old stub behavior, for mixed-format
+    tables)."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from astro_sdk_spark.multimodal import codecs
@@ -247,21 +256,27 @@ def resize_images(
             for pid, b in zip(pdf[id_col], pdf[content_col]):
                 blob = bytes(b or b"")
                 fmt = codecs.sniff_image(blob)
-                if fmt == "png":
-                    arr = codecs.decode_png(blob)
-                elif fmt == "bmp":
-                    arr = codecs.decode_bmp(blob)
-                elif on_unsupported == "passthrough":
-                    ids.append(pid)
-                    blobs.append(blob)
-                    continue
-                elif on_unsupported == "skip":
-                    continue
-                else:
-                    raise NotImplementedError(
-                        "built-in resize handles PNG/BMP; other formats need "
-                        "Pillow — pass on_unsupported='passthrough'/'skip'"
-                    )
+                try:
+                    if fmt == "png":
+                        arr = codecs.decode_png(blob)
+                    elif fmt == "bmp":
+                        arr = codecs.decode_bmp(blob)
+                    elif fmt == "jpeg":
+                        arr = codecs.decode_jpeg(blob)
+                    else:
+                        raise NotImplementedError(
+                            "built-in resize handles PNG/BMP/baseline-JPEG; "
+                            "other formats need Pillow — pass "
+                            "on_unsupported='passthrough'/'skip'"
+                        )
+                except NotImplementedError:
+                    if on_unsupported == "passthrough":
+                        ids.append(pid)
+                        blobs.append(blob)
+                        continue
+                    if on_unsupported == "skip":
+                        continue
+                    raise
                 resized = codecs.resize_nearest(arr, target_w, target_h)
                 ids.append(pid)
                 blobs.append(codecs.encode_png(resized))

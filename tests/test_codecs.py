@@ -186,4 +186,115 @@ def test_resize_nearest_quadrants():
 def test_sniff():
     assert sniff_image(PNG_SIG + b"x") == "png"
     assert sniff_image(b"BMxxxx") == "bmp"
-    assert sniff_image(b"\xff\xd8\xff") is None
+    assert sniff_image(b"\xff\xd8\xff") == "jpeg"
+    assert sniff_image(b"GIF89a") is None
+
+
+# ------------------------------------------------------------------- jpeg
+
+
+def _gradient(h, w):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            xx * 255 // max(w - 1, 1),
+            yy * 255 // max(h - 1, 1),
+            (xx + yy) * 255 // max(w + h - 2, 1),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_jpeg_round_trip_444_quality():
+    import numpy as np
+
+    from astro_sdk_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    img = _gradient(48, 64)
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    assert dec.shape == (48, 64, 3)
+    assert np.abs(dec.astype(float) - img).mean() < 3.0
+
+
+def test_jpeg_round_trip_420_subsampled_and_odd_dims():
+    import numpy as np
+
+    from astro_sdk_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    img = _gradient(41, 53)  # not multiples of 8 or 16
+    dec = decode_jpeg(encode_jpeg(img, quality=90, subsample=True))
+    assert dec.shape == (41, 53, 3)
+    assert np.abs(dec.astype(float) - img).mean() < 5.0
+
+
+def test_jpeg_grayscale_and_flat_exactness():
+    import numpy as np
+
+    from astro_sdk_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    g = _gradient(32, 32)[..., 0]
+    dec = decode_jpeg(encode_jpeg(g, quality=90))
+    assert dec.shape == (32, 32, 1)
+    assert np.abs(dec[..., 0].astype(float) - g).mean() < 2.0
+    flat = np.full((16, 24, 3), 77, np.uint8)
+    assert np.abs(
+        decode_jpeg(encode_jpeg(flat, 95)).astype(int) - 77
+    ).max() == 0
+
+
+def test_jpeg_restart_markers():
+    import numpy as np
+
+    from astro_sdk_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    img = _gradient(48, 64)
+    for ri in (1, 3):
+        dec = decode_jpeg(encode_jpeg(img, 90, restart_interval=ri))
+        assert np.abs(dec.astype(float) - img).mean() < 3.0
+    dec = decode_jpeg(
+        encode_jpeg(img, 90, subsample=True, restart_interval=2)
+    )
+    assert np.abs(dec.astype(float) - img).mean() < 5.0
+
+
+def test_jpeg_noise_stress_high_quality():
+    """Dense AC coefficients + ZRL runs: noise at q=95 must survive with
+    small quantization error."""
+    import numpy as np
+
+    from astro_sdk_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(noise, 95))
+    assert np.abs(dec.astype(float) - noise).mean() < 6.0
+
+
+def test_jpeg_progressive_gated():
+    import struct
+
+    import pytest
+
+    from astro_sdk_spark.multimodal.jpeg import decode_jpeg
+
+    sof2 = struct.pack(">BBHBHHB", 0xFF, 0xC2, 11, 8, 1, 1, 1) + bytes(
+        [1, 0x11, 0]
+    )
+    with pytest.raises(NotImplementedError, match="progressive|SOF"):
+        decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
+
+
+def test_jpeg_sniff_and_batch_decode(spark, tmp_path):
+    """decode_image_batch reports REAL dimensions for baseline JPEGs."""
+    from astro_sdk_spark.multimodal.jpeg import encode_jpeg
+    from astro_sdk_spark.multimodal.ops import (
+        decode_image_batch,
+        media_table_from_files,
+    )
+
+    (tmp_path / "x.jpg").write_bytes(encode_jpeg(_gradient(24, 36), 85))
+    mt = media_table_from_files(spark, str(tmp_path) + "/*.jpg")
+    row = decode_image_batch(mt).collect()[0]
+    assert (row.width, row.height, row.channels) == (36, 24, 3)

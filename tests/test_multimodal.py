@@ -53,7 +53,12 @@ def media_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("media")
     (d / "a.png").write_bytes(_tiny_png())
     (d / "b.wav").write_bytes(_tiny_wav())
-    (d / "c.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"J" * 60)
+    # progressive JPEG stub: SOI + SOF2 — the variant the baseline codec
+    # legitimately gates (baseline .jpg now decodes for real)
+    sof2 = struct.pack(">BBHBHHB", 0xFF, 0xC2, 11, 8, 1, 1, 1) + bytes(
+        [1, 0x11, 0]
+    )
+    (d / "c.jpg").write_bytes(b"\xff\xd8" + sof2 + b"\xff\xd9")
     (d / "d.mp4").write_bytes(b"\x00\x00\x00\x18ftypmp42" + bytes(range(256)))
     return str(d)
 
@@ -138,7 +143,8 @@ def test_resize_real_png_reencode(spark, media_dir):
 def test_resize_passthrough_for_unsupported(spark, media_dir):
     mt = media_table_from_files(spark, media_dir + "/*.jpg")
     row = resize_images(mt, 32, 32, on_unsupported="passthrough").collect()[0]
-    assert bytes(row.content) == b"\xff\xd8\xff\xe0" + b"J" * 60
+    # the fixture is the progressive-JPEG stub — gated, passed through
+    assert bytes(row.content).startswith(b"\xff\xd8\xff\xc2")
 
 
 def test_frame_sample_explodes_rows(spark, media_dir):
@@ -148,3 +154,23 @@ def test_frame_sample_explodes_rows(spark, media_dir):
     blob = (b"\x00\x00\x00\x18ftypmp42" + bytes(range(256)))
     for r in out:
         assert bytes(r.frame) == blob[r.frame_idx : r.frame_idx + 30]
+
+
+def test_resize_real_jpeg(spark, tmp_path):
+    """Baseline JPEGs resize for real now: decode → resample → PNG out."""
+    import numpy as np
+
+    from astro_sdk_spark.multimodal.codecs import decode_png
+    from astro_sdk_spark.multimodal.jpeg import encode_jpeg
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack(
+        [xx * 255 // 55, yy * 255 // 39, np.zeros_like(xx)], axis=-1
+    ).astype(np.uint8)
+    (tmp_path / "g.jpg").write_bytes(encode_jpeg(img, 90))
+    mt = media_table_from_files(spark, str(tmp_path) + "/*.jpg")
+    row = resize_images(mt, 28, 20).collect()[0]
+    arr = decode_png(bytes(row.content))
+    assert arr.shape == (20, 28, 3)
+    # gradient direction survives the decode+resize
+    assert arr[:, -1, 0].mean() > arr[:, 0, 0].mean() + 100
