@@ -321,3 +321,191 @@ def frame_sample_video(
     return df.select(id_col, content_col).mapInPandas(
         _sample, schema=f"{id_col} string, frame_idx int, frame binary"
     )
+
+
+def image_phash_batch(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "path",
+    on_unsupported: str = "error",
+) -> DataFrame:
+    """Perceptual image hash (classic DCT pHash) per blob →
+    ``(id, phash long)``.
+
+    decode → grayscale → 32×32 area resample → 2D DCT (the same basis as
+    the JPEG codec) → low-frequency 8×8 corner (DC excluded) → 64-bit
+    sign-vs-median hash. Perceptually-similar images (re-encodes,
+    resizes, small edits) land within a few Hamming bits — feed
+    :func:`phash_near_dup` to find them without comparing pixels.
+    Unsupported/gated formats follow ``on_unsupported`` (error | skip)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from astro_sdk_spark.multimodal import codecs
+        from astro_sdk_spark.multimodal.jpeg import _C
+
+        c32 = np.zeros((32, 32))
+        for k in range(32):
+            for n in range(32):
+                c32[k, n] = np.cos(np.pi * (2 * n + 1) * k / 64) * (
+                    np.sqrt(1 / 32) if k == 0 else np.sqrt(2 / 32)
+                )
+        for pdf in batches:
+            ids, hashes = [], []
+            for pid, b in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(b or b"")
+                fmt = codecs.sniff_image(blob)
+                try:
+                    if fmt == "png":
+                        arr = codecs.decode_png(blob)
+                    elif fmt == "bmp":
+                        arr = codecs.decode_bmp(blob)
+                    elif fmt == "jpeg":
+                        arr = codecs.decode_jpeg(blob)
+                    else:
+                        raise NotImplementedError(f"no codec for {fmt}")
+                except NotImplementedError:
+                    if on_unsupported == "skip":
+                        continue
+                    raise
+                gray = arr.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                # area resample to 32×32 (pad to divisible, then box mean)
+                ph = -(-h // 32) * 32
+                pw = -(-w // 32) * 32
+                g = np.pad(gray, ((0, ph - h), (0, pw - w)), mode="edge")
+                g = g.reshape(32, ph // 32, 32, pw // 32).mean(axis=(1, 3))
+                d = c32 @ g @ c32.T
+                low = d[:8, :8].reshape(64)
+                ref = np.median(np.concatenate([low[1:8], low[8:]]))
+                bits = (low > ref).astype(np.uint64)
+                bits[0] = 0  # DC carries brightness, not structure
+                val = 0
+                for i in range(64):
+                    val = (val << 1) | int(bits[i])
+                # two's-complement into a signed 64-bit for Spark LongType
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(pid)
+                hashes.append(val)
+            yield pd.DataFrame({id_col: ids, "phash": hashes})
+
+    return df.select(id_col, content_col).mapInPandas(
+        _hash, schema=f"{id_col} string, phash long"
+    )
+
+
+def phash_near_dup(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "path",
+    hash_col: str = "phash",
+    bucket_cap: int | None = 500,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Near-duplicate images from pHashes → (id_a, id_b, hamming).
+
+    The SimHash pigeonhole trick on 64-bit perceptual hashes: split into
+    ``n_blocks`` equal sub-keys (must divide 64) — any pair within
+    hamming distance ``n_blocks − 1`` MUST agree exactly on ≥ 1 block
+    (candidate buckets); exact popcount verifies. For
+    ``max_hamming ≥ n_blocks`` the blocking is a high-recall heuristic,
+    not exhaustive — raise ``n_blocks`` (8 → 16) to restore the
+    guarantee at the cost of shorter keys / bigger buckets (bounded by
+    ``bucket_cap``). Same scale shape as ``simhash_near_dup``: one
+    exchange on (block, key), capped buckets, no all-pairs stage."""
+    from astro_sdk_spark.functions.dedup import _bucket_pairs
+
+    if 64 % n_blocks:
+        raise ValueError(f"n_blocks must divide 64, got {n_blocks}")
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    blocked = hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(hash_col), b * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("block", "key"),
+    )
+    grouped = blocked.groupBy("block", "key").agg(
+        F.collect_list(F.struct(F.col("_id"), F.col("_h"))).alias("_ms")
+    )
+    pairs = _bucket_pairs(grouped, bucket_cap).select(
+        F.col("_a._id").alias("id_a"),
+        F.col("_b._id").alias("id_b"),
+        F.bit_count(
+            F.col("_a._h").bitwiseXOR(F.col("_b._h"))
+        ).alias("hamming"),
+    )
+    return (
+        pairs.filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def extract_audio_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "path",
+    n_bands: int = 16,
+    frame_size: int = 2048,
+) -> DataFrame:
+    """Spectral fingerprint per WAV blob → ``(id, features array<float>)``.
+
+    Real DSP, numpy only: mono mix → Hann-windowed ``frame_size`` frames
+    → rFFT power spectrum → ``n_bands`` log-spaced band energies averaged
+    over frames → log1p → L2 normalize. The audio analogue of
+    :func:`extract_image_features`: a fixed-dim vector suitable for
+    embedding-style dedup/similarity over an audio corpus (feed
+    ``similarity.cosine_topk`` / ``embedding_near_dup``). Non-WAV blobs
+    are skipped (external codecs decode first at production scale)."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from astro_sdk_spark.multimodal import codecs
+
+        win = np.hanning(frame_size)
+        n_bins = frame_size // 2 + 1
+        # log-spaced band edges over the positive-frequency bins
+        edges = np.unique(
+            np.geomspace(1, n_bins, n_bands + 1).astype(int)
+        )
+        for pdf in batches:
+            ids, feats = [], []
+            for pid, b in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(b or b"")
+                if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+                    continue
+                _, samples = codecs.decode_wav(blob)
+                mono = samples.astype(np.float64).mean(axis=1)
+                if len(mono) < frame_size:
+                    mono = np.pad(mono, (0, frame_size - len(mono)))
+                n_frames = len(mono) // frame_size
+                frames = mono[: n_frames * frame_size].reshape(
+                    n_frames, frame_size
+                )
+                power = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
+                mean_power = power.mean(axis=0)
+                bands = np.zeros(n_bands)
+                for i in range(min(n_bands, len(edges) - 1)):
+                    bands[i] = mean_power[edges[i]:edges[i + 1]].sum()
+                v = np.log1p(bands)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    v = v / norm
+                ids.append(pid)
+                feats.append([float(x) for x in v])
+            yield pd.DataFrame({id_col: ids, "features": feats})
+
+    return df.select(id_col, content_col).mapInPandas(
+        _feat, schema=f"{id_col} string, features array<float>"
+    )

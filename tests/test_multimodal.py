@@ -174,3 +174,86 @@ def test_resize_real_jpeg(spark, tmp_path):
     assert arr.shape == (20, 28, 3)
     # gradient direction survives the decode+resize
     assert arr[:, -1, 0].mean() > arr[:, 0, 0].mean() + 100
+
+
+def _wav_bytes(samples, sr=8000):
+    """16-bit mono WAV from a float array in [-1, 1]."""
+    import struct as _struct
+
+    import numpy as np
+
+    pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    fmt = _struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def test_image_phash_stable_across_formats(spark, tmp_path):
+    """The same picture saved as PNG and as JPEG must land within a few
+    Hamming bits; a structurally different picture must be far."""
+    import numpy as np
+
+    from astro_sdk_spark.multimodal.codecs import encode_png
+    from astro_sdk_spark.multimodal.jpeg import encode_jpeg
+    from astro_sdk_spark.multimodal.ops import image_phash_batch
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    img = np.stack(
+        [
+            ((xx // 8 + yy // 8) % 2) * 255,
+            xx * 255 // 63,
+            yy * 255 // 63,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    other = img[::-1, ::-1].copy()
+    other[..., 0] = 255 - other[..., 0]
+    (tmp_path / "a.png").write_bytes(encode_png(img))
+    (tmp_path / "a.jpg").write_bytes(encode_jpeg(img, 90))
+    (tmp_path / "b.png").write_bytes(encode_png(other))
+    mt = media_table_from_files(spark, str(tmp_path) + "/*")
+    from astro_sdk_spark.multimodal.ops import phash_near_dup
+
+    hashes = image_phash_batch(mt)
+    got = {r.path.rsplit("/", 1)[-1]: r.phash for r in hashes.collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(got["a.png"], got["a.jpg"]) <= 10
+    assert ham(got["a.png"], got["b.png"]) > 20
+    # 16 blocks -> exhaustive recall for hamming <= 15
+    pairs = phash_near_dup(hashes, max_hamming=10, n_blocks=16).collect()
+    names = {
+        tuple(sorted((p.id_a.rsplit("/", 1)[-1], p.id_b.rsplit("/", 1)[-1])))
+        for p in pairs
+    }
+    assert ("a.jpg", "a.png") in names
+    assert not any("b.png" in pair for pair in names)
+
+
+def test_extract_audio_features_tones(spark, tmp_path):
+    """A low tone and a high tone must fingerprint differently, and the
+    same tone twice identically (deterministic DSP)."""
+    import numpy as np
+
+    from astro_sdk_spark.multimodal.ops import extract_audio_features
+
+    t = np.arange(16000) / 8000.0
+    (tmp_path / "low.wav").write_bytes(_wav_bytes(np.sin(2 * np.pi * 100 * t)))
+    (tmp_path / "low2.wav").write_bytes(_wav_bytes(np.sin(2 * np.pi * 100 * t)))
+    (tmp_path / "high.wav").write_bytes(_wav_bytes(np.sin(2 * np.pi * 3000 * t)))
+    mt = media_table_from_files(spark, str(tmp_path) + "/*.wav")
+    got = {
+        r.path.rsplit("/", 1)[-1]: np.asarray(r.features)
+        for r in extract_audio_features(mt).collect()
+    }
+    assert np.allclose(got["low.wav"], got["low2.wav"])
+    cos = float(
+        got["low.wav"] @ got["high.wav"]
+        / (np.linalg.norm(got["low.wav"]) * np.linalg.norm(got["high.wav"]))
+    )
+    assert cos < 0.9
+    # energy concentrates in different bands
+    assert got["low.wav"].argmax() < got["high.wav"].argmax()
