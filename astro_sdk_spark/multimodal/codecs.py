@@ -175,6 +175,8 @@ def sniff_image(blob: bytes) -> str | None:
         return "bmp"
     if blob[:2] == b"\xff\xd8":
         return "jpeg"
+    if blob[:4] == b"GIF8":
+        return "gif"
     return None
 
 
@@ -184,3 +186,129 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     from astro_sdk_spark.multimodal.jpeg import decode_jpeg as _dec
 
     return _dec(blob)
+
+
+def decode_gif(blob: bytes) -> np.ndarray:
+    """GIF87a/89a → (H, W, 3|4) uint8 (first frame; 4 channels when the
+    frame declares a transparent index). Full LZW decode with variable
+    code widths and dictionary resets, local/global palettes, and the
+    4-pass interlace order — stdlib only."""
+    if blob[:4] != b"GIF8" or blob[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh = struct.unpack("<HH", blob[6:10])
+    packed, _bg, _aspect = blob[10], blob[11], blob[12]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(blob[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    transparent = None
+    while pos < len(blob):
+        b = blob[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = blob[pos + 1]
+            pos += 2
+            if label == 0xF9 and blob[pos] >= 4:  # graphic control
+                flags = blob[pos + 1]
+                if flags & 0x01:
+                    transparent = blob[pos + 4]
+            while blob[pos]:  # skip sub-blocks
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{b:02X}")
+        # image descriptor
+        ix, iy, iw, ih = struct.unpack("<HHHH", blob[pos + 1:pos + 9])
+        ipacked = blob[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(blob[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("gif: no palette")
+        interlaced = bool(ipacked & 0x40)
+        min_code = blob[pos]
+        pos += 1
+        data = bytearray()
+        while blob[pos]:
+            ln = blob[pos]
+            data += blob[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        indices = _lzw_decode(bytes(data), min_code, iw * ih)
+        idx = np.asarray(indices[: iw * ih], dtype=np.int32).reshape(ih, iw)
+        if interlaced:
+            out = np.empty_like(idx)
+            rows = (
+                list(range(0, ih, 8)) + list(range(4, ih, 8))
+                + list(range(2, ih, 4)) + list(range(1, ih, 2))
+            )
+            for src, dst in enumerate(rows):
+                out[dst] = idx[src]
+            idx = out
+        rgb = pal[np.clip(idx, 0, len(pal) - 1)]
+        if transparent is not None:
+            alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+            frame = np.dstack([rgb, alpha])
+        else:
+            frame = rgb
+        # first frame only (training-metadata scope); canvas placement for
+        # frames smaller than the logical screen pads with palette entry 0
+        if (ix, iy, iw, ih) != (0, 0, sw, sh):
+            ch = frame.shape[2]
+            canvas = np.zeros((sh, sw, ch), dtype=np.uint8)
+            canvas[iy:iy + ih, ix:ix + iw] = frame
+            frame = canvas
+        return np.ascontiguousarray(frame)
+    raise ValueError("gif: no image data")
+
+
+def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list[int]:
+    """GIF-flavor LZW: variable code width (min_code+1 .. 12 bits, LSB
+    first), clear/end codes, dictionary capped at 4096 entries."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    dictionary: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                dictionary = [[i] for i in range(clear)] + [[], []]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = dictionary[code]
+            elif code < len(dictionary) and dictionary[code]:
+                entry = dictionary[code]
+                dictionary.append(prev + [entry[0]])
+            elif code == len(dictionary):
+                entry = prev + [prev[0]]
+                dictionary.append(entry)
+            else:
+                raise ValueError("gif: corrupt LZW stream")
+            # widen AFTER appending, per GIF LZW (deferred clear allowed)
+            if len(dictionary) == (1 << width) and width < 12:
+                width += 1
+            out += entry
+            prev = entry
+            if len(out) >= max_pixels:
+                return out
+    return out

@@ -70,6 +70,7 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFr
             F.when(magic.startswith("89504E47"), "png")
             .when(magic.startswith("FFD8"), "jpeg")
             .when(magic.startswith("52494646"), "riff")
+            .when(magic.startswith("47494638"), "gif")
             .otherwise("unknown"),
         )
     )
@@ -97,10 +98,12 @@ def _decode_image(blob: bytes, on_unsupported: str) -> tuple[int, int, int] | No
             arr = codecs.decode_bmp(bytes(blob))
         elif fmt == "jpeg":
             arr = codecs.decode_jpeg(bytes(blob))
+        elif fmt == "gif":
+            arr = codecs.decode_gif(bytes(blob))
         else:
             raise NotImplementedError(
-                "built-in codecs decode PNG/BMP/baseline-JPEG only; "
-                "GIF/WebP/progressive-JPEG need Pillow (absent in this env) "
+                "built-in codecs decode PNG/BMP/GIF/baseline-JPEG only; "
+                "WebP/progressive-JPEG need Pillow (absent in this env) "
                 "— pass on_unsupported='stub'/'skip' to proceed"
             )
     except NotImplementedError:
@@ -263,10 +266,12 @@ def resize_images(
                         arr = codecs.decode_bmp(blob)
                     elif fmt == "jpeg":
                         arr = codecs.decode_jpeg(blob)
+                    elif fmt == "gif":
+                        arr = codecs.decode_gif(blob)[..., :3]
                     else:
                         raise NotImplementedError(
-                            "built-in resize handles PNG/BMP/baseline-JPEG; "
-                            "other formats need Pillow — pass "
+                            "built-in resize handles PNG/BMP/GIF/baseline-"
+                            "JPEG; other formats need Pillow — pass "
                             "on_unsupported='passthrough'/'skip'"
                         )
                 except NotImplementedError:
@@ -363,6 +368,8 @@ def image_phash_batch(
                         arr = codecs.decode_bmp(blob)
                     elif fmt == "jpeg":
                         arr = codecs.decode_jpeg(blob)
+                    elif fmt == "gif":
+                        arr = codecs.decode_gif(blob)[..., :3]
                     else:
                         raise NotImplementedError(f"no codec for {fmt}")
                 except NotImplementedError:
