@@ -150,6 +150,8 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("jpeg: truncated entropy-coded segment")
         b = self.data[self.pos]
         if b == 0xFF:
             nxt = self.data[self.pos + 1]

@@ -1,13 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched pandas UDFs.
 
-Decode is REAL for PNG, uncompressed BMP, and WAV via the stdlib+numpy
-codecs in ``multimodal.codecs`` (decode, pixel resize + PNG re-encode,
-PCM samples); formats whose codecs need external libraries absent from
-this container (JPEG, MP3, H.264, …) raise NotImplementedError unless the
-caller opts into ``on_unsupported="stub"`` (deterministic fake dims) or
-``"skip"``. Swapping in Pillow/turbojpeg changes one per-blob function,
-not the pipeline.
+Decode is REAL for PNG, uncompressed BMP, GIF, baseline JPEG, and WAV via
+the stdlib+numpy codecs in ``multimodal.codecs`` / ``multimodal.jpeg``
+(decode, pixel resize + PNG re-encode, perceptual hashing, PCM samples,
+spectral fingerprints); formats whose codecs need external libraries
+absent from this container (WebP, progressive JPEG, MP3, H.264, …) raise
+NotImplementedError unless the caller opts into ``on_unsupported="stub"``
+(deterministic fake dims) or ``"skip"``. Swapping in Pillow/turbojpeg
+changes one per-blob function, not the pipeline.
 
 Scale notes:
 - ``spark.read.format("binaryFile")`` splits per file across executors;
