@@ -256,6 +256,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 bits = list(seg[sp + 1:sp + 17])
                 nv = sum(bits)
                 values = list(seg[sp + 17:sp + 17 + nv])
+                if len(bits) < 16 or len(values) < nv:
+                    raise ValueError("jpeg: truncated DHT segment")
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _build_decode_table(
                     bits, values
                 )
