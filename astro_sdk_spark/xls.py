@@ -205,9 +205,15 @@ def _parse_sst(stream: bytes, offset: int, length: int) -> list[str]:
         return out
 
     def _read_chars(cch: int, high: bool) -> str:
-        """Read cch characters, following fragment splits; each new
-        fragment restarts with its own compression-flag byte."""
+        """Read cch UTF-16 code units (or compressed bytes), following
+        fragment splits; each new fragment restarts with its own
+        compression-flag byte. UTF-16 spans run through an incremental
+        decoder so a surrogate pair split across a CONTINUE boundary
+        (legal — cch counts code units) reassembles correctly."""
+        import codecs as _codecs
+
         nonlocal fp
+        dec = _codecs.getincrementaldecoder("utf-16-le")()
         out: list[str] = []
         remaining = cch
         width = 2 if high else 1
@@ -223,8 +229,9 @@ def _parse_sst(stream: bytes, offset: int, length: int) -> list[str]:
                 raise ValueError("xls: SST char data truncated")
             raw = frags[fi][fp:fp + take * width]
             fp += take * width
-            out.append(raw.decode("utf-16-le" if high else "latin-1"))
+            out.append(dec.decode(raw) if high else raw.decode("latin-1"))
             remaining -= take
+        out.append(dec.decode(b"", True))
         return "".join(out)
 
     def _skip(nbytes: int) -> None:
@@ -421,7 +428,12 @@ def _sst_records(strings: list[str], total_refs: int) -> bytes:
 
     for s in strings:
         data = s.encode("utf-16-le")
-        header = struct.pack("<HB", len(s), 0x01)
+        n_units = len(data) // 2  # cch counts UTF-16 CODE UNITS, not chars
+        if n_units > 0xFFFF:
+            raise ValueError(
+                f"xls cell text exceeds 65535 UTF-16 units ({n_units})"
+            )
+        header = struct.pack("<HB", n_units, 0x01)
         if len(cur) + len(header) > _MAX_RECORD:
             flush()
         cur += header

@@ -118,3 +118,65 @@ def test_xlsx_roundtrip_property(tmp_path_factory, cols_rows):
                 assert math.isclose(float(g), e, rel_tol=0, abs_tol=0) or float(g) == e
             else:
                 assert g == e, (g, e)
+
+
+# ---------------------------------------------------------------- xls writer
+
+_cell = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2 ** 52), max_value=2 ** 52),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=40),
+)
+
+
+@given(
+    st.integers(min_value=1, max_value=5).flatmap(
+        lambda ncols: st.tuples(
+            st.lists(
+                st.text(
+                    alphabet=st.characters(
+                        blacklist_categories=("Cs",), min_codepoint=32
+                    ),
+                    min_size=1,
+                    max_size=12,
+                ),
+                min_size=ncols,
+                max_size=ncols,
+            ),
+            st.lists(
+                st.lists(_cell, min_size=ncols, max_size=ncols),
+                max_size=8,
+            ),
+        )
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_xls_write_read_round_trip(header_rows):
+    import os
+    import tempfile
+
+    from astro_sdk_spark.xls import read_xls, write_xls
+
+    header, rows = header_rows
+    fd, path = tempfile.mkstemp(suffix=".xls")
+    os.close(fd)
+    try:
+        write_xls(path, header, rows)
+        h2, r2 = read_xls(path)
+        # reader infers width from the rightmost populated cell; trailing
+        # all-None columns (and all-None tail rows) legitimately collapse
+        assert h2 == header[: len(h2)]
+        assert len(r2) <= len(rows)
+        for got, exp in zip(r2, rows):
+            for g, e in zip(got, exp[: len(got)]):
+                if isinstance(e, float) and g is not None:
+                    assert float(g) == e
+                elif isinstance(e, str):
+                    # headers/cells survive as written
+                    assert g == e or (g is None and e == "")
+                else:
+                    assert g == e
+    finally:
+        os.unlink(path)
