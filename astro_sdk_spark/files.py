@@ -164,6 +164,12 @@ class File:
         rest = self.path.removeprefix("sftp://")
         loc, _, remote = rest.partition("/")
         remote = "/" + remote
+        # the batch script wraps the path in double quotes — a quote or
+        # newline inside it would break parsing / inject extra commands
+        if any(ch in remote for ch in ('"', "\n", "\r")):
+            raise ValueError(
+                f"sftp path contains unsupported characters: {remote!r}"
+            )
         host = loc
         port = None
         hostonly = loc.rsplit("@", 1)[-1]

@@ -190,7 +190,14 @@ def line_dedup(
     """
     import re as _re
 
-    arr = F.split(F.col(text_col), F.lit(_re.escape(delimiter)), -1)
+    # NULL text is treated as the empty document: the one-row-per-input
+    # contract above must hold (split(NULL) would otherwise propagate
+    # NULL through text/n_lines/n_kept for that row)
+    arr = F.split(
+        F.coalesce(F.col(text_col), F.lit("")),
+        F.lit(_re.escape(delimiter)),
+        -1,
+    )
     long_lines = df.select(
         F.col(id_col), F.posexplode(arr).alias("_pos", "_line")
     ).filter(F.length("_line") >= min_chars)

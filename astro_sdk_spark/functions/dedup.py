@@ -547,6 +547,7 @@ def near_dup_clusters(
     )
 
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         # ONE aggregation per round serves BOTH control and transform:
         # per node it computes (child-degree, parent-degree, min
@@ -589,6 +590,7 @@ def near_dup_clusters(
         )
         if not n_not_star:
             node_stats.unpersist()
+            converged = True
             break
         rounds += 1
         # ---- large-star: for each node u, connect larger neighbors to
@@ -617,13 +619,21 @@ def near_dup_clusters(
         node_stats.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
     roots = (
         sm.select(F.col("_b").alias("_id"))
         .dropDuplicates(["_id"])
         .select("_id", F.col("_id").alias("_lbl"))
     )
     leaves = sm.select(F.col("_a").alias("_id"), F.col("_b").alias("_lbl"))
-    return leaves.unionByName(roots).select(
+    labels = leaves.unionByName(roots)
+    if not converged:
+        # max_iter exhausted mid-convergence: a node can still be both a
+        # root and a child, or a child of two parents — collapse to ONE
+        # (minimum) label per node so the one-label-per-id contract holds
+        # even for partial results. No-op cost when converged (skipped).
+        labels = labels.groupBy("_id").agg(F.min("_lbl").alias("_lbl"))
+    return labels.select(
         F.col("_id").alias(out_id), F.col("_lbl").alias(out_cluster)
     )
 

@@ -272,9 +272,17 @@ def dsir_weights(
     raw_feats = feats(df)
     tgt_counts = feats(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
     raw_counts = raw_feats.groupBy("_b").agg(F.count(F.lit(1)).alias("_cq"))
+    # FULL join: buckets seen only in the target still contribute to the
+    # p-model normalizer _T (a left join would understate it whenever the
+    # target has n-grams absent from raw, biasing every logw); they never
+    # match a raw feature downstream, so they cost nothing in scoring
     model = (
-        raw_counts.join(tgt_counts, "_b", "left")
-        .select("_b", F.coalesce("_ct", F.lit(0)).alias("_ct"), "_cq")
+        raw_counts.join(tgt_counts, "_b", "full")
+        .select(
+            "_b",
+            F.coalesce("_ct", F.lit(0)).alias("_ct"),
+            F.coalesce("_cq", F.lit(0)).alias("_cq"),
+        )
     )
     # totals ride in as one-row broadcast aggregates (the tf_idf device)
     tot = model.agg(

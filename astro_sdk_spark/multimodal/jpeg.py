@@ -233,6 +233,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("jpeg: bad marker alignment")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while blob[pos + 1] == 0xFF and pos + 4 <= len(blob):
+            pos += 1
         marker = blob[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -281,6 +284,14 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
+            if ns != len(comps):
+                # a legal baseline variant, but the interleaved-MCU walker
+                # below would decode the first scan's geometry wrongly —
+                # gate honestly instead of returning garbage pixels
+                raise NotImplementedError(
+                    "jpeg: non-interleaved multi-scan baseline not "
+                    "supported by the built-in codec — use Pillow"
+                )
             scan: list[dict] = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]

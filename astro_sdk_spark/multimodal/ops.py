@@ -86,30 +86,41 @@ def _decode_image_stub(blob: bytes) -> tuple[int, int, int]:
     return (64 + h[0] % 192, 64 + h[1] % 192, 3)
 
 
-def _decode_image(blob: bytes, on_unsupported: str) -> tuple[int, int, int] | None:
-    """(width, height, channels) via the real PNG/BMP codecs; other
-    formats dispatch on ``on_unsupported``: error | stub | skip."""
+def _decode_image_array(blob: bytes):
+    """(H, W, C) array via the built-in codecs, dispatched on magic bytes.
+
+    Raises NotImplementedError for formats (or in-format variants —
+    progressive JPEG, 16-bit PNG, compressed BMP) the codecs gate, and
+    ValueError/other errors for corrupt data in a supported format. The
+    ONE dispatch site shared by decode/resize/phash so the format list
+    can't drift between them."""
     from astro_sdk_spark.multimodal import codecs
 
-    fmt = codecs.sniff_image(bytes(blob or b""))
+    fmt = codecs.sniff_image(blob)
+    if fmt == "png":
+        return codecs.decode_png(blob)
+    if fmt == "bmp":
+        return codecs.decode_bmp(blob)
+    if fmt == "jpeg":
+        return codecs.decode_jpeg(blob)
+    if fmt == "gif":
+        return codecs.decode_gif(blob)
+    raise NotImplementedError(
+        "built-in codecs decode PNG/BMP/GIF/baseline-JPEG only; "
+        "WebP/progressive-JPEG need Pillow (absent in this env) "
+        "— pass a non-'error' on_unsupported to proceed"
+    )
+
+
+def _decode_image(blob: bytes, on_unsupported: str) -> tuple[int, int, int] | None:
+    """(width, height, channels); dispatch on ``on_unsupported``:
+    error | stub | skip. Non-'error' modes absorb BOTH unsupported
+    formats and corrupt/truncated blobs — a web-scraped corpus always
+    contains some of each, and one bad blob must not kill the job the
+    caller explicitly asked to degrade gracefully."""
     try:
-        if fmt == "png":
-            arr = codecs.decode_png(bytes(blob))
-        elif fmt == "bmp":
-            arr = codecs.decode_bmp(bytes(blob))
-        elif fmt == "jpeg":
-            arr = codecs.decode_jpeg(bytes(blob))
-        elif fmt == "gif":
-            arr = codecs.decode_gif(bytes(blob))
-        else:
-            raise NotImplementedError(
-                "built-in codecs decode PNG/BMP/GIF/baseline-JPEG only; "
-                "WebP/progressive-JPEG need Pillow (absent in this env) "
-                "— pass on_unsupported='stub'/'skip' to proceed"
-            )
-    except NotImplementedError:
-        # unsupported format OR an in-format gate (progressive JPEG,
-        # 16-bit PNG, compressed BMP): same dispatch policy
+        arr = _decode_image_array(bytes(blob or b""))
+    except Exception:  # noqa: BLE001 - unsupported OR corrupt, same policy
         if on_unsupported == "stub":
             return _decode_image_stub(blob)
         if on_unsupported == "skip":
@@ -259,23 +270,11 @@ def resize_images(
             ids, blobs = [], []
             for pid, b in zip(pdf[id_col], pdf[content_col]):
                 blob = bytes(b or b"")
-                fmt = codecs.sniff_image(blob)
                 try:
-                    if fmt == "png":
-                        arr = codecs.decode_png(blob)
-                    elif fmt == "bmp":
-                        arr = codecs.decode_bmp(blob)
-                    elif fmt == "jpeg":
-                        arr = codecs.decode_jpeg(blob)
-                    elif fmt == "gif":
-                        arr = codecs.decode_gif(blob)[..., :3]
-                    else:
-                        raise NotImplementedError(
-                            "built-in resize handles PNG/BMP/GIF/baseline-"
-                            "JPEG; other formats need Pillow — pass "
-                            "on_unsupported='passthrough'/'skip'"
-                        )
-                except NotImplementedError:
+                    # alpha survives: RGBA PNGs / transparent GIFs
+                    # re-encode as 4-channel PNGs
+                    arr = _decode_image_array(blob)
+                except Exception:  # noqa: BLE001 - unsupported OR corrupt
                     if on_unsupported == "passthrough":
                         ids.append(pid)
                         blobs.append(blob)
@@ -361,19 +360,9 @@ def image_phash_batch(
             ids, hashes = [], []
             for pid, b in zip(pdf[id_col], pdf[content_col]):
                 blob = bytes(b or b"")
-                fmt = codecs.sniff_image(blob)
                 try:
-                    if fmt == "png":
-                        arr = codecs.decode_png(blob)
-                    elif fmt == "bmp":
-                        arr = codecs.decode_bmp(blob)
-                    elif fmt == "jpeg":
-                        arr = codecs.decode_jpeg(blob)
-                    elif fmt == "gif":
-                        arr = codecs.decode_gif(blob)[..., :3]
-                    else:
-                        raise NotImplementedError(f"no codec for {fmt}")
-                except NotImplementedError:
+                    arr = _decode_image_array(blob)[..., :3]
+                except Exception:  # noqa: BLE001 - unsupported OR corrupt
                     if on_unsupported == "skip":
                         continue
                     raise

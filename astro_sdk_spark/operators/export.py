@@ -66,15 +66,15 @@ def export_to_file(
     if ftype in (FileType.XLSX, FileType.XLS):
         # driver-side small-file path (reference files/types/excel.py);
         # stdlib writers — no openpyxl/xlsxwriter/xlwt in this environment
-        rows = [tuple(r) for r in df.collect()]
+        collected = df.collect()
         if ftype == FileType.XLS:
             from astro_sdk_spark.xls import write_xls
 
-            write_xls(path, df.columns, [list(r) for r in rows])
+            write_xls(path, df.columns, collected)
         else:
             from astro_sdk_spark.xlsx import write_xlsx
 
-            write_xlsx(path, df.columns, rows)
+            write_xlsx(path, df.columns, [tuple(r) for r in collected])
         return output_file
 
     tmpdir = tempfile.mkdtemp(prefix="astro_export_")

@@ -181,17 +181,6 @@ def _merge_native(eng, tgt, src_shaped, cmap, keys, if_conflicts, target_table):
     ``io.delta:delta-spark``), any delta-backed target routes here
     automatically and the parquet join-rewrite below is never used."""
     s = eng.spark
-    if if_conflicts == "exception":
-        n_dup = (
-            src_shaped.join(tgt.select(*keys), on=keys, how="left_semi")
-            .limit(1)
-            .count()
-        )
-        if n_dup:
-            raise MergeConflictException(
-                f"Merge would violate unique constraint on {keys} "
-                f"(source has keys already present in {target_table.qualified_name})"
-            )
     view = f"_astro_merge_src_{abs(hash(target_table.qualified_name)) % 10**8}"
     src_shaped.createOrReplaceTempView(view)
     try:
@@ -252,6 +241,17 @@ def merge(
         outputs=[_name_of(target_table)],
     )
 
+    # raise-on-clash is provider-independent: check ONCE before dispatch
+    # (MERGE INTO has no raise-on-match clause, and the parquet append
+    # path needs the same guard)
+    if if_conflicts == "exception":
+        n_dup = src_shaped.join(tgt.select(*keys), on=keys, how="left_semi").limit(1).count()
+        if n_dup:
+            raise MergeConflictException(
+                f"Merge would violate unique constraint on {keys} "
+                f"(source has keys already present in {target_table.qualified_name})"
+            )
+
     # transaction-log targets (Delta/Iceberg/Hudi) take the native
     # MERGE INTO path: atomic, touched-files-only — no staged rewrite
     if table_provider(s, target_table.qualified_name) in ("delta", "iceberg", "hudi"):
@@ -260,12 +260,6 @@ def merge(
         )
 
     if if_conflicts == "exception":
-        n_dup = src_shaped.join(tgt.select(*keys), on=keys, how="left_semi").limit(1).count()
-        if n_dup:
-            raise MergeConflictException(
-                f"Merge would violate unique constraint on {keys} "
-                f"(source has keys already present in {target_table.qualified_name})"
-            )
         src_shaped.write.mode("append").format("parquet").saveAsTable(
             target_table.qualified_name
         )

@@ -2717,8 +2717,9 @@ _DSIR_ORACLE = f"""
     rawc AS (SELECT b, count(*) AS cq FROM feats GROUP BY b),
     tgtc AS (SELECT b, count(*) AS ct FROM tfeats GROUP BY b),
     model AS (
-      SELECT r.b, coalesce(t.ct, 0) AS ct, r.cq
-      FROM rawc r LEFT JOIN tgtc t USING (b)),
+      SELECT coalesce(r.b, t.b) AS b,
+             coalesce(t.ct, 0) AS ct, coalesce(r.cq, 0) AS cq
+      FROM rawc r FULL JOIN tgtc t ON r.b = t.b),
     tot AS (SELECT sum(ct) AS tt, sum(cq) AS qq FROM model),
     lr AS (
       SELECT b,

@@ -106,8 +106,14 @@ def test_configure_azure_requires_container_for_sas(spark):
 
 def test_remote_scheme_dispatch():
     assert File("ftp://host/f.csv").is_ftp()
-    with pytest.raises(NotImplementedError, match="paramiko"):
-        File("sftp://host/f.csv").staged_path()
+    # sftp:// now stages via the OpenSSH client; an unreachable host in
+    # BatchMode fails fast with the fetch error (full protocol coverage
+    # lives in tests/test_sftp.py against the stub server)
+    assert File("sftp://host/f.csv").is_sftp()
+    with pytest.raises(RuntimeError, match="sftp fetch"):
+        File(
+            "sftp://nonexistent.invalid/f.csv",
+        ).staged_path()
 
 
 def test_gdrive_url_rewrite():

@@ -376,3 +376,14 @@ def test_c4_rules_matches_python_reference_on_random_docs(spark):
         row = got[i]
         for k, v in exp.items():
             assert getattr(row, k) == v, (i, k, getattr(row, k), v, text)
+
+
+def test_line_dedup_null_text_is_empty_document(spark):
+    from astro_sdk_spark.functions.cleaning import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in line_dedup(df).collect()}
+    assert rows[2].text == "" and rows[2].n_lines == 1
+    assert rows[1].text == "a\nb"

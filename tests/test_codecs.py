@@ -473,3 +473,39 @@ def test_gif_batch_decode_and_resize(spark, tmp_path):
     assert (row.width, row.height, row.channels) == (8, 8, 3)
     rrow = resize_images(mt, 4, 4).collect()[0]
     assert decode_png(bytes(rrow.content)).shape == (4, 4, 3)
+
+
+def test_jpeg_fill_bytes_before_marker_tolerated():
+    """T.81 B.1.1.2 permits 0xFF fill bytes before any marker."""
+    import numpy as np
+
+    from astro_sdk_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    img = _gradient(16, 16)
+    blob = encode_jpeg(img, 90)
+    # inject fill bytes before the first DQT marker (FF DB)
+    i = blob.index(b"\xff\xdb")
+    padded = blob[:i] + b"\xff\xff\xff" + blob[i:]
+    dec = decode_jpeg(padded)
+    assert np.abs(dec.astype(float) - img).mean() < 3.0
+
+
+def test_jpeg_multi_scan_gated():
+    """Non-interleaved multi-scan baseline is legal JPEG but would decode
+    with wrong geometry — must gate, not return garbage."""
+    import struct
+
+    import pytest
+
+    from astro_sdk_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+    import numpy as np
+
+    blob = bytearray(encode_jpeg(_gradient(16, 16), 90))
+    # rewrite the SOS header from 3 components to 1 (Ns=1) in place
+    i = bytes(blob).index(b"\xff\xda")
+    (seglen,) = struct.unpack(">H", blob[i + 2:i + 4])
+    # SOS payload: ns, (cs, tdta)*ns, ss, se, ah_al
+    new_payload = bytes([1, blob[i + 5], blob[i + 6], 0, 63, 0])
+    blob[i + 2:i + 2 + seglen] = struct.pack(">H", len(new_payload) + 2) + new_payload
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(bytes(blob))

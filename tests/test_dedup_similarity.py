@@ -471,3 +471,20 @@ def test_minhash_near_dup_accepts_precomputed_sigs(corpus):
     assert sorted((r.id_a, r.id_b, round(r.jaccard, 6)) for r in base) == sorted(
         (r.id_a, r.id_b, round(r.jaccard, 6)) for r in reused
     )
+
+
+def test_near_dup_clusters_unique_labels_when_iter_exhausted(spark):
+    """max_iter too small to converge: every node must still get exactly
+    ONE label (min of its candidates), not duplicate conflicting rows."""
+    from astro_sdk_spark.functions.dedup import near_dup_clusters
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    out = near_dup_clusters(pairs, max_iter=1, stats=stats).collect()
+    assert not stats["converged"]
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids)), "duplicate labels for one doc"
+    assert set(ids) == set(range(n + 1))

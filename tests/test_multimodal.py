@@ -257,3 +257,28 @@ def test_extract_audio_features_tones(spark, tmp_path):
     assert cos < 0.9
     # energy concentrates in different bands
     assert got["low.wav"].argmax() < got["high.wav"].argmax()
+
+
+def test_corrupt_blob_respects_skip_policy(spark, tmp_path):
+    """A truncated JPEG (valid magic, cut entropy data) must be absorbed
+    by skip/stub — one bad blob in a scraped corpus must not kill the
+    job the caller asked to degrade gracefully."""
+    import numpy as np
+
+    from astro_sdk_spark.multimodal.jpeg import encode_jpeg
+    from astro_sdk_spark.multimodal.ops import (
+        decode_image_batch,
+        image_phash_batch,
+        resize_images,
+    )
+
+    good = encode_jpeg(np.full((16, 16, 3), 80, np.uint8), 85)
+    (tmp_path / "ok.jpg").write_bytes(good)
+    (tmp_path / "bad.jpg").write_bytes(good[: len(good) // 2])
+    mt = media_table_from_files(spark, str(tmp_path) + "/*.jpg")
+    assert decode_image_batch(mt, on_unsupported="skip").count() == 1
+    assert decode_image_batch(mt, on_unsupported="stub").count() == 2
+    assert image_phash_batch(mt, on_unsupported="skip").count() == 1
+    assert resize_images(mt, 8, 8, on_unsupported="skip").count() == 1
+    with pytest.raises(Exception):
+        decode_image_batch(mt).collect()
