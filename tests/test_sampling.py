@@ -291,3 +291,18 @@ def test_dsir_hash_paths_agree_on_ranking(spark):
     for fn in ("xxhash64", "md5"):
         got = {r.doc_id: r.logw for r in dsir_weights(df, target, hash_fn=fn).collect()}
         assert min(got[i] for i in range(10)) > max(got[100 + i] for i in range(10))
+
+
+def test_dsir_model_join_broadcasts_by_default(spark):
+    """The scored-model side is <= n_buckets rows by construction — the
+    scoring join must be a broadcast, never a full shuffle of features."""
+    from astro_sdk_spark.functions.sampling import dsir_weights
+
+    df = spark.createDataFrame(
+        [(i, f"word{i} shared tokens appear here") for i in range(60)],
+        "doc_id long, text string",
+    )
+    w = dsir_weights(df, df.filter("doc_id < 10"), n_buckets=128)
+    w.collect()
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
