@@ -1,0 +1,763 @@
+"""Avro Object Container File codec — stdlib only, split-parallel read.
+
+Implements the public Avro 1.11 specification (container framing, binary
+record encoding, ``null``/``deflate`` codecs). The reference SDK has no
+Avro path — the warehouses owned storage formats there — but Avro is the
+standard row-oriented interchange format next to parquet/orc in the
+§2.4 matrix, and a 100 TB pipeline ingesting from Kafka-archive or
+sqoop-era lakes meets it constantly.
+
+Scale design (mirrors Hadoop's AvroInputFormat split algorithm):
+
+- The 16-byte **sync marker** written after every block is the split
+  point. The driver reads only the file *header* (schema + codec +
+  sync — a few KB), then divides ``[header_end, file_len)`` into byte
+  ranges. Each executor task independently seeks to its range start,
+  scans forward to the first sync marker, and decodes exactly the
+  blocks whose start offset falls inside its range — so one 100 GB
+  container file parallelizes across the cluster without any central
+  index, and two tasks never decode the same block.
+- Decoding runs inside ``mapInPandas``: pure-Python varint parsing is
+  the slow path, but it is embarrassingly parallel, Arrow-batched back
+  to the JVM, and touches each byte once. (With the Spark-Avro JVM
+  package on a real cluster the engine would prefer
+  ``spark.read.format("avro")``; this codec is the dependency-free
+  fallback and the single-file export writer.)
+
+Supported schema surface: primitives (null boolean int long float
+double bytes string), records (root + nested), arrays, maps, enums,
+fixed, unions of [null, X] (nullable fields), and the timestamp-micros
+/ timestamp-millis / date logical types (mapped to Spark timestamp /
+date). General multi-branch unions and decimals raise a clear error —
+they have no stable Spark analogue without a type-widening policy.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from typing import Any, Callable, Iterable, Iterator
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+_STRUCT_FLOAT = struct.Struct("<f")
+_STRUCT_DOUBLE = struct.Struct("<d")
+
+PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+
+# --------------------------------------------------------------------------
+# binary primitives
+
+
+def _read_long(buf: memoryview, pos: int) -> tuple[int, int]:
+    """Zigzag varint decode → (value, new_pos)."""
+    b = buf[pos]
+    n = b & 0x7F
+    shift = 7
+    pos += 1
+    while b & 0x80:
+        b = buf[pos]
+        n |= (b & 0x7F) << shift
+        shift += 7
+        pos += 1
+    return (n >> 1) ^ -(n & 1), pos
+
+
+def _write_long(out: bytearray, v: int) -> None:
+    n = (v << 1) ^ (v >> 63) if v < 0 else (v << 1)
+    n &= (1 << 64) - 1  # two's-complement wrap, matches spec zigzag of int64
+    while n > 0x7F:
+        out.append((n & 0x7F) | 0x80)
+        n >>= 7
+    out.append(n)
+
+
+# --------------------------------------------------------------------------
+# schema
+
+
+def _schema_type(schema: Any) -> str:
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, list):
+        return "union"
+    return schema["type"]
+
+
+def _nullable_branch(schema: list) -> Any:
+    """For a [null, X] or [X, null] union return X, else None."""
+    if len(schema) == 2 and "null" in schema:
+        other = schema[0] if schema[1] == "null" else schema[1]
+        if other != "null":
+            return other
+    return None
+
+
+def _logical(schema: Any) -> str | None:
+    if isinstance(schema, dict):
+        return schema.get("logicalType")
+    return None
+
+
+def avro_to_spark_ddl(schema: Any) -> str:
+    """Avro schema (parsed JSON) → Spark DDL type string."""
+    t = _schema_type(schema)
+    if t == "union":
+        branch = _nullable_branch(schema)
+        if branch is None:
+            raise ValueError(
+                f"unsupported Avro union {schema!r}: only [null, X] unions map "
+                "onto Spark's nullable columns"
+            )
+        return avro_to_spark_ddl(branch)
+    lt = _logical(schema)
+    if lt in ("timestamp-micros", "timestamp-millis"):
+        return "timestamp_ntz"
+    if lt == "date":
+        return "date"
+    if lt == "decimal":
+        raise ValueError("Avro decimal logical type is not supported by this codec")
+    if t in ("int",):
+        return "int"
+    if t in ("long",):
+        return "bigint"
+    if t in ("float",):
+        return "float"
+    if t in ("double",):
+        return "double"
+    if t == "boolean":
+        return "boolean"
+    if t == "string" or t == "enum":
+        return "string"
+    if t in ("bytes", "fixed"):
+        return "binary"
+    if t == "null":
+        return "string"  # all-null column; Spark has no top-level null type in DDL
+    if t == "array":
+        return f"array<{avro_to_spark_ddl(schema['items'])}>"
+    if t == "map":
+        return f"map<string,{avro_to_spark_ddl(schema['values'])}>"
+    if t == "record":
+        fields = ", ".join(
+            f"`{f['name']}`: {avro_to_spark_ddl(f['type'])}" for f in schema["fields"]
+        )
+        return f"struct<{fields}>"
+    raise ValueError(f"unsupported Avro type {t!r}")
+
+
+def record_spark_schema(schema: Any) -> str:
+    """Top-level record schema → mapInPandas DDL ('a bigint, b string')."""
+    if _schema_type(schema) != "record":
+        raise ValueError("container files written by this codec have record roots")
+    return ", ".join(
+        f"`{f['name']}` {avro_to_spark_ddl(f['type'])}" for f in schema["fields"]
+    )
+
+
+def logical_fields(schema: Any) -> dict[str, str]:
+    """Top-level field name → logical type (timestamp-micros/millis, date)
+    for the pandas conversion step of the distributed reader."""
+    out = {}
+    for f in schema["fields"]:
+        ft = f["type"]
+        if isinstance(ft, list):
+            branch = _nullable_branch(ft)
+            ft = branch if branch is not None else ft
+        lt = _logical(ft)
+        if lt in ("timestamp-micros", "timestamp-millis", "date"):
+            out[f["name"]] = lt
+    return out
+
+
+# --------------------------------------------------------------------------
+# decoder: compile schema → closure (skips per-record type dispatch)
+
+
+def _compile_reader(schema: Any) -> Callable[[memoryview, int], tuple[Any, int]]:
+    t = _schema_type(schema)
+    if t == "union":
+        branch = _nullable_branch(schema)
+        if branch is None:
+            raise ValueError(f"unsupported Avro union {schema!r}")
+        null_first = schema[0] == "null"
+        inner = _compile_reader(branch)
+
+        def read_union(buf, pos):
+            idx, pos = _read_long(buf, pos)
+            if (idx == 0) == null_first:
+                return None, pos
+            return inner(buf, pos)
+
+        return read_union
+
+    lt = _logical(schema)
+    if lt in ("timestamp-micros", "timestamp-millis", "date"):
+        base = _compile_reader(t)
+        if lt == "timestamp-millis":
+            return lambda buf, pos: (
+                (lambda v, p: (v * 1000, p))(*base(buf, pos))
+            )
+        return base  # micros / days pass through; pandas conversion downstream
+
+    if t == "long" or t == "int":
+        return _read_long
+    if t == "string":
+
+        def read_string(buf, pos):
+            n, pos = _read_long(buf, pos)
+            return str(buf[pos : pos + n], "utf-8"), pos + n
+
+        return read_string
+    if t == "bytes":
+
+        def read_bytes(buf, pos):
+            n, pos = _read_long(buf, pos)
+            return bytes(buf[pos : pos + n]), pos + n
+
+        return read_bytes
+    if t == "double":
+        return lambda buf, pos: (
+            _STRUCT_DOUBLE.unpack_from(buf, pos)[0],
+            pos + 8,
+        )
+    if t == "float":
+        return lambda buf, pos: (_STRUCT_FLOAT.unpack_from(buf, pos)[0], pos + 4)
+    if t == "boolean":
+        return lambda buf, pos: (buf[pos] != 0, pos + 1)
+    if t == "null":
+        return lambda buf, pos: (None, pos)
+    if t == "fixed":
+        size = schema["size"]
+        return lambda buf, pos: (bytes(buf[pos : pos + size]), pos + size)
+    if t == "enum":
+        symbols = schema["symbols"]
+
+        def read_enum(buf, pos):
+            idx, pos = _read_long(buf, pos)
+            return symbols[idx], pos
+
+        return read_enum
+    if t == "array":
+        item = _compile_reader(schema["items"])
+
+        def read_array(buf, pos):
+            out = []
+            count, pos = _read_long(buf, pos)
+            while count != 0:
+                if count < 0:
+                    _, pos = _read_long(buf, pos)  # block byte size — unused
+                    count = -count
+                for _ in range(count):
+                    v, pos = item(buf, pos)
+                    out.append(v)
+                count, pos = _read_long(buf, pos)
+            return out, pos
+
+        return read_array
+    if t == "map":
+        val = _compile_reader(schema["values"])
+
+        def read_map(buf, pos):
+            out = {}
+            count, pos = _read_long(buf, pos)
+            while count != 0:
+                if count < 0:
+                    _, pos = _read_long(buf, pos)
+                    count = -count
+                for _ in range(count):
+                    n, pos = _read_long(buf, pos)
+                    k = str(buf[pos : pos + n], "utf-8")
+                    pos += n
+                    out[k], pos = val(buf, pos)
+                count, pos = _read_long(buf, pos)
+            return out, pos
+
+        return read_map
+    if t == "record":
+        readers = [(f["name"], _compile_reader(f["type"])) for f in schema["fields"]]
+
+        def read_record(buf, pos):
+            row = {}
+            for name, rd in readers:
+                row[name], pos = rd(buf, pos)
+            return row, pos
+
+        return read_record
+    raise ValueError(f"unsupported Avro type {t!r}")
+
+
+# --------------------------------------------------------------------------
+# container header
+
+
+def read_header(f: io.BufferedIOBase) -> tuple[Any, str, bytes, int]:
+    """→ (schema_json, codec, sync_marker, header_end_offset). Reads only
+    the header bytes — safe to call on the driver for a 100 GB file."""
+    magic = f.read(4)
+    if magic != MAGIC:
+        raise ValueError(f"not an Avro container file (magic {magic!r})")
+    # the metadata map is small; buffer incrementally
+    data = bytearray()
+
+    def ensure(n: int, pos: int) -> memoryview:
+        while len(data) < pos + n:
+            chunk = f.read(max(4096, pos + n - len(data)))
+            if not chunk:
+                raise ValueError("truncated Avro header")
+            data.extend(chunk)
+        return memoryview(data)
+
+    meta: dict[str, bytes] = {}
+    pos = 0
+    while True:
+        buf = ensure(10, pos)
+        count, pos = _read_long(buf, pos)
+        if count == 0:
+            break
+        if count < 0:
+            buf = ensure(10, pos)
+            _, pos = _read_long(buf, pos)
+            count = -count
+        for _ in range(count):
+            buf = ensure(10, pos)
+            n, pos = _read_long(buf, pos)
+            buf = ensure(n + 10, pos)
+            key = str(buf[pos : pos + n], "utf-8")
+            pos += n
+            n, pos = _read_long(buf, pos)
+            buf = ensure(n, pos)
+            meta[key] = bytes(buf[pos : pos + n])
+            pos += n
+    buf = ensure(SYNC_SIZE, pos)
+    sync = bytes(buf[pos : pos + SYNC_SIZE])
+    pos += SYNC_SIZE
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported Avro codec {codec!r} (null/deflate only)")
+    schema = json.loads(meta["avro.schema"].decode())
+    return schema, codec, sync, 4 + pos
+
+
+def scan_ranges(file_len: int, header_end: int, n_splits: int) -> list[tuple[int, int]]:
+    """Divide the block region into ``n_splits`` byte ranges. Each range
+    [s, e) owns the blocks whose start offset lies in it (task-side sync
+    scan resolves the actual boundaries)."""
+    n_splits = max(1, min(n_splits, max(1, (file_len - header_end) // (64 * 1024) or 1)))
+    span = file_len - header_end
+    step = max(1, span // n_splits)
+    ranges = []
+    s = header_end
+    while s < file_len:
+        e = min(file_len, s + step)
+        if file_len - e < step // 2:  # fold the remainder into the last range
+            e = file_len
+        ranges.append((s, e))
+        s = e
+    return ranges
+
+
+def decode_range(
+    path: str,
+    start: int,
+    end: int,
+    header_end: int,
+    schema: Any,
+    codec: str,
+    sync: bytes,
+) -> Iterator[dict]:
+    """Yield the records of every block whose start offset ∈ [start, end).
+
+    Executor-side body of the split-parallel read: seeks to ``start``,
+    scans to the first sync marker (a block START is always the byte
+    after a sync, except the first block which starts at header_end),
+    then decodes whole blocks until the next block would start past
+    ``end``. A block straddling ``end`` belongs to the range containing
+    its start, so every block is decoded exactly once across ranges.
+    """
+    reader = _compile_reader(schema)
+    with open(path, "rb") as f:
+        file_len = os.fstat(f.fileno()).st_size
+        if start <= header_end:
+            pos = header_end
+        else:
+            # find the first sync at offset ≥ start-16 → block start ≥ start
+            f.seek(max(header_end, start - SYNC_SIZE))
+            scan_base = f.tell()
+            window = b""
+            pos = -1
+            while True:
+                chunk = f.read(1 << 20)
+                if not chunk:
+                    break
+                window += chunk
+                idx = window.find(sync)
+                if idx != -1:
+                    pos = scan_base + idx + SYNC_SIZE
+                    break
+                # keep a sync-sized tail so markers spanning chunks match
+                scan_base += len(window) - (SYNC_SIZE - 1)
+                window = window[-(SYNC_SIZE - 1):]
+            if pos == -1 or pos >= end:
+                return
+        while pos < end and pos < file_len:
+            f.seek(pos)
+            head = f.read(20)
+            if len(head) < 2:
+                return
+            hb = memoryview(head)
+            n_recs, p = _read_long(hb, 0)
+            blk_size, p = _read_long(hb, p)
+            f.seek(pos + p)
+            payload = f.read(blk_size)
+            if codec == "deflate":
+                payload = zlib.decompress(payload, wbits=-15)
+            buf = memoryview(payload)
+            bp = 0
+            for _ in range(n_recs):
+                rec, bp = reader(buf, bp)
+                yield rec
+            marker = f.read(SYNC_SIZE)
+            if marker != sync:
+                raise ValueError(f"corrupt Avro block at offset {pos} in {path}")
+            pos = f.tell()
+
+
+def read_avro_distributed(spark, path: str, n_splits: int | None = None):
+    """Avro container file(s) → DataFrame, split-parallel.
+
+    ``path`` may be a single ``.avro`` file, a directory of them, or a
+    glob (local filesystem — remote locations are staged by the File
+    layer before they reach here). The driver touches only each file's
+    header; the block regions are divided into ~``n_splits`` byte
+    ranges (default: 2× the session's default parallelism) and decoded
+    executor-side via mapInPandas, so a single large container file
+    parallelizes the same way a parquet file's row groups do.
+    """
+    import glob as _glob
+
+    if os.path.isdir(path):
+        paths = sorted(
+            e.path
+            for e in os.scandir(path)
+            if e.is_file() and not e.name.startswith((".", "_"))
+        )
+    elif any(ch in path for ch in "*?["):
+        paths = sorted(p for p in _glob.glob(path) if os.path.isfile(p))
+    else:
+        paths = [path]
+    if not paths:
+        raise FileNotFoundError(f"no Avro files at {path!r}")
+
+    with open(paths[0], "rb") as f:
+        schema, _, _, _ = read_header(f)
+    ddl = record_spark_schema(schema)
+    lfields = logical_fields(schema)
+    field_names = [f["name"] for f in schema["fields"]]
+    schema_json = json.dumps(schema)
+
+    if n_splits is None:
+        n_splits = spark.sparkContext.defaultParallelism * 2
+    per_file = max(1, n_splits // len(paths))
+    splits = []
+    for p in paths:
+        with open(p, "rb") as f:
+            fschema, codec, sync, header_end = read_header(f)
+        if json.dumps(fschema) != schema_json and record_spark_schema(fschema) != ddl:
+            raise ValueError(
+                f"Avro schema mismatch: {p} does not match {paths[0]}"
+            )
+        file_len = os.path.getsize(p)
+        for s, e in scan_ranges(file_len, header_end, per_file):
+            splits.append((p, s, e, header_end, codec, sync.hex()))
+
+    def decode(batches):
+        import datetime as _dt
+
+        import pandas as pd
+
+        schema_local = json.loads(schema_json)
+
+        def to_pdf(recs):
+            pdf = pd.DataFrame(recs, columns=field_names)
+            for name, lt in lfields.items():
+                if lt == "date":
+                    epoch = _dt.date(1970, 1, 1)
+                    pdf[name] = pdf[name].map(
+                        lambda d: None
+                        if d is None
+                        else epoch + _dt.timedelta(days=int(d))
+                    )
+                else:  # micros (millis normalized to micros at decode)
+                    pdf[name] = pd.to_datetime(pdf[name], unit="us")
+            return pdf
+
+        for pdf_in in batches:
+            for row in pdf_in.itertuples(index=False):
+                recs = []
+                for rec in decode_range(
+                    row.path,
+                    int(row.start),
+                    int(row.end),
+                    int(row.header_end),
+                    schema_local,
+                    row.codec,
+                    bytes.fromhex(row.sync),
+                ):
+                    recs.append(rec)
+                    if len(recs) >= 10000:
+                        yield to_pdf(recs)
+                        recs = []
+                if recs:
+                    yield to_pdf(recs)
+
+    sdf = spark.createDataFrame(
+        splits,
+        "path string, start long, end long, header_end long, codec string, sync string",
+    )
+    return sdf.repartition(len(splits)).mapInPandas(decode, ddl)
+
+
+def read_avro(path: str) -> tuple[Any, list[dict]]:
+    """Whole-file driver-side read → (schema, records). Test/export helper;
+    the distributed path is engine.read_avro_distributed."""
+    with open(path, "rb") as f:
+        schema, codec, sync, header_end = read_header(f)
+        file_len = os.fstat(f.fileno()).st_size
+    recs = list(
+        decode_range(path, header_end, file_len, header_end, schema, codec, sync)
+    )
+    return schema, recs
+
+
+# --------------------------------------------------------------------------
+# writer
+
+
+def spark_to_avro_schema(spark_schema, name: str = "row") -> dict:
+    """Spark StructType → Avro record schema (nullable fields become
+    [null, X] unions; timestamp/date become long/int logical types)."""
+
+    def conv(dt, nullable: bool) -> Any:
+        tn = dt.typeName()
+        if tn == "struct":
+            base: Any = {
+                "type": "record",
+                "name": f"{name}_{id(dt) & 0xFFFF:x}",
+                "fields": [
+                    {"name": f.name, "type": conv(f.dataType, f.nullable)}
+                    for f in dt.fields
+                ],
+            }
+        elif tn == "array":
+            base = {"type": "array", "items": conv(dt.elementType, dt.containsNull)}
+        elif tn == "map":
+            base = {"type": "map", "values": conv(dt.valueType, dt.valueContainsNull)}
+        elif tn in ("timestamp", "timestamp_ntz"):
+            base = {"type": "long", "logicalType": "timestamp-micros"}
+        elif tn == "date":
+            base = {"type": "int", "logicalType": "date"}
+        else:
+            base = {
+                "byte": "int",
+                "short": "int",
+                "integer": "int",
+                "long": "long",
+                "float": "float",
+                "double": "double",
+                "boolean": "boolean",
+                "string": "string",
+                "binary": "bytes",
+            }.get(tn)
+            if base is None:
+                raise ValueError(f"no Avro mapping for Spark type {tn!r}")
+        return ["null", base] if nullable else base
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": conv(f.dataType, f.nullable)}
+            for f in spark_schema.fields
+        ],
+    }
+
+
+def _compile_writer(schema: Any) -> Callable[[bytearray, Any], None]:
+    t = _schema_type(schema)
+    lt = _logical(schema)
+    if lt in ("timestamp-micros", "timestamp-millis", "date"):
+        # Spark rows carry datetime/date objects; encode to the logical
+        # type's integer representation
+        import datetime as _dt
+
+        if lt == "date":
+
+            def w_date(out, v):
+                if isinstance(v, _dt.date):
+                    v = (v - _dt.date(1970, 1, 1)).days
+                _write_long(out, v)
+
+            return w_date
+        div = 1 if lt == "timestamp-micros" else 1000
+
+        def w_ts(out, v):
+            if isinstance(v, _dt.datetime):
+                epoch = _dt.datetime(
+                    1970, 1, 1, tzinfo=v.tzinfo if v.tzinfo else None
+                )
+                td = v - epoch
+                v = (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+            _write_long(out, v // div)
+
+        return w_ts
+    if t == "union":
+        branch = _nullable_branch(schema)
+        if branch is None:
+            raise ValueError(f"unsupported Avro union {schema!r}")
+        null_idx = 0 if schema[0] == "null" else 1
+        inner = _compile_writer(branch)
+
+        def w_union(out, v):
+            if v is None:
+                _write_long(out, null_idx)
+            else:
+                _write_long(out, 1 - null_idx)
+                inner(out, v)
+
+        return w_union
+    if t in ("long", "int"):
+        return _write_long
+    if t == "string":
+
+        def w_string(out, v):
+            b = v.encode("utf-8")
+            _write_long(out, len(b))
+            out.extend(b)
+
+        return w_string
+    if t in ("bytes", "fixed"):
+
+        def w_bytes(out, v):
+            if t == "bytes":
+                _write_long(out, len(v))
+            out.extend(v)
+
+        return w_bytes
+    if t == "double":
+        return lambda out, v: out.extend(_STRUCT_DOUBLE.pack(v))
+    if t == "float":
+        return lambda out, v: out.extend(_STRUCT_FLOAT.pack(v))
+    if t == "boolean":
+        return lambda out, v: out.append(1 if v else 0)
+    if t == "null":
+        return lambda out, v: None
+    if t == "enum":
+        index = {s: i for i, s in enumerate(schema["symbols"])}
+        return lambda out, v: _write_long(out, index[v])
+    if t == "array":
+        item = _compile_writer(schema["items"])
+
+        def w_array(out, v):
+            if v:
+                _write_long(out, len(v))
+                for x in v:
+                    item(out, x)
+            _write_long(out, 0)
+
+        return w_array
+    if t == "map":
+        val = _compile_writer(schema["values"])
+
+        def w_map(out, v):
+            if v:
+                _write_long(out, len(v))
+                for k, x in v.items():
+                    kb = k.encode("utf-8")
+                    _write_long(out, len(kb))
+                    out.extend(kb)
+                    val(out, x)
+            _write_long(out, 0)
+
+        return w_map
+    if t == "record":
+        writers = [(f["name"], _compile_writer(f["type"])) for f in schema["fields"]]
+
+        def w_record(out, v):
+            for fname, wr in writers:
+                wr(out, v.get(fname) if isinstance(v, dict) else getattr(v, fname))
+
+        return w_record
+    raise ValueError(f"unsupported Avro type {t!r}")
+
+
+def write_avro(
+    path: str,
+    records: Iterable[dict],
+    schema: dict,
+    codec: str = "null",
+    block_records: int = 4096,
+    sync: bytes | None = None,
+) -> int:
+    """Write records to one Avro container file. Returns the record count.
+
+    Deterministic by default: the sync marker is derived from the schema
+    (not random), so identical inputs produce identical bytes — the same
+    reproducibility contract as the rest of the engine."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported Avro codec {codec!r}")
+    if sync is None:
+        import hashlib
+
+        sync = hashlib.md5(json.dumps(schema, sort_keys=True).encode()).digest()
+    writer = _compile_writer(schema)
+    n_total = 0
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        head = bytearray()
+        meta = {
+            "avro.schema": json.dumps(schema).encode(),
+            "avro.codec": codec.encode(),
+        }
+        _write_long(head, len(meta))
+        for k, v in meta.items():
+            kb = k.encode()
+            _write_long(head, len(kb))
+            head.extend(kb)
+            _write_long(head, len(v))
+            head.extend(v)
+        _write_long(head, 0)
+        f.write(head)
+        f.write(sync)
+
+        block = bytearray()
+        n_block = 0
+
+        def flush():
+            nonlocal block, n_block
+            if not n_block:
+                return
+            payload = bytes(block)
+            if codec == "deflate":
+                c = zlib.compressobj(6, zlib.DEFLATED, -15)
+                payload = c.compress(payload) + c.flush()
+            frame = bytearray()
+            _write_long(frame, n_block)
+            _write_long(frame, len(payload))
+            f.write(frame)
+            f.write(payload)
+            f.write(sync)
+            block = bytearray()
+            n_block = 0
+
+        for rec in records:
+            writer(block, rec)
+            n_block += 1
+            n_total += 1
+            if n_block >= block_records:
+                flush()
+        flush()
+    return n_total

@@ -243,6 +243,23 @@ class SparkEngine:
             # vectorized scan + predicate pushdown machinery). No reference
             # counterpart — the warehouse owned storage formats there.
             return self.spark.read.options(**opts).orc(path)
+        if ftype == FileType.AVRO:
+            # split-parallel stdlib container reader (avro.py): the driver
+            # reads only headers, executors decode sync-delimited block
+            # ranges via mapInPandas — one big file still fans out. On a
+            # cluster with the spark-avro JVM package installed, prefer it.
+            from pyspark.errors import AnalysisException
+
+            try:
+                return self.spark.read.options(**opts).format("avro").load(path)
+            except AnalysisException as exc:
+                msg = str(exc)
+                if "DATA_SOURCE_NOT_FOUND" not in msg and "Failed to find data source" not in msg:
+                    raise
+                from astro_sdk_spark.avro import read_avro_distributed
+
+                local = path.removeprefix("file://")
+                return read_avro_distributed(self.spark, local)
         if ftype == FileType.CSV:
             # defaults merge UNDER user options — typed LoadOptions set these
             # same keys, so keyword-arg passing would raise "multiple values"

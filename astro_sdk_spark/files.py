@@ -62,6 +62,7 @@ class FileType(str, Enum):
     NDJSON = "ndjson"
     PARQUET = "parquet"
     ORC = "orc"
+    AVRO = "avro"
     XLSX = "xlsx"
     XLS = "xls"
 
@@ -74,6 +75,7 @@ _EXTENSION_TO_TYPE = {
     ".parquet": FileType.PARQUET,
     ".pq": FileType.PARQUET,
     ".orc": FileType.ORC,
+    ".avro": FileType.AVRO,
     ".xlsx": FileType.XLSX,
     ".xls": FileType.XLS,
 }

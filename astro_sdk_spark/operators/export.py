@@ -77,6 +77,22 @@ def export_to_file(
             write_xlsx(path, df.columns, [tuple(r) for r in collected])
         return output_file
 
+    if ftype == FileType.AVRO:
+        # single-file container write via the stdlib codec (avro.py) —
+        # streams partitions through the driver (toLocalIterator keeps at
+        # most one partition in memory), same single-file contract as the
+        # other export branches
+        from astro_sdk_spark.avro import spark_to_avro_schema, write_avro
+
+        schema = spark_to_avro_schema(df.schema, name="export")
+        write_avro(
+            path,
+            (r.asDict(recursive=True) for r in df.toLocalIterator()),
+            schema,
+            codec="deflate",
+        )
+        return output_file
+
     tmpdir = tempfile.mkdtemp(prefix="astro_export_")
     out_dir = os.path.join(tmpdir, "out")
     writer = df.coalesce(1).write.mode("overwrite")

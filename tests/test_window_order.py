@@ -49,6 +49,7 @@ FAMILIES: dict[str, list[str]] = {
     "dedup-clusters": ["q_dedup_clusters", "q_dedup_keeplist"],
     "embedding-dedup": ["q_embedding_neardup", "q_semantic_dedup"],
     "ann": ["q_embedding_topk", "q_ann_recall", "q_ann_lsh"],
+    "file-formats": ["q_load_avro"],
     "ivf-pq": [
         "q_ivf_topk", "q_ivf_trained", "q_ivfpq_topk", "q_pq_topk",
         "q_ivfpq_trained",
