@@ -1034,6 +1034,33 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_bloom_dedup",
+    """
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents c WHERE c.doc_id < 200 AND c.text = d.text)
+    """,
+)
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered exact cross-corpus dedup (functions/bloom.py):
+    corpus = docs with doc_id < 200, batch = the full table; result must
+    equal the plain anti-join (the filter only removes the corpus-sized
+    shuffle, never rows) — which is exactly what the oracle's NOT EXISTS
+    verifies. Tail query; family covered in-window by q_dedup_exact."""
+    from astro_sdk_spark.functions.bloom import bloom_dedup
+
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 200).select("text")
+    return bloom_dedup(
+        docs.select("doc_id", "lang", "n_chars", "text"),
+        corpus,
+        "text",
+        n_bits=1 << 16,
+    ).select("doc_id", "lang", "n_chars")
+
+
+@q(
     "q_token_stats",
     """
     SELECT doc_id,
@@ -3004,6 +3031,8 @@ _TAIL_VARIANTS = [
     "q_ivfpq_trained",     # PQ: q_ivfpq_topk (in-window) + q_ivf_trained
                            # cover the probe/scan and trainer families
     "q_neardup_renamed_cols",  # minhash: q_minhash_neardup (same oracle)
+    "q_bloom_dedup",       # exact dedup: q_dedup_exact (bloom prefilter is
+                           # the scale path of the same family)
     "q_merge_ignore",      # merge: q_merge_update
     "q_date_funcs",        # scalar fns: q_scalar_funcs, q_json_extract
     "q_window_running",    # windows: q_window_topk

@@ -1,0 +1,82 @@
+"""Bloom-prefiltered exact dedup (functions/bloom.py).
+
+The contract under test: bloom_dedup == plain left_anti join, always —
+the filter is a shuffle-avoidance device, never a semantics change."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from astro_sdk_spark.functions.bloom import (
+    bloom_dedup,
+    bloom_might_contain,
+    build_bloom,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_matches_plain_anti_join(docs):
+    corpus = docs.filter(F.col("doc_id") < 60).select("text")
+    got = bloom_dedup(docs, corpus, "text", n_bits=1 << 14)
+    want = docs.join(corpus.distinct(), on="text", how="left_anti")
+    assert _ids(got) == _ids(want)
+
+
+def test_exact_even_when_filter_saturated(docs):
+    """A deliberately tiny filter (64 bits for 60 keys) floods false
+    positives; the verification join must keep the result exact."""
+    corpus = docs.filter(F.col("doc_id") < 60).select("text")
+    got = bloom_dedup(docs, corpus, "text", n_bits=64, n_hashes=2)
+    want = docs.join(corpus.distinct(), on="text", how="left_anti")
+    assert _ids(got) == _ids(want)
+
+
+def test_no_false_negatives(docs):
+    """Every corpus member must probe as maybe-present (the Bloom
+    guarantee that makes definite-new rows safe to skip the join)."""
+    corpus = docs.filter(F.col("doc_id") < 100).select("text")
+    bloom = build_bloom(corpus, "text", n_bits=1 << 14)
+    flagged = bloom_might_contain(corpus, bloom, "text")
+    assert flagged.filter(~F.col("_maybe_dup")).count() == 0
+
+
+def test_fp_rate_is_small_when_sized(docs):
+    """At ~26 bits/key the probe should pass essentially only true dups,
+    so the verification join input stays tiny."""
+    n_corpus = 100
+    corpus = docs.filter(F.col("doc_id") < n_corpus).select("text")
+    bloom = build_bloom(corpus, "text", n_bits=1 << 14)
+    maybe = bloom_might_contain(docs, bloom, "text").filter("_maybe_dup").count()
+    true_dups = docs.join(corpus.distinct(), on="text", how="left_semi").count()
+    assert true_dups <= maybe <= true_dups + max(5, docs.count() // 20)
+
+
+def test_empty_corpus_and_empty_batch(docs, spark):
+    empty = docs.filter(F.lit(False)).select("text")
+    got = bloom_dedup(docs, empty, "text", n_bits=1 << 10)
+    assert got.count() == docs.count()
+    got2 = bloom_dedup(docs.filter(F.lit(False)), docs.select("text"), "text", n_bits=1 << 10)
+    assert got2.count() == 0
+
+
+def test_prebuilt_bloom_reuse(docs):
+    corpus = docs.filter(F.col("doc_id") < 50).select("text")
+    bloom = build_bloom(corpus, "text", n_bits=1 << 14)
+    assert len(bloom) == (1 << 14) // 8
+    got = bloom_dedup(docs, corpus, "text", bloom=bloom)
+    want = docs.join(corpus.distinct(), on="text", how="left_anti")
+    assert _ids(got) == _ids(want)
+
+
+def test_n_bits_validation(docs):
+    with pytest.raises(ValueError, match="multiple of 8"):
+        build_bloom(docs.select("text"), "text", n_bits=13)

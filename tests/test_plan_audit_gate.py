@@ -57,6 +57,9 @@ PY_BOUNDARY_WHITELIST = {
     "q_load_avro": 1,        # the Avro block decoder itself (mapInPandas) —
                              # the whole point of the dependency-free read
                              # path; Arrow-batched, one boundary
+    "q_bloom_dedup": 2,      # bitmap probe (vectorized bitset test) — the
+                             # broadcast-bloom alternative to a corpus-sized
+                             # shuffle; may appear under both union branches
 }
 
 # queries adjudicated as carrying parquet filter pushdown (PLAN_AUDIT.md

@@ -42,7 +42,7 @@ FAMILIES: dict[str, list[str]] = {
     "ctas-operator": ["q_transform_ctas"],
     "data-quality": ["q_check_column", "q_check_table"],
     "pipeline": ["q_training_pipeline"],
-    "exact-dedup": ["q_dedup_exact"],
+    "exact-dedup": ["q_dedup_exact", "q_bloom_dedup"],
     "minhash-neardup": ["q_minhash_neardup", "q_neardup_renamed_cols"],
     "simhash-neardup": ["q_simhash_neardup"],
     "incremental-neardup": ["q_incremental_neardup"],
