@@ -31,6 +31,45 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+def persistent_rdd_ids(spark) -> set[int]:
+    """Ids of every RDD currently persisted in the session (includes
+    localCheckpoint storage, which ``catalog.clearCache()`` does NOT
+    touch — that API only drains the SQL cache manager)."""
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+
+
+def unpersist_rdd_ids(spark, ids) -> int:
+    """Unpersist specific RDD ids. CAUTION with checkpointed RDDs: a
+    localCheckpoint TRUNCATES lineage, so dropping its blocks makes any
+    DataFrame still referencing it unrecoverable (not recomputable) —
+    only call this on ids that are provably dead (e.g. a superseded
+    iteration's checkpoint) or after every consumer has materialized."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for rid in ids:
+        rdd = jmap.get(rid) if hasattr(jmap, "get") else None
+        if rdd is None:
+            try:
+                rdd = jmap[rid]
+            except Exception:  # noqa: BLE001 - already cleaned
+                continue
+        try:
+            rdd.unpersist(False)
+            n += 1
+        except Exception:  # noqa: BLE001
+            pass
+    return n
+
+
+def sweep_persistent_rdds(spark) -> int:
+    """Unpersist EVERY persistent RDD — the between-queries reset for a
+    benchmark/batch loop, where no checkpoint-backed DataFrame from a
+    prior query is re-referenced. Long-running pipelines should prefer
+    the targeted ``unpersist_rdd_ids`` (see near_dup_clusters' per-round
+    cleanup) so live results stay valid."""
+    return unpersist_rdd_ids(spark, persistent_rdd_ids(spark))
+
+
 def release_intermediates() -> int:
     """Unpersist every tracked intermediate; returns how many were released."""
     with _lock:

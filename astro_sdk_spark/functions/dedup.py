@@ -535,7 +535,19 @@ def near_dup_clusters(
     returned (singletons are their own implicit cluster). When ``stats``
     is supplied, ``stats["rounds"]`` records the executed round count
     (the convergence-proof hook used by the chain regression test)."""
-    # orient every pair (child=_a > parent=_b); drop self-pairs
+    from astro_sdk_spark.functions._cache import persistent_rdd_ids, unpersist_rdd_ids
+
+    spark_session = pairs.sparkSession
+
+    # orient every pair (child=_a > parent=_b); drop self-pairs.
+    # Checkpoint bookkeeping: each round's (eager) localCheckpoint
+    # supersedes the previous round's — once the new blocks exist, the
+    # old ones are provably dead, so drop them immediately instead of
+    # waiting for driver GC. Without this, an N-round convergence leaves
+    # N checkpoint block sets in executor storage, and a long-running
+    # caller (benchmark loop, streaming ingest) accumulates eviction
+    # pressure that shows up as multi-second noise in UNRELATED queries.
+    _before = persistent_rdd_ids(spark_session)
     sm = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("_a"),
@@ -545,6 +557,7 @@ def near_dup_clusters(
         .dropDuplicates(["_a", "_b"])
         .localCheckpoint()
     )
+    _ckpt_ids = persistent_rdd_ids(spark_session) - _before
 
     rounds = 0
     converged = False
@@ -615,7 +628,11 @@ def near_dup_clusters(
             .unionByName(smin.select("_a", F.col("_m").alias("_b")))
             .dropDuplicates(["_a", "_b"])
         )
-        sm = ss.localCheckpoint()
+        _before = persistent_rdd_ids(spark_session)
+        sm = ss.localCheckpoint()  # eager: materializes before we drop prev
+        _new_ids = persistent_rdd_ids(spark_session) - _before
+        unpersist_rdd_ids(spark_session, _ckpt_ids)
+        _ckpt_ids = _new_ids
         node_stats.unpersist()
     if stats is not None:
         stats["rounds"] = rounds

@@ -43,6 +43,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from astro_sdk_spark import get_session
+    from astro_sdk_spark.functions._cache import (
+        release_intermediates,
+        sweep_persistent_rdds,
+    )
     from astro_sdk_spark.queries import spark_queries
 
     spark = get_session(app_name="astro_sdk_spark_bench")
@@ -81,7 +85,13 @@ def main() -> None:
             # sets) for intra-query plan reuse; drop them between reps and
             # queries so each measurement stands alone instead of
             # inheriting cached blocks and eviction pressure.
+            # catalog.clearCache() drains only the SQL cache manager —
+            # localCheckpoint blocks (CC rounds) live in RDD storage and
+            # need the explicit sweep, or they accumulate across the run
+            # and surface as multi-second eviction noise in later queries.
             spark.catalog.clearCache()
+            release_intermediates()
+            sweep_persistent_rdds(spark)
         timings[name] = round(best, 3) if best is not None else -1.0
         spark.catalog.clearCache()
 
