@@ -46,6 +46,14 @@ def sigs_table_name(accepted_table: str) -> str:
     return f"{accepted_table}__sigs"
 
 
+def keys_table_name(accepted_table: str) -> str:
+    return f"{accepted_table}__keys"
+
+
+def bloom_table_name(accepted_table: str) -> str:
+    return f"{accepted_table}__bloom"
+
+
 def admit_batch(
     batch: DataFrame,
     corpus: DataFrame | None,
@@ -56,14 +64,33 @@ def admit_batch(
     bands: int = 8,
     shingle_k: int = 3,
     corpus_sigs: DataFrame | None = None,
+    corpus_keys: DataFrame | None = None,
+    corpus_bloom: bytes | None = None,
 ) -> DataFrame:
     """Pure-batch admission logic (unit-testable without a stream): returns
     the subset of ``batch`` that survives exact + near self-dedup and
     near-dedup against the corpus. The corpus may be given as text
     (``corpus``), as stored minhash signatures (``corpus_sigs`` — the text
-    is then never read), or both; None/None = empty corpus."""
+    is then never read), or both; None/None = empty corpus.
+
+    ``corpus_keys`` (one ``_tkey`` bigint column: xxhash64 of accepted
+    text) + ``corpus_bloom`` (its bitmap, maintained incrementally by the
+    stream) enable the exact-dup fast path: byte-identical re-crawls —
+    the dominant duplicate class in web data — are dropped by a broadcast
+    bitmap probe BEFORE paying shingling + the LSH band join. Exactness
+    is unchanged (an exact dup has an identical minhash signature, so the
+    LSH stage would flag it deterministically anyway); the bloom stage
+    only moves the drop earlier and off the shuffle."""
     reps = exact_dedup(batch, text_col, id_col).select(id_col)
     batch = batch.join(reps, on=id_col, how="left_semi")
+
+    if corpus_keys is not None:
+        from astro_sdk_spark.functions.bloom import bloom_dedup
+
+        keyed = batch.withColumn("_tkey", F.xxhash64(F.col(text_col)))
+        batch = bloom_dedup(
+            keyed, corpus_keys, "_tkey", bloom=corpus_bloom
+        ).drop("_tkey")
 
     self_pairs = minhash_near_dup(
         batch, text_col, id_col,
@@ -106,11 +133,19 @@ def stream_ingest_neardup(
     ``{accepted_table}__sigs``, which later batches dedup against instead
     of re-hashing the corpus text. Returns the started StreamingQuery."""
     sigs_table = sigs_table_name(accepted_table)
+    keys_table = keys_table_name(accepted_table)
+    bloom_table = bloom_table_name(accepted_table)
+    bloom_bits = 1 << 20  # ~131 KB bitmap; size up with expected corpus
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        import numpy as np
+
+        from astro_sdk_spark.functions.bloom import build_bloom
+
         spark = batch.sparkSession
         have_sigs = spark.catalog.tableExists(sigs_table)
         have_corpus = spark.catalog.tableExists(accepted_table)
+        have_keys = spark.catalog.tableExists(keys_table)
         try:
             if have_corpus and not have_sigs:
                 # pre-existing corpus from before the signature store:
@@ -120,15 +155,45 @@ def stream_ingest_neardup(
                     num_hashes, shingle_k,
                 ).write.mode("append").saveAsTable(sigs_table)
                 have_sigs = True
+            if have_corpus and not have_keys:
+                # same backfill for the exact-dup key store
+                spark.table(accepted_table).select(
+                    F.xxhash64(F.col(text_col)).alias("_tkey")
+                ).write.mode("append").saveAsTable(keys_table)
+                have_keys = True
             corpus_sigs = spark.table(sigs_table) if have_sigs else None
+            corpus_keys = spark.table(keys_table) if have_keys else None
+            corpus_bloom = None
+            if have_keys and spark.catalog.tableExists(bloom_table):
+                row = spark.table(bloom_table).head()
+                if row is not None and len(row.bitmap) * 8 == bloom_bits:
+                    corpus_bloom = bytes(row.bitmap)
             admitted = admit_batch(
                 batch, None, text_col, id_col, threshold,
                 num_hashes, bands, shingle_k, corpus_sigs=corpus_sigs,
+                corpus_keys=corpus_keys, corpus_bloom=corpus_bloom,
             ).persist()
             admitted.write.mode("append").saveAsTable(accepted_table)
             minhash_signatures(
                 admitted, text_col, id_col, num_hashes, shingle_k
             ).write.mode("append").saveAsTable(sigs_table)
+            new_keys = admitted.select(
+                F.xxhash64(F.col(text_col)).alias("_tkey")
+            )
+            new_keys.write.mode("append").saveAsTable(keys_table)
+            # incremental bitmap: OR the admitted batch's bits into the
+            # stored filter — the corpus key table is never re-scanned
+            batch_bloom = build_bloom(new_keys, "_tkey", n_bits=bloom_bits)
+            if corpus_bloom is not None:
+                merged = (
+                    np.frombuffer(corpus_bloom, dtype=np.uint8)
+                    | np.frombuffer(batch_bloom, dtype=np.uint8)
+                ).tobytes()
+            else:
+                merged = batch_bloom
+            spark.createDataFrame(
+                [(bytearray(merged),)], "bitmap binary"
+            ).write.mode("overwrite").saveAsTable(bloom_table)
             admitted.unpersist()
         finally:
             # LSH candidate sets persisted inside the dedup functions —

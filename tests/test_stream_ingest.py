@@ -34,6 +34,19 @@ def _drop(spark, name):
     shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
 
 
+def _drop_stores(spark, accepted):
+    """Drop an accepted table and all of its admission-side stores."""
+    from astro_sdk_spark.streaming.ingest import bloom_table_name, keys_table_name
+
+    for t in (
+        accepted,
+        sigs_table_name(accepted),
+        keys_table_name(accepted),
+        bloom_table_name(accepted),
+    ):
+        _drop(spark, t)
+
+
 def test_stream_ingest_matches_sequential_batches(spark, docs, tmp_path):
     lo = docs.filter(F.col("doc_id") < 250)
     hi = docs.filter(F.col("doc_id") >= 250)
@@ -52,7 +65,7 @@ def test_stream_ingest_matches_sequential_batches(spark, docs, tmp_path):
     lo.coalesce(1).write.mode("overwrite").parquet(d)
     hi.coalesce(1).write.mode("append").parquet(d)
 
-    _drop(spark, "accepted_docs")
+    _drop_stores(spark, "accepted_docs")
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -75,8 +88,7 @@ def test_stream_ingest_matches_sequential_batches(spark, docs, tmp_path):
         for r in spark.table(sigs_table_name("accepted_docs")).select("doc_id").collect()
     }
     assert sig_ids == got
-    _drop(spark, "accepted_docs")
-    _drop(spark, sigs_table_name("accepted_docs"))
+    _drop_stores(spark, "accepted_docs")
 
 
 def test_sig_store_admission_matches_text_path(spark, docs):
@@ -103,8 +115,7 @@ def test_stream_never_rereads_accepted_text(spark, docs, tmp_path):
     d = str(tmp_path / "docs_stream2")
     lo.coalesce(1).write.mode("overwrite").parquet(d)
 
-    _drop(spark, "accepted_g")
-    _drop(spark, sigs_table_name("accepted_g"))
+    _drop_stores(spark, "accepted_g")
     stream = (
         spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
     )
@@ -129,8 +140,7 @@ def test_stream_never_rereads_accepted_text(spark, docs, tmp_path):
     final = {r.doc_id for r in spark.table("accepted_g").select("doc_id").collect()}
     assert not {i for i in final if i >= 10_000}
     assert len(final) == n1
-    _drop(spark, "accepted_g")
-    _drop(spark, sigs_table_name("accepted_g"))
+    _drop_stores(spark, "accepted_g")
 
 
 def test_admit_batch_rejects_near_dups_of_corpus(spark, docs):
@@ -202,8 +212,7 @@ def test_stream_clean_ingest_matches_sequential(spark, docs, tmp_path):
     lo.coalesce(1).write.mode("overwrite").parquet(d)
     hi.coalesce(1).write.mode("append").parquet(d)
 
-    _drop(spark, "accepted_clean")
-    _drop(spark, sigs_table_name("accepted_clean"))
+    _drop_stores(spark, "accepted_clean")
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -221,5 +230,58 @@ def test_stream_clean_ingest_matches_sequential(spark, docs, tmp_path):
         for r in spark.table(sigs_table_name("accepted_clean")).select("doc_id").collect()
     }
     assert sig_ids == got
-    _drop(spark, "accepted_clean")
-    _drop(spark, sigs_table_name("accepted_clean"))
+    _drop_stores(spark, "accepted_clean")
+
+
+def test_admit_batch_bloom_exact_path(spark, docs):
+    """corpus_keys + bloom prefilter: byte-identical resubmissions are
+    dropped before (and without) the LSH stage, and non-dup docs pass —
+    same admitted set as the signature path for exact dups."""
+    from astro_sdk_spark.functions.bloom import build_bloom
+
+    corpus = docs.filter(F.col("doc_id") < 100)
+    keys = corpus.select(F.xxhash64("text").alias("_tkey"))
+    bloom = build_bloom(keys, "_tkey", n_bits=1 << 16)
+    resub = corpus.withColumn("doc_id", F.col("doc_id") + 10_000)
+    fresh = spark.createDataFrame(
+        [(99_999, "an entirely novel document that matches nothing else at all")],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("x")).withColumn(
+        "n_chars", F.length("text")
+    ).select(*resub.columns)
+    batch = resub.unionByName(fresh)
+    admitted = admit_batch(
+        batch, None, corpus_keys=keys, corpus_bloom=bloom, **LSH
+    )
+    assert {r.doc_id for r in admitted.select("doc_id").collect()} == {99_999}
+
+
+def test_stream_maintains_key_and_bloom_stores(spark, docs, tmp_path):
+    """The stream keeps __keys and __bloom next to __sigs, and exact
+    resubmissions in batch 2 are rejected via the incremental filter."""
+    from astro_sdk_spark.streaming.ingest import bloom_table_name, keys_table_name
+
+    lo = docs.filter(F.col("doc_id") < 150)
+    resub = lo.withColumn("doc_id", F.col("doc_id") + 10_000)
+
+    d = str(tmp_path / "docs_stream_bloom")
+    lo.coalesce(1).write.mode("overwrite").parquet(d)
+    _drop_stores(spark, "accepted_b")
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = stream_ingest_neardup(stream, "accepted_b", str(tmp_path / "ckpt_b"), **LSH)
+    q.awaitTermination(300)
+    n1 = spark.table("accepted_b").count()
+    assert n1 > 0
+    assert spark.table(keys_table_name("accepted_b")).count() == n1
+    bm = spark.table(bloom_table_name("accepted_b")).head()
+    assert bm is not None and len(bm.bitmap) == (1 << 20) // 8
+
+    resub.coalesce(1).write.mode("append").parquet(d)
+    q = stream_ingest_neardup(stream, "accepted_b", str(tmp_path / "ckpt_b"), **LSH)
+    q.awaitTermination(300)
+    final = {r.doc_id for r in spark.table("accepted_b").select("doc_id").collect()}
+    assert not {i for i in final if i >= 10_000}
+    assert spark.table(keys_table_name("accepted_b")).count() == n1
+    _drop_stores(spark, "accepted_b")
