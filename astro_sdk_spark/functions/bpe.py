@@ -1,0 +1,192 @@
+"""Byte-pair-encoding vocabulary training and application over a corpus.
+
+BPE (Sennrich et al. 2016, arXiv:1508.07909) is the standard subword
+tokenizer-training algorithm for LLM pipelines. Its two phases have very
+different scale profiles, and the implementation splits them accordingly:
+
+- **word-frequency counting** is corpus-sized (the 100 TB part): one
+  codegen projection (lower → whitespace split → explode) plus one
+  partial-aggregatable ``groupBy(word).count()`` shuffle — identical in
+  shape to the tf-idf document-frequency pass;
+- **the merge loop** operates on the *distinct-word frequency table*,
+  which is bounded (Heaps' law; and explicitly capped at ``max_words``
+  rows ≈ a few MB) and strictly sequential — merge k+1's pair counts
+  depend on merge k. It runs on the driver over the collected counts,
+  the same contractually-bounded-collect pattern as the PQ codebooks
+  (pq.py) and k-means partials (similarity.py). Distributing the loop
+  would pay 2 shuffles per merge × 32k merges over a table that fits
+  in memory — the wrong trade at every scale.
+
+Symbols are strings; a word is its code points plus a terminal ``</w>``
+marker, and a merge rewrites every left-to-right non-overlapping
+occurrence of the pair (the greedy scan every reference implementation
+uses). Ties in pair frequency break lexicographically so training is
+deterministic — the property that lets ``q_bpe_train``'s DuckDB oracle
+replicate whole merge rounds in SQL.
+
+``apply_bpe`` (encoding) is distributed: an Arrow-batched pandas
+iterator applies the trained merge ranks per word with a per-batch word
+cache — the standard rank-priority encode, Python because real
+tokenizers are (the merge table is a broadcast closure, the scan is
+embarrassingly parallel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["train_bpe", "apply_bpe", "merges_df"]
+
+END = "</w>"
+
+
+def _word_counts(df: DataFrame, text_col: str, lowercase: bool):
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    words = F.split(F.trim(F.regexp_replace(t, r"\s+", " ")), " ")
+    return (
+        df.select(F.explode(words).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .count()
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 16,
+    max_words: int = 50_000,
+    lowercase: bool = True,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
+    merge list [(left, right), ...].
+
+    ``max_words`` caps the driver-side vocabulary at the most frequent
+    distinct words (deterministic cut: count desc, word asc) — rare-word
+    truncation barely moves pair statistics and bounds driver memory."""
+    rows = (
+        _word_counts(df, text_col, lowercase)
+        .orderBy(F.desc("count"), "word")
+        .limit(max_words)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        vocab[tuple(r.word) + (END,)] = r["count"]
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        left, right = best
+        joined = left + right
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i < n - 1 and syms[i] == left and syms[i + 1] == right:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def merges_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
+    """Merge list → DataFrame (merge_rank, lhs, rhs) — the persistable
+    artifact (saveAsTable next to the model tables)."""
+    return spark.createDataFrame(
+        [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string",
+    )
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    output: str = "n_tokens",
+) -> DataFrame:
+    """Encode every document with a trained merge list.
+
+    ``output="n_tokens"`` → (id, n_bpe_tokens); ``output="tokens"`` →
+    (id, tokens array<string>). Encoding applies merges in rank order per
+    word (training-equivalent greedy scans), memoized per distinct word
+    within each Arrow batch — web text repeats words heavily, so the
+    per-batch cache turns the merge loop into a dict lookup for the
+    overwhelming majority of tokens."""
+    if output not in ("n_tokens", "tokens"):
+        raise ValueError(f"output must be n_tokens|tokens, got {output!r}")
+    rank = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word) + [END]
+        while len(syms) > 1:
+            # lowest-rank applicable merge (rank-priority encode)
+            best_i = -1
+            best_rank = len(rank)
+            for i in range(len(syms) - 1):
+                rk = rank.get((syms[i], syms[i + 1]), None)
+                if rk is not None and rk < best_rank:
+                    best_rank, best_i = rk, i
+            if best_i < 0:
+                break
+            left, right = merges[best_rank]
+            joined = left + right
+            out: list[str] = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i < n - 1 and syms[i] == left and syms[i + 1] == right:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[word] = syms
+        return syms
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def run(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, outs = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                toks: list[str] = []
+                t = text.lower() if lowercase else text
+                for w in t.split():
+                    toks.extend(encode_word(w, cache))
+                ids.append(rid)
+                outs.append(len(toks) if output == "n_tokens" else toks)
+            col = "n_bpe_tokens" if output == "n_tokens" else "tokens"
+            yield pd.DataFrame({id_col: ids, col: outs})
+
+    out_type = "n_bpe_tokens int" if output == "n_tokens" else "tokens array<string>"
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"`{id_col}` {id_type}, {out_type}"
+    )

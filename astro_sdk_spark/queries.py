@@ -1326,6 +1326,66 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# BPE vocabulary training (functions/bpe.py; Sennrich et al. 2016). The
+# oracle replicates SIX whole merge rounds in SQL: word counts → pair
+# counts → lexicographic-tiebreak argmax → greedy left-to-right merge
+# application via list_reduce — the same unrolled-iteration device as the
+# q_ivf_trained Lloyd rounds. A green hash proves the distributed count
+# AND the driver-side merge loop end-to-end.
+
+_BPE_K = 6
+
+
+def _bpe_oracle(k: int) -> str:
+    rounds = []
+    for i in range(1, k + 1):
+        rounds.append(f"""
+    pc{i} AS (
+      SELECT p[1] AS l, p[2] AS r, sum(cnt) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(syms)),
+                                     i -> [syms[i], syms[i+1]])) AS p, cnt
+        FROM w{i - 1}) GROUP BY 1, 2),
+    b{i} AS (SELECT l, r FROM pc{i} ORDER BY c DESC, l, r LIMIT 1),
+    w{i} AS (
+      SELECT list_reduce(
+               list_transform(syms, s -> [s]),
+               (acc, x) -> CASE WHEN acc[-1] = b{i}.l AND x[1] = b{i}.r
+                           THEN list_append(acc[1:len(acc)-1], b{i}.l || b{i}.r)
+                           ELSE list_concat(acc, x) END) AS syms, cnt
+      FROM w{i - 1} CROSS JOIN b{i})""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        r"""
+    WITH words AS (
+      SELECT word, count(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents)
+      WHERE word <> '' GROUP BY word),
+    w0 AS (
+      SELECT list_append(string_split_regex(word, ''), '</w>') AS syms, cnt
+      FROM words),"""
+        + ",".join(rounds)
+        + f"\n    {finals}\n    ORDER BY merge_rank"
+    )
+
+
+@q("q_bpe_train", _bpe_oracle(_BPE_K))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE merge table on the documents corpus (distributed word
+    counting + bounded driver merge loop, functions/bpe.py). max_words is
+    far above the corpus' distinct-word count at every test SF, so the
+    Spark cap and the uncapped oracle see identical vocabularies."""
+    from astro_sdk_spark.functions.bpe import merges_df, train_bpe
+
+    docs = T(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=_BPE_K, max_words=500_000)
+    return merges_df(spark, merges)
+
+
 # ---- LSH / heuristic extension queries with exact oracles ----------------
 #
 # Oracle strategy: LSH outputs are hash-dependent, so either (a) the oracle
@@ -3053,6 +3113,8 @@ _TAIL_VARIANTS = [
     "q_lang_distribution", # text: q_lang_id
     "q_top_ngrams",        # text: q_token_stats, q_doc_fingerprint
     "q_bpe_token_count",   # text: q_token_stats
+    "q_bpe_train",         # tokenizer training: family covered in-window
+                           # by q_token_stats / q_bpe_token_count
     "q_gopher_filter",     # text quality: q_quality_score (in-window)
     "q_c4_rules",          # cleaning: q_pii_redaction, q_line_dedup in-window
     "q_dsir_weights",      # sampling/selection: q_train_split, q_domain_mix
