@@ -34,7 +34,11 @@ from astro_sdk_spark.operators.merge import merge
 from astro_sdk_spark.operators.export import export_to_file
 from astro_sdk_spark.operators.drop import drop_table
 from astro_sdk_spark.operators.cleanup import cleanup
-from astro_sdk_spark.operators.data_validation import check_column, check_table
+from astro_sdk_spark.operators.data_validation import (
+    check_column,
+    check_table,
+    profile_table,
+)
 from astro_sdk_spark.operators.values import get_value_list
 from astro_sdk_spark.operators.files import get_file_list
 from astro_sdk_spark.operators.export_file import export_file, export_table_to_file
@@ -87,6 +91,7 @@ __all__ = [
     "cleanup",
     "check_column",
     "check_table",
+    "profile_table",
     "get_value_list",
     "get_file_list",
     "export_file",

@@ -217,3 +217,69 @@ def check_table(
             "Table checks failed: " + ", ".join(r.check for r in failures)
         )
     return results
+
+
+def profile_table(
+    dataset: BaseTable | DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+    engine: SparkEngine | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Column-level data profile — the inspection pass a pipeline runs
+    before wiring checks: per column, row count, null count, distinct
+    count, and min/max (rendered as strings so heterogeneous columns fit
+    one tidy long-format output: ``column, n_rows, n_nulls, n_distinct,
+    min_value, max_value``).
+
+    Scale shape: ALL columns' metrics compile into ONE aggregate pass
+    (the check_column device — 1 scan, not N); only that single
+    aggregated row reaches the driver, where it is reshaped to one row
+    per column. ``exact_distinct=False`` swaps count(distinct) for the
+    HLL ``approx_count_distinct`` — at 100 TB multi-column exact
+    distincts expand the aggregate input |columns|-fold (Spark's Expand
+    node), and profiling rarely needs exactness."""
+    eng = engine or SparkEngine(spark or default_session())
+    df = (
+        eng.spark.table(dataset.qualified_name)
+        if isinstance(dataset, BaseTable)
+        else dataset
+    )
+    cols = columns or df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_table: no such columns {missing}")
+    distinct = F.countDistinct if exact_distinct else F.approx_count_distinct
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        unordered = dtypes[c].startswith("map")  # maps have no ordering/equality
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn_{c}"),
+            (F.lit(None).cast("long") if unordered else distinct(F.col(c))).alias(
+                f"_nd_{c}"
+            ),
+            (F.lit(None) if unordered else F.min(F.col(c)))
+            .cast("string")
+            .alias(f"_mn_{c}"),
+            (F.lit(None) if unordered else F.max(F.col(c)))
+            .cast("string")
+            .alias(f"_mx_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = [
+        (
+            c,
+            row["_n"],
+            row["_n"] - row[f"_nn_{c}"],
+            row[f"_nd_{c}"],
+            row[f"_mn_{c}"],
+            row[f"_mx_{c}"],
+        )
+        for c in cols
+    ]
+    return eng.spark.createDataFrame(
+        out,
+        "column string, n_rows long, n_nulls long, n_distinct long, "
+        "min_value string, max_value string",
+    )

@@ -1327,6 +1327,31 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# profile_table — the one-pass column profiler (operators/data_validation).
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS "column", count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_value,
+           CAST(max({c}) AS VARCHAR) AS max_value
+    FROM documents"""
+    for c in ("doc_id", "text", "lang", "source", "n_chars")
+)
+
+
+@q("q_profile_table", _PROFILE_ORACLE)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile_table over documents: every column's nulls/distincts/
+    min/max from ONE aggregate pass (the check_column single-scan
+    device), reshaped on the driver from the single aggregated row."""
+    from astro_sdk_spark.operators.data_validation import profile_table
+
+    return profile_table(T(spark, sf_dir, "documents"), spark=spark)
+
+
+# --------------------------------------------------------------------------
 # BPE vocabulary training (functions/bpe.py; Sennrich et al. 2016). The
 # oracle replicates SIX whole merge rounds in SQL: word counts → pair
 # counts → lexicographic-tiebreak argmax → greedy left-to-right merge
@@ -3115,6 +3140,7 @@ _TAIL_VARIANTS = [
     "q_bpe_token_count",   # text: q_token_stats
     "q_bpe_train",         # tokenizer training: family covered in-window
                            # by q_token_stats / q_bpe_token_count
+    "q_profile_table",     # data-quality: q_check_column, q_check_table
     "q_gopher_filter",     # text quality: q_quality_score (in-window)
     "q_c4_rules",          # cleaning: q_pii_redaction, q_line_dedup in-window
     "q_dsir_weights",      # sampling/selection: q_train_split, q_domain_mix
