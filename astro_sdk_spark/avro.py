@@ -473,6 +473,8 @@ def read_avro_distributed(spark, path: str, n_splits: int | None = None):
         file_len = os.path.getsize(p)
         for s, e in scan_ranges(file_len, header_end, per_file):
             splits.append((p, s, e, header_end, codec, sync.hex()))
+    if not splits:  # header-only files (0 records): empty DF, right schema
+        return spark.createDataFrame([], ddl)
 
     def decode(batches):
         import datetime as _dt
@@ -541,21 +543,34 @@ def spark_to_avro_schema(spark_schema, name: str = "row") -> dict:
     """Spark StructType → Avro record schema (nullable fields become
     [null, X] unions; timestamp/date become long/int logical types)."""
 
-    def conv(dt, nullable: bool) -> Any:
+    def conv(dt, nullable: bool, path: str) -> Any:
         tn = dt.typeName()
         if tn == "struct":
+            # record names derive from the field PATH so identical Spark
+            # schemas always produce byte-identical Avro schemas (and
+            # therefore identical container files — the determinism
+            # contract the schema-hash sync marker relies on)
             base: Any = {
                 "type": "record",
-                "name": f"{name}_{id(dt) & 0xFFFF:x}",
+                "name": f"{name}_{path}" if path else name,
                 "fields": [
-                    {"name": f.name, "type": conv(f.dataType, f.nullable)}
+                    {
+                        "name": f.name,
+                        "type": conv(f.dataType, f.nullable, f"{path}_{f.name}"),
+                    }
                     for f in dt.fields
                 ],
             }
         elif tn == "array":
-            base = {"type": "array", "items": conv(dt.elementType, dt.containsNull)}
+            base = {
+                "type": "array",
+                "items": conv(dt.elementType, dt.containsNull, f"{path}_item"),
+            }
         elif tn == "map":
-            base = {"type": "map", "values": conv(dt.valueType, dt.valueContainsNull)}
+            base = {
+                "type": "map",
+                "values": conv(dt.valueType, dt.valueContainsNull, f"{path}_value"),
+            }
         elif tn in ("timestamp", "timestamp_ntz"):
             base = {"type": "long", "logicalType": "timestamp-micros"}
         elif tn == "date":
@@ -580,7 +595,7 @@ def spark_to_avro_schema(spark_schema, name: str = "row") -> dict:
         "type": "record",
         "name": name,
         "fields": [
-            {"name": f.name, "type": conv(f.dataType, f.nullable)}
+            {"name": f.name, "type": conv(f.dataType, f.nullable, f.name)}
             for f in spark_schema.fields
         ],
     }

@@ -65,7 +65,11 @@ def build_bloom(
     """
     if n_bits % 8:
         raise ValueError("n_bits must be a multiple of 8")
-    pos_df = df.select(bit_positions(key_col, n_bits, n_hashes).alias("_pos"))
+    # null keys carry SQL join semantics (never equal to anything) — they
+    # set no bits, mirroring the anti-join they stand in for
+    pos_df = df.filter(F.col(key_col).isNotNull()).select(
+        bit_positions(key_col, n_bits, n_hashes).alias("_pos")
+    )
     n_bytes = n_bits // 8
 
     def to_bitmaps(batches):
@@ -107,9 +111,15 @@ def bloom_might_contain(
         bits = np.frombuffer(bloom, dtype=np.uint8)
         for pdf in batches:
             if len(pdf):
-                pos = np.stack(pdf["_pos"].to_numpy())  # rows × n_hashes
+                # null key → null positions → definitely-new (SQL null
+                # never joins); substitute 0s for the bit test, then mask
+                raw = pdf["_pos"].to_numpy()
+                null_mask = np.array([p is None for p in raw])
+                pos = np.stack(
+                    [np.zeros(n_hashes, dtype=np.int64) if p is None else p for p in raw]
+                )
                 hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
-                pdf[out_col] = hit.all(axis=1)
+                pdf[out_col] = hit.all(axis=1) & ~null_mask
             else:
                 pdf[out_col] = np.array([], dtype=bool)
             yield pdf[[*cols, out_col]]

@@ -181,3 +181,45 @@ def test_spark_to_avro_schema_nullable_union(spark):
     df = spark.createDataFrame([(1, "a")], "id long, s string")
     sch = spark_to_avro_schema(df.schema)
     assert sch["fields"][0]["type"] == ["null", "long"]
+
+
+def test_empty_export_round_trip(spark, engine, tmp_path):
+    """0-record DataFrame → header-only container → empty DF, same schema."""
+    from astro_sdk_spark.operators.export import export_to_file
+
+    src = spark.createDataFrame([], "id long, s string")
+    p = str(tmp_path / "empty.avro")
+    export_to_file(src, File(p), engine=engine)
+    back = read_avro_distributed(spark, p)
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == ["id", "s"]
+
+
+def test_schema_generation_is_deterministic(spark):
+    """Identical Spark schemas (incl. nested structs) → byte-identical
+    Avro schemas and therefore byte-identical container files."""
+    import json
+
+    df1 = spark.createDataFrame(
+        [(1, (2, "x"))], "id long, nested struct<a: long, b: string>"
+    )
+    df2 = spark.createDataFrame(
+        [(9, (8, "y"))], "id long, nested struct<a: long, b: string>"
+    )
+    s1 = spark_to_avro_schema(df1.schema)
+    s2 = spark_to_avro_schema(df2.schema)
+    assert json.dumps(s1, sort_keys=True) == json.dumps(s2, sort_keys=True)
+
+
+def test_nested_struct_round_trip(spark, engine, tmp_path):
+    from astro_sdk_spark.operators.export import export_to_file
+
+    src = spark.createDataFrame(
+        [(1, (2, "x")), (2, (3, None))],
+        "id long, nested struct<a: long, b: string>",
+    )
+    p = str(tmp_path / "nested.avro")
+    export_to_file(src, File(p), engine=engine)
+    back = engine.read_file(File(p))
+    got = {r.id: (r.nested.a, r.nested.b) for r in back.collect()}
+    assert got == {1: (2, "x"), 2: (3, None)}

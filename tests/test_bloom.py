@@ -80,3 +80,18 @@ def test_prebuilt_bloom_reuse(docs):
 def test_n_bits_validation(docs):
     with pytest.raises(ValueError, match="multiple of 8"):
         build_bloom(docs.select("text"), "text", n_bits=13)
+
+
+def test_null_keys_are_always_new(spark):
+    """SQL null never joins — null-keyed rows must survive bloom_dedup the
+    same way they survive a left_anti join."""
+    from pyspark.sql import Row
+
+    batch = spark.createDataFrame(
+        [Row(doc_id=1, k="a"), Row(doc_id=2, k=None), Row(doc_id=3, k="b")],
+        "doc_id long, k string",
+    )
+    corpus = spark.createDataFrame([("a",), (None,)], "k string")
+    got = bloom_dedup(batch, corpus, "k", n_bits=1 << 10)
+    want = batch.join(corpus.distinct(), on="k", how="left_anti")
+    assert _ids(got) == _ids(want) == [2, 3]
