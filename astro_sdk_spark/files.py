@@ -81,14 +81,35 @@ _EXTENSION_TO_TYPE = {
 }
 
 
+#: transparent-compression suffixes: Spark/Hadoop decompress these inline
+#: for the text formats (csv/json/ndjson), so `x.ndjson.gz` is just an
+#: ndjson file — detection looks through the compression extension.
+_COMPRESSION_SUFFIXES = {".gz", ".bz2", ".zst", ".lz4", ".snappy", ".deflate"}
+
+
 def filetype_from_path(path: str) -> FileType:
-    """Extension → FileType — reference ``files/types/__init__.py:17-60``."""
-    suffix = pathlib.PurePosixPath(path.split("?")[0]).suffix.lower()
+    """Extension → FileType — reference ``files/types/__init__.py:17-60``.
+    Compression suffixes (``.gz``/``.bz2``/…) are transparent: the type
+    is taken from the extension underneath."""
+    clean = pathlib.PurePosixPath(path.split("?")[0])
+    suffix = clean.suffix.lower()
+    if suffix in _COMPRESSION_SUFFIXES:
+        inner = pathlib.PurePosixPath(clean.stem).suffix.lower()
+        if inner in _EXTENSION_TO_TYPE:
+            ftype = _EXTENSION_TO_TYPE[inner]
+            if ftype in (FileType.CSV, FileType.JSON, FileType.NDJSON):
+                return ftype
+            raise ValueError(
+                f"Compressed {inner} is not splittable-readable: '{path}'. "
+                "Columnar formats carry their own compression — store "
+                f"plain {inner} instead."
+            )
     if suffix in _EXTENSION_TO_TYPE:
         return _EXTENSION_TO_TYPE[suffix]
     raise ValueError(
         f"Unsupported filetype '{suffix}' from file '{path}'. "
-        f"Supported: {sorted(s for s in _EXTENSION_TO_TYPE)}"
+        f"Supported: {sorted(s for s in _EXTENSION_TO_TYPE)} "
+        f"(+ {sorted(_COMPRESSION_SUFFIXES)} over csv/json/ndjson)"
     )
 
 

@@ -96,9 +96,27 @@ def export_to_file(
     tmpdir = tempfile.mkdtemp(prefix="astro_export_")
     out_dir = os.path.join(tmpdir, "out")
     writer = df.coalesce(1).write.mode("overwrite")
+    # honor a compression suffix on text exports (x.ndjson.gz → gzip codec)
+    comp_ext = os.path.splitext(path)[1].lower()
+    codec = {
+        ".gz": "gzip", ".bz2": "bzip2", ".zst": "zstd",
+        ".lz4": "lz4", ".snappy": "snappy", ".deflate": "deflate",
+    }.get(comp_ext)
+    comp_suffix = ""
+    # not FileType.JSON: the array-of-records rewrite below edits the file
+    # as text on the driver, which would corrupt a compressed stream
+    if codec and ftype in (FileType.CSV, FileType.NDJSON):
+        writer = writer.option("compression", codec)
+        comp_suffix = comp_ext
+    elif codec and ftype == FileType.JSON:
+        raise ValueError(
+            "compressed array-JSON export is unsupported (the records-array "
+            "rewrite is a driver-side text edit) — use .ndjson"
+            f"{comp_ext} instead: {output_file.path}"
+        )
     if ftype == FileType.CSV:
         writer.option("header", True).csv(out_dir)
-        pattern = "part-*.csv"
+        pattern = f"part-*.csv{comp_suffix}"
     elif ftype == FileType.PARQUET:
         writer.parquet(out_dir)
         pattern = "part-*.parquet"
@@ -107,7 +125,7 @@ def export_to_file(
         pattern = "part-*.orc"
     elif ftype in (FileType.NDJSON, FileType.JSON):
         writer.json(out_dir)
-        pattern = "part-*.json"
+        pattern = f"part-*.json{comp_suffix}"
     else:
         raise ValueError(f"Unsupported export type: {ftype}")
     parts = glob.glob(os.path.join(out_dir, pattern))

@@ -137,3 +137,45 @@ def test_schema_sample_bounded_inference(engine, tmp_path):
     few.mkdir()
     (few / "a.json").write_text('{"k": 1}')
     assert engine._schema_sample_paths(str(few), {}) is None
+
+
+def test_gz_ndjson_round_trip(spark, engine, tmp_path):
+    """x.ndjson.gz: compression suffix is transparent on read (Hadoop
+    codec) and honored on single-file export."""
+    from astro_sdk_spark.files import File, FileType, filetype_from_path
+    from astro_sdk_spark.operators.export import export_to_file
+
+    assert filetype_from_path("a/b.ndjson.gz") is FileType.NDJSON
+    assert filetype_from_path("a/b.csv.bz2") is FileType.CSV
+
+    src = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "id long, s string"
+    )
+    p = str(tmp_path / "out.ndjson.gz")
+    export_to_file(src, File(p), engine=engine)
+    import gzip
+
+    with gzip.open(p, "rt") as fh:  # really gzip bytes on disk
+        assert '"alpha"' in fh.read()
+    back = engine.read_file(File(p))
+    assert {(r.id, r.s) for r in back.collect()} == {(1, "alpha"), (2, "beta"), (3, "gamma")}
+
+
+def test_compressed_columnar_rejected(tmp_path):
+    from astro_sdk_spark.files import filetype_from_path
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="own compression"):
+        filetype_from_path("x/part.parquet.gz")
+
+
+def test_compressed_array_json_export_rejected(spark, engine, tmp_path):
+    from astro_sdk_spark.files import File
+    from astro_sdk_spark.operators.export import export_to_file
+
+    import pytest as _pytest
+
+    src = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError, match="ndjson"):
+        export_to_file(src, File(str(tmp_path / "o.json.gz")), engine=engine)
