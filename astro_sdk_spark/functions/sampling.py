@@ -315,24 +315,41 @@ def dsir_select(
     id_col: str = "doc_id",
     logw_col: str = "logw",
     relative_error: float = 0.001,
+    gumbel: bool = False,
+    seed: int = 0,
 ) -> DataFrame:
     """Keep the most target-like ``fraction`` of documents given
     :func:`dsir_weights` output — threshold selection: the cutoff is the
     ``(1 − fraction)`` quantile of ``logw`` (``percentile_approx``, one
     aggregate — no global sort), then one filter. At 100 TB a global
     rank would funnel every weight through one partition; the quantile
-    threshold keeps selection a scan + broadcast-scalar compare. The
-    paper's Gumbel-noise resampling drops in by adding hash-derived
-    noise to ``logw`` before calling this (deterministic: seed the hash
-    with the id — no RNG state)."""
+    threshold keeps selection a scan + broadcast-scalar compare.
+
+    ``gumbel=True`` runs the paper's actual sampling-without-replacement
+    (Xie et al. §2: top-k of ``logw + Gumbel(0,1)`` ≡ sampling ∝ the
+    importance weights): noise is hash-derived per id — uniform u from
+    the 53-bit mantissa of ``xxhash64(id, seed)``, then −ln(−ln u) —
+    so selection is deterministic and append-stable, no RNG state, and
+    the same quantile-threshold plan applies to the noised key."""
     if not 0.0 < fraction <= 1.0:
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    key_col = logw_col
+    if gumbel:
+        # u ∈ (0,1): top 53 bits of the id-seeded hash, never exactly 0/1
+        u = (
+            F.shiftrightunsigned(F.xxhash64(F.col(id_col), F.lit(seed)), 11)
+            .cast("double")
+            / F.lit(float(1 << 53))
+            + F.lit(2.0 ** -54)
+        )
+        weights = weights.withColumn("_gkey", F.col(logw_col) - F.log(-F.log(u)))
+        key_col = "_gkey"
     thr = weights.agg(
-        F.percentile_approx(logw_col, 1.0 - fraction, int(1.0 / relative_error))
+        F.percentile_approx(key_col, 1.0 - fraction, int(1.0 / relative_error))
         .alias("_thr")
     )
     return (
         weights.crossJoin(F.broadcast(thr))
-        .filter(F.col(logw_col) >= F.col("_thr"))
-        .drop("_thr")
+        .filter(F.col(key_col) >= F.col("_thr"))
+        .drop("_thr", "_gkey")
     )

@@ -306,3 +306,29 @@ def test_dsir_model_join_broadcasts_by_default(spark):
     w.collect()
     plan = w._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dsir_select_gumbel_deterministic_and_weighted(spark, sf_dir):
+    from astro_sdk_spark.functions.sampling import dsir_select, dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = dsir_weights(docs, docs.filter(F.col("lang") == "en")).cache()
+
+    a = {r.doc_id for r in dsir_select(w, 0.3, gumbel=True, seed=7).collect()}
+    b = {r.doc_id for r in dsir_select(w, 0.3, gumbel=True, seed=7).collect()}
+    assert a == b and len(a) > 0  # hash-derived noise: fully deterministic
+
+    c = {r.doc_id for r in dsir_select(w, 0.3, gumbel=True, seed=8).collect()}
+    assert a != c  # a different seed reshuffles the Gumbel keys
+
+    # sampling ∝ weight: the selected set's mean logw must beat the
+    # population mean (the whole point of importance resampling)
+    pop = w.agg(F.avg("logw")).collect()[0][0]
+    sel = w.join(
+        spark.createDataFrame([(i,) for i in a], "doc_id long"), "doc_id"
+    ).agg(F.avg("logw")).collect()[0][0]
+    assert sel > pop
+    # noised output drops the internal key column
+    out = dsir_select(w, 0.3, gumbel=True)
+    assert set(out.columns) == set(w.columns)
+    w.unpersist()
