@@ -1327,6 +1327,38 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# edit-distance similarity join (functions/fuzzy.py). The oracle is the
+# quadratic cross-join predicate itself — the implementation must equal
+# it exactly while never materializing the cross product (q-gram prefix
+# filter + codegen levenshtein verify).
+
+_FUZZY_ORACLE = """
+    WITH c AS (
+      SELECT c_custkey AS id, c_name AS name FROM customer
+      WHERE c_custkey <= 300)
+    SELECT a.id AS id_a, b.id AS id_b,
+           levenshtein(a.name, b.name) AS dist
+    FROM c a JOIN c b ON a.id < b.id
+    WHERE levenshtein(a.name, b.name) <= 1
+"""
+
+
+@q("q_fuzzy_join", _FUZZY_ORACLE)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self edit-distance join over customer names at d=1 (names that
+    differ in one digit): prefix-filtered candidates, never all-pairs,
+    hash-matched against the brute-force oracle."""
+    from astro_sdk_spark.functions.fuzzy import edit_distance_join
+
+    cust = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+    )
+    return edit_distance_join(cust, max_dist=1)
+
+
+# --------------------------------------------------------------------------
 # profile_table — the one-pass column profiler (operators/data_validation).
 
 _PROFILE_ORACLE = " UNION ALL ".join(
@@ -3141,6 +3173,8 @@ _TAIL_VARIANTS = [
     "q_bpe_train",         # tokenizer training: family covered in-window
                            # by q_token_stats / q_bpe_token_count
     "q_profile_table",     # data-quality: q_check_column, q_check_table
+    "q_fuzzy_join",        # joins: q_join_agg, q_region_revenue in-window
+                           # (fuzzy/string-similarity variant)
     "q_gopher_filter",     # text quality: q_quality_score (in-window)
     "q_c4_rules",          # cleaning: q_pii_redaction, q_line_dedup in-window
     "q_dsir_weights",      # sampling/selection: q_train_split, q_domain_mix

@@ -38,6 +38,9 @@ NESTED_LOOP_WHITELIST = {
     "q_tfidf": 1,            # corpus-constant (n_docs) one-row broadcast
     "q_lm_score": 1,         # model-normalizer one-row broadcast
     "q_dsir_weights": 1,     # model-totals one-row broadcast (tf_idf device)
+    "q_fuzzy_join": 1,       # short-string sliver cross join — bounded by
+                             # the alphabet (len ≤ q·d−q+1+d), empty on
+                             # customer names; the prefix path owns the rest
 }
 
 # query → max allowed Python/Arrow boundary nodes (MapInPandas etc.).
