@@ -1,0 +1,155 @@
+"""Time-series gap filling — the hypertable ``time_bucket_gapfill`` shape.
+
+Dashboards and training-feature pipelines over event streams need dense
+regular series; raw events are sparse and irregular. ``gapfill``:
+
+1. buckets events onto a regular grid (integer epoch arithmetic on the
+   ``ts_ns`` column the events reader exposes — calendar-proof and
+   replicable bit-for-bit in an external SQL oracle) and aggregates per
+   (group, bucket);
+2. generates each group's missing buckets with ``sequence`` + ``explode``
+   — the grid is born distributed (no driver range loop) and its size is
+   span/bucket per group, independent of event count;
+3. fills empty buckets: ``null`` (mark only), ``locf`` (last observation
+   carried forward — one ignore-nulls window), or ``linear``
+   (interpolation between the neighboring observations — two ignore-nulls
+   windows + one vectorized expression).
+
+Everything is built-in expressions and window functions over a
+per-group partitioning — one aggregation shuffle, one join, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["gapfill"]
+
+
+def gapfill(
+    df: DataFrame,
+    bucket_ns: int,
+    ts_ns_col: str = "ts_ns",
+    group_col: str = "user_id",
+    value_col: str = "value",
+    agg: str = "avg",
+    fill: str = "null",
+    round_digits: int | None = 4,
+    value_scale: int | None = None,
+) -> DataFrame:
+    """Dense per-group series: (group, bucket_ns, v, filled).
+
+    ``agg``: avg/sum/min/max/count over events in the bucket. ``fill``:
+    ``null`` | ``locf`` | ``linear``. Leading buckets before a group's
+    first observation stay null under both fill modes (nothing to carry);
+    ``linear`` degrades to locf after the last observation.
+
+    ``value_scale`` (avg only): declare the input as fixed-point with
+    that scale (e.g. 100 for 2-decimal prices). The bucket average is
+    then computed as exact-integer sum ÷ count — fully order-independent,
+    so the result is REPRODUCIBLE bit-for-bit across partitionings,
+    re-runs, and engines. Double summation is order-sensitive at ~1 ulp,
+    and interpolating averages of fixed-point data lands on rounding
+    boundaries constantly — the exact path removes the whole class."""
+    if fill not in ("null", "locf", "linear"):
+        raise ValueError(f"fill must be null|locf|linear, got {fill!r}")
+    if agg not in ("avg", "sum", "min", "max", "count"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    if bucket_ns <= 0:
+        raise ValueError(f"bucket_ns must be positive, got {bucket_ns}")
+    if value_scale is not None and agg != "avg":
+        raise ValueError("value_scale applies to agg='avg' only")
+
+    bucket = (F.col(ts_ns_col) - F.pmod(ts_ns_col, F.lit(bucket_ns))).alias("_b")
+    if value_scale is not None:
+        cv = F.round(F.col(value_col) * F.lit(value_scale)).cast("bigint")
+        observed = (
+            df.select(F.col(group_col).alias("_g"), bucket, cv.alias("_cv"))
+            .groupBy("_g", "_b")
+            .agg(
+                (
+                    F.sum("_cv").cast("double")
+                    / (F.count("_cv") * F.lit(value_scale))
+                ).alias("_v")
+            )
+        )
+    else:
+        agg_fn = {
+            "avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+            "count": lambda c: F.count(c).cast("double"),
+        }[agg]
+        observed = (
+            df.select(
+                F.col(group_col).alias("_g"), bucket, F.col(value_col).alias("_v")
+            )
+            .groupBy("_g", "_b")
+            .agg(agg_fn(F.col("_v")).alias("_v"))
+        )
+    def _pin(col):
+        # engine-agnostic half-up rounding: floor(x·10^d + 0.5)/10^d.
+        # Library round() disagrees across engines on doubles a hair
+        # under a half boundary (DuckDB's scales-then-rounds path calls
+        # 57.4812499…96 → 57.4813 where a decimal-exact HALF_UP gives
+        # 57.4812); floor of identical doubles is identical everywhere.
+        s = F.lit(float(10 ** round_digits))
+        return F.floor(col * s + F.lit(0.5)) / s
+
+    if round_digits is not None and value_scale is None:
+        # determinism contract (the nearest_centroids round-before-rank
+        # device): parallel aggregation order perturbs avg/sum at ~1e-12,
+        # and interpolation carries that onto the final rounding boundary —
+        # pin the observations BEFORE they feed the fill arithmetic.
+        # (The value_scale path is already exact — no pinning needed.)
+        observed = observed.withColumn("_v", _pin(F.col("_v")))
+    grid = (
+        observed.groupBy("_g")
+        .agg(F.min("_b").alias("_mn"), F.max("_b").alias("_mx"))
+        .select(
+            "_g",
+            F.explode(
+                F.sequence(F.col("_mn"), F.col("_mx"), F.lit(bucket_ns))
+            ).alias("_b"),
+        )
+    )
+    dense = grid.join(observed, ["_g", "_b"], "left").withColumn(
+        "filled", F.col("_v").isNull()
+    )
+
+    if fill != "null":
+        w_prev = (
+            Window.partitionBy("_g").orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        prev_v = F.last("_v", ignorenulls=True).over(w_prev)
+        if fill == "locf":
+            dense = dense.withColumn("_v", prev_v)
+        else:  # linear
+            w_next = (
+                Window.partitionBy("_g").orderBy("_b")
+                .rowsBetween(0, Window.unboundedFollowing)
+            )
+            prev_b = F.last(
+                F.when(F.col("_v").isNotNull(), F.col("_b")), ignorenulls=True
+            ).over(w_prev)
+            next_v = F.first("_v", ignorenulls=True).over(w_next)
+            next_b = F.first(
+                F.when(F.col("_v").isNotNull(), F.col("_b")), ignorenulls=True
+            ).over(w_next)
+            frac = (F.col("_b") - prev_b) / (next_b - prev_b)
+            interp = prev_v + (next_v - prev_v) * frac
+            dense = dense.withColumn(
+                "_v",
+                F.when(F.col("_v").isNotNull(), F.col("_v"))
+                .when(next_b.isNotNull() & prev_b.isNotNull(), interp)
+                .otherwise(prev_v),  # trailing gap → locf; leading → null
+            )
+
+    v = _pin(F.col("_v")) if round_digits is not None else F.col("_v")
+    return dense.select(
+        F.col("_g").alias(group_col),
+        F.col("_b").alias("bucket_ns"),
+        v.alias("v"),
+        "filled",
+    )

@@ -1327,6 +1327,68 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# time-series gap filling (functions/timeseries.py) — the hypertable
+# time_bucket_gapfill shape: bucket → per-group dense grid → linear
+# interpolation, all replicated in SQL (epoch-ns arithmetic, range()
+# grids, IGNORE NULLS windows).
+
+_GAPFILL_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, epoch_ns(ts) AS tn, value FROM events),
+    obs AS (
+      -- exact fixed-point average: integer sum / count (order-free),
+      -- mirroring gapfill's value_scale=100 device
+      SELECT user_id, tn - (tn % 7200000000000) AS b,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / (count(value) * 100) AS v
+      FROM ev GROUP BY 1, 2),
+    rng AS (
+      SELECT user_id, min(b) AS mn, max(b) AS mx FROM obs GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(range(mn, mx + 7200000000000, 7200000000000)) AS b
+      FROM rng),
+    dense AS (
+      SELECT g.user_id, g.b, o.v, o.v IS NULL AS filled
+      FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.b = g.b),
+    ctx AS (
+      SELECT user_id, b, v, filled,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY b
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY b
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM dense)
+    SELECT user_id, b AS bucket_ns,
+           floor((CASE WHEN v IS NOT NULL THEN v
+                       WHEN nb IS NOT NULL AND pb IS NOT NULL
+                         THEN pv + (nv - pv) * ((b - pb) / (nb - pb))
+                       ELSE pv END) * 10000 + 0.5) / 10000 AS v,
+           filled
+    FROM ctx
+"""
+
+
+@q("q_events_gapfill", _GAPFILL_ORACLE)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 2-hour per-user value series with linear interpolation
+    (functions/timeseries.py:gapfill) — dense-grid generation and both
+    interpolation windows hash-matched against the SQL replica."""
+    from astro_sdk_spark.functions.timeseries import gapfill
+
+    ev = T(spark, sf_dir, "events")
+    return gapfill(
+        ev, bucket_ns=7_200_000_000_000, fill="linear", value_scale=100
+    )
+
+
+# --------------------------------------------------------------------------
 # edit-distance similarity join (functions/fuzzy.py). The oracle is the
 # quadratic cross-join predicate itself — the implementation must equal
 # it exactly while never materializing the cross product (q-gram prefix
@@ -3175,6 +3237,7 @@ _TAIL_VARIANTS = [
     "q_profile_table",     # data-quality: q_check_column, q_check_table
     "q_fuzzy_join",        # joins: q_join_agg, q_region_revenue in-window
                            # (fuzzy/string-similarity variant)
+    "q_events_gapfill",    # events: q_events_tumbling, q_events_sessions
     "q_gopher_filter",     # text quality: q_quality_score (in-window)
     "q_c4_rules",          # cleaning: q_pii_redaction, q_line_dedup in-window
     "q_dsir_weights",      # sampling/selection: q_train_split, q_domain_mix

@@ -1,0 +1,76 @@
+"""gapfill — dense-grid generation, locf/linear fills (functions/timeseries)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from astro_sdk_spark.functions.timeseries import gapfill
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts_ns long, value double")
+
+
+def test_grid_is_dense_and_marks_filled(spark):
+    df = _df(spark, [(1, 0, 10.0), (1, 35, 40.0)])  # bucket 10 → 0..30
+    out = {r.bucket_ns: (r.v, r.filled) for r in gapfill(df, 10).collect()}
+    assert set(out) == {0, 10, 20, 30}
+    assert out[0] == (10.0, False) and out[30] == (40.0, False)
+    assert out[10] == (None, True) and out[20] == (None, True)
+
+
+def test_locf(spark):
+    df = _df(spark, [(1, 0, 10.0), (1, 35, 40.0)])
+    out = {r.bucket_ns: r.v for r in gapfill(df, 10, fill="locf").collect()}
+    assert out == {0: 10.0, 10: 10.0, 20: 10.0, 30: 40.0}
+
+
+def test_linear_hand_computed(spark):
+    df = _df(spark, [(1, 0, 10.0), (1, 35, 40.0)])
+    out = {r.bucket_ns: r.v for r in gapfill(df, 10, fill="linear").collect()}
+    assert out == {0: 10.0, 10: 20.0, 20: 30.0, 30: 40.0}
+
+
+def test_linear_trailing_gap_is_locf_and_multi_group(spark):
+    df = _df(
+        spark,
+        [(1, 0, 10.0), (1, 25, 20.0), (2, 0, 5.0), (2, 45, 1.0)],
+    )
+    rows = gapfill(df, 10, fill="linear").collect()
+    g1 = {r.bucket_ns: r.v for r in rows if r.user_id == 1}
+    g2 = {r.bucket_ns: r.v for r in rows if r.user_id == 2}
+    assert g1 == {0: 10.0, 10: 15.0, 20: 20.0}
+    # group 2: interpolation over 4 gaps of 1/4 each
+    assert g2 == {0: 5.0, 10: 4.0, 20: 3.0, 30: 2.0, 40: 1.0}
+
+
+def test_avg_buckets_multiple_events(spark):
+    df = _df(spark, [(1, 0, 10.0), (1, 5, 20.0), (1, 12, 7.0)])
+    out = {r.bucket_ns: r.v for r in gapfill(df, 10).collect()}
+    assert out == {0: 15.0, 10: 7.0}
+
+
+def test_exact_fixed_point_path_matches_plain_avg(spark, sf_dir):
+    from astro_sdk_spark.queries import T
+
+    ev = T(spark, sf_dir, "events")
+    a = gapfill(ev, 7_200_000_000_000, fill="linear", value_scale=100)
+    b = gapfill(ev, 7_200_000_000_000, fill="linear")
+    rows_a = {(r.user_id, r.bucket_ns): r.v for r in a.collect()}
+    rows_b = {(r.user_id, r.bucket_ns): r.v for r in b.collect()}
+    assert set(rows_a) == set(rows_b)
+    for k in rows_a:  # identical up to the last rounding ulp
+        assert rows_a[k] == pytest.approx(rows_b[k], abs=2e-4)
+
+
+def test_validation(spark):
+    df = _df(spark, [(1, 0, 1.0)])
+    with pytest.raises(ValueError, match="fill"):
+        gapfill(df, 10, fill="bogus")
+    with pytest.raises(ValueError, match="agg"):
+        gapfill(df, 10, agg="median")
+    with pytest.raises(ValueError, match="positive"):
+        gapfill(df, 0)
+    with pytest.raises(ValueError, match="avg"):
+        gapfill(df, 10, agg="sum", value_scale=100)
