@@ -180,3 +180,65 @@ def test_xls_write_read_round_trip(header_rows):
                     assert g == e
     finally:
         os.unlink(path)
+
+
+# ---------------------------------------------------------------- avro codec
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "i", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "d", "type": "double"},
+        {"name": "f", "type": "float"},
+        {"name": "bl", "type": "boolean"},
+        {"name": "by", "type": "bytes"},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+    ],
+}
+
+_avro_row = st.fixed_dictionaries(
+    {
+        "i": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "s": st.none() | st.text(max_size=40),
+        "d": st.floats(allow_nan=False, allow_infinity=True, width=64),
+        "f": st.floats(allow_nan=False, allow_infinity=True, width=32),
+        "bl": st.booleans(),
+        "by": st.binary(max_size=64),
+        "arr": st.lists(st.integers(min_value=-(2**40), max_value=2**40), max_size=8),
+        "m": st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=4),
+    }
+)
+
+
+@given(
+    rows=st.lists(_avro_row, max_size=60),
+    block=st.integers(min_value=1, max_value=17),
+    codec=st.sampled_from(["null", "deflate"]),
+    step=st.integers(min_value=37, max_value=5000),
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_round_trip_and_split_scan(tmp_path_factory, rows, block, codec, step):
+    """Any record set round-trips byte-exactly through the container
+    (zigzag extremes, unicode, ±inf, empty collections), and an arbitrary
+    byte-range split decodes every record exactly once."""
+    import os
+
+    from astro_sdk_spark.avro import decode_range, read_avro, read_header, write_avro
+
+    p = str(tmp_path_factory.mktemp("avro") / "t.avro")
+    write_avro(p, rows, _AVRO_SCHEMA, codec=codec, block_records=block)
+    _, back = read_avro(p)
+    assert back == rows
+
+    with open(p, "rb") as f:
+        schema, cd, sync, he = read_header(f)
+    file_len = os.path.getsize(p)
+    got, s = [], he
+    while s < file_len:
+        e = min(file_len, s + step)
+        got += list(decode_range(p, s, e, he, schema, cd, sync))
+        s = e
+    assert got == rows
