@@ -439,6 +439,14 @@ def read_avro_distributed(spark, path: str, n_splits: int | None = None):
     """
     import glob as _glob
 
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"remote Avro path {path!r}: the stdlib codec reads local/staged "
+            "files (HTTP/FTP/SFTP locations are staged by the File layer). "
+            "For object-store Avro at cluster scale, deploy the spark-avro "
+            "JVM package — engine.read_file prefers it automatically."
+        )
+    path = path.removeprefix("file://")
     if os.path.isdir(path):
         paths = sorted(
             e.path

@@ -116,7 +116,13 @@ def edit_distance_join(
             .select(idc, "_g", "_k")
         )
 
-    pa = prefixes(ga, "_ida")
+    # Spark does not reuse aliased self-join branches (see the LSH notes
+    # in README): without persisting, the self-join's pa ⋈ pb would run
+    # the explode + freq join + prefix window TWICE. track() registers
+    # the persist with the release registry (bench/stream loops drain it).
+    from astro_sdk_spark.functions._cache import track
+
+    pa = track(prefixes(ga, "_ida"))
     if self_join:
         pb = pa.select(F.col("_ida").alias("_idb"), "_g", "_k")
     else:
