@@ -1456,7 +1456,20 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_K = 6
 
 
-def _bpe_oracle(k: int) -> str:
+def _bpe_merge_sql(src: str, b: str, carry: str) -> str:
+    """Greedy left-to-right application of merge CTE ``b`` to the symbol
+    lists of CTE ``src`` (list_reduce; identical scan semantics to the
+    Python trainer/encoder). ``carry`` = the non-symbol column kept."""
+    return f"""
+      SELECT {carry}, list_reduce(
+               list_transform(syms, s -> [s]),
+               (acc, x) -> CASE WHEN acc[-1] = {b}.l AND x[1] = {b}.r
+                           THEN list_append(acc[1:len(acc)-1], {b}.l || {b}.r)
+                           ELSE list_concat(acc, x) END) AS syms
+      FROM {src} CROSS JOIN {b}"""
+
+
+def _bpe_oracle(k: int, encode: bool = False) -> str:
     rounds = []
     for i in range(1, k + 1):
         rounds.append(f"""
@@ -1466,18 +1479,8 @@ def _bpe_oracle(k: int) -> str:
                                      i -> [syms[i], syms[i+1]])) AS p, cnt
         FROM w{i - 1}) GROUP BY 1, 2),
     b{i} AS (SELECT l, r FROM pc{i} ORDER BY c DESC, l, r LIMIT 1),
-    w{i} AS (
-      SELECT list_reduce(
-               list_transform(syms, s -> [s]),
-               (acc, x) -> CASE WHEN acc[-1] = b{i}.l AND x[1] = b{i}.r
-                           THEN list_append(acc[1:len(acc)-1], b{i}.l || b{i}.r)
-                           ELSE list_concat(acc, x) END) AS syms, cnt
-      FROM w{i - 1} CROSS JOIN b{i})""")
-    finals = "\n    UNION ALL ".join(
-        f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs FROM b{i}"
-        for i in range(1, k + 1)
-    )
-    return (
+    w{i} AS ({_bpe_merge_sql(f'w{i - 1}', f'b{i}', 'cnt')})""")
+    head = (
         r"""
     WITH words AS (
       SELECT word, count(*) AS cnt FROM (
@@ -1488,7 +1491,35 @@ def _bpe_oracle(k: int) -> str:
       SELECT list_append(string_split_regex(word, ''), '</w>') AS syms, cnt
       FROM words),"""
         + ",".join(rounds)
-        + f"\n    {finals}\n    ORDER BY merge_rank"
+    )
+    if not encode:
+        finals = "\n    UNION ALL ".join(
+            f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs FROM b{i}"
+            for i in range(1, k + 1)
+        )
+        return head + f"\n    {finals}\n    ORDER BY merge_rank"
+    # encode mode: apply the k learned merges to every DOCUMENT word.
+    # Rank-priority encoding equals sequential application in rank order
+    # (a later merge consumes symbols but can never create an adjacency
+    # for an earlier one), so k chained passes replicate apply_bpe.
+    doc_rounds = ",".join(
+        f"\n    dw{i} AS ({_bpe_merge_sql(f'dw{i - 1}', f'b{i}', 'doc_id')})"
+        for i in range(1, k + 1)
+    )
+    return (
+        head
+        + r""",
+    dw0 AS (
+      SELECT doc_id, list_append(string_split_regex(word, ''), '</w>') AS syms
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents)
+      WHERE word <> ''),"""
+        + doc_rounds
+        + f"""
+    SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens
+    FROM dw{k} GROUP BY doc_id"""
     )
 
 
@@ -1503,6 +1534,23 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     merges = train_bpe(docs, n_merges=_BPE_K, max_words=500_000)
     return merges_df(spark, merges)
+
+
+@q("q_bpe_encode", _bpe_oracle(_BPE_K, encode=True))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full tokenizer pipeline under the gate: train six merges on the
+    corpus, then ENCODE every document with them (apply_bpe's Arrow
+    rank-priority encoder) and count tokens per doc. The oracle chains
+    six list_reduce merge passes over the exploded document words —
+    rank-priority encoding equals sequential rank-order application, so
+    the two decompositions must agree token-for-token."""
+    from astro_sdk_spark.functions.bpe import apply_bpe, train_bpe
+
+    docs = T(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=_BPE_K, max_words=500_000)
+    return apply_bpe(docs, merges).select(
+        "doc_id", F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens")
+    )
 
 
 # ---- LSH / heuristic extension queries with exact oracles ----------------
@@ -3234,6 +3282,7 @@ _TAIL_VARIANTS = [
     "q_bpe_token_count",   # text: q_token_stats
     "q_bpe_train",         # tokenizer training: family covered in-window
                            # by q_token_stats / q_bpe_token_count
+    "q_bpe_encode",        # tokenizer encode: same family
     "q_profile_table",     # data-quality: q_check_column, q_check_table
     "q_fuzzy_join",        # joins: q_join_agg, q_region_revenue in-window
                            # (fuzzy/string-similarity variant)

@@ -63,6 +63,9 @@ PY_BOUNDARY_WHITELIST = {
     "q_bloom_dedup": 2,      # bitmap probe (vectorized bitset test) — the
                              # broadcast-bloom alternative to a corpus-sized
                              # shuffle; may appear under both union branches
+    "q_bpe_encode": 1,       # the BPE encoder itself (apply_bpe mapInPandas)
+                             # — tokenizers are Python; Arrow-batched with a
+                             # per-batch word cache
 }
 
 # queries adjudicated as carrying parquet filter pushdown (PLAN_AUDIT.md

@@ -57,7 +57,7 @@ FAMILIES: dict[str, list[str]] = {
     "text-stats": [
         "q_token_stats", "q_quality_score", "q_doc_fingerprint",
         "q_top_ngrams", "q_bpe_token_count", "q_repetition_stats",
-        "q_gopher_filter", "q_bpe_train",
+        "q_gopher_filter", "q_bpe_train", "q_bpe_encode",
     ],
     "lang-id": ["q_lang_id", "q_lang_distribution"],
     "tfidf-scoring": ["q_tfidf", "q_lm_score"],
