@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["train_bpe", "apply_bpe", "merges_df"]
+__all__ = ["train_bpe", "apply_bpe", "merges_df", "bpe_vocab", "encode_ids"]
 
 END = "</w>"
 
@@ -189,4 +189,58 @@ def apply_bpe(
     out_type = "n_bpe_tokens int" if output == "n_tokens" else "tokens array<string>"
     return df.select(id_col, text_col).mapInPandas(
         run, f"`{id_col}` {id_type}, {out_type}"
+    )
+
+
+def bpe_vocab(
+    merges: list[tuple[str, str]], alphabet: list[str] | None = None
+) -> list[str]:
+    """Deterministic token → id table: base alphabet (sorted; ASCII
+    printable + ``</w>`` by default) followed by each merge's joined
+    symbol in rank order — the GPT-2-style convention where a merge's
+    token id is fixed by its training rank. Returns the token list
+    (index = id)."""
+    if alphabet is None:
+        alphabet = [chr(c) for c in range(32, 127)]
+    base = sorted(set(alphabet)) + [END]
+    seen = set(base)
+    out = list(base)
+    for left, right in merges:
+        tok = left + right
+        if tok not in seen:
+            seen.add(tok)
+            out.append(tok)
+    return out
+
+
+def encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    unk_id: int | None = None,
+) -> DataFrame:
+    """(id, token_ids array<int>): the model-input encoding. Tokens
+    outside the vocabulary map to ``unk_id`` (default: one past the
+    vocab, the conventional <unk> slot). One JVM pass after apply_bpe:
+    the token→id lookup is a broadcast map expression, not Python."""
+    vocab = vocab if vocab is not None else bpe_vocab(merges)
+    unk = len(vocab) if unk_id is None else unk_id
+    toks = apply_bpe(
+        df, merges, text_col=text_col, id_col=id_col,
+        lowercase=lowercase, output="tokens",
+    )
+    lookup = F.create_map(
+        *[x for i, t in enumerate(vocab) for x in (F.lit(t), F.lit(i))]
+    )
+    return toks.select(
+        id_col,
+        F.transform(
+            F.col("tokens"),
+            lambda t: F.coalesce(
+                F.element_at(lookup, t), F.lit(unk)
+            ).cast("int"),
+        ).alias("token_ids"),
     )

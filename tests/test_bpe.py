@@ -90,3 +90,31 @@ def test_apply_bpe_output_validation(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_tokens|tokens"):
         apply_bpe(df, [], output="bogus")
+
+
+def test_vocab_and_encode_ids(spark):
+    from astro_sdk_spark.functions.bpe import bpe_vocab, encode_ids
+
+    df = spark.createDataFrame(
+        [(1, "low low low low low"), (2, "lowest lowest")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(df, n_merges=4)
+    vocab = bpe_vocab(merges)
+    # base alphabet then merges in rank order, no duplicate tokens
+    assert vocab[-4:] == ["lo", "low", "low</w>", "es"]
+    assert len(vocab) == len(set(vocab))
+    got = {r.doc_id: r.token_ids for r in encode_ids(df, merges).collect()}
+    assert got[1] == [vocab.index("low</w>")] * 5
+    assert [vocab[i] for i in got[2][:4]] == ["low", "es", "t", "</w>"]
+
+
+def test_encode_ids_unknown_token_maps_to_unk(spark):
+    from astro_sdk_spark.functions.bpe import bpe_vocab, encode_ids
+
+    merges = []
+    vocab = bpe_vocab(merges, alphabet=["a", "b"])
+    test = spark.createDataFrame([(1, "abz")], "doc_id long, text string")
+    got = encode_ids(test, merges, vocab=vocab).collect()[0].token_ids
+    # a, b known; z unknown -> unk id = len(vocab); </w> known
+    assert got == [0, 1, len(vocab), 2]
