@@ -104,6 +104,13 @@ def audits(spark):
         except Exception as e:  # noqa: BLE001
             failed[name] = str(e).splitlines()[0][:160]
         spark.catalog.clearCache()
+        from astro_sdk_spark.functions._cache import (
+            release_intermediates,
+            sweep_persistent_rdds,
+        )
+
+        release_intermediates()
+        sweep_persistent_rdds(spark)
     assert not failed, f"queries failed to execute at {SF_DIR}: {failed}"
     return out
 

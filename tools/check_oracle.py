@@ -73,6 +73,11 @@ def main():
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    from astro_sdk_spark.functions._cache import (
+        release_intermediates,
+        sweep_persistent_rdds,
+    )
+
     oracles = oracle_queries()
     failures = []
     for name, fn in spark_queries().items():
@@ -86,6 +91,13 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        finally:
+            # same hygiene as bench.py: drop persisted intermediates and
+            # checkpoint blocks per query, or an 80-query run accumulates
+            # storage-eviction pressure
+            spark.catalog.clearCache()
+            release_intermediates()
+            sweep_persistent_rdds(spark)
         if name not in oracles:
             print(f"ok*   {name}: rows-only, {len(srows)} rows")
             continue

@@ -118,6 +118,13 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failed.append((name, str(e).splitlines()[0][:120]))
         spark.catalog.clearCache()
+        from astro_sdk_spark.functions._cache import (
+            release_intermediates,
+            sweep_persistent_rdds,
+        )
+
+        release_intermediates()
+        sweep_persistent_rdds(spark)
 
     lines = [
         "# PLAN AUDIT — physical-plan facts per registry query",
