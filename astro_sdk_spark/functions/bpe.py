@@ -224,23 +224,57 @@ def encode_ids(
 ) -> DataFrame:
     """(id, token_ids array<int>): the model-input encoding. Tokens
     outside the vocabulary map to ``unk_id`` (default: one past the
-    vocab, the conventional <unk> slot). One JVM pass after apply_bpe:
-    the token→id lookup is a broadcast map expression, not Python."""
+    vocab, the conventional <unk> slot). The token→id lookup stays
+    JVM-side either way: a literal map expression for small vocabularies,
+    or — for real tokenizer sizes (32k+), where tens of thousands of
+    plan literals would bloat codegen — a posexplode → broadcast-join →
+    re-assemble pipeline over a vocab DataFrame."""
     vocab = vocab if vocab is not None else bpe_vocab(merges)
     unk = len(vocab) if unk_id is None else unk_id
     toks = apply_bpe(
         df, merges, text_col=text_col, id_col=id_col,
         lowercase=lowercase, output="tokens",
     )
-    lookup = F.create_map(
-        *[x for i, t in enumerate(vocab) for x in (F.lit(t), F.lit(i))]
+    if len(vocab) <= 1024:
+        lookup = F.create_map(
+            *[x for i, t in enumerate(vocab) for x in (F.lit(t), F.lit(i))]
+        )
+        return toks.select(
+            id_col,
+            F.transform(
+                F.col("tokens"),
+                lambda t: F.coalesce(
+                    F.element_at(lookup, t), F.lit(unk)
+                ).cast("int"),
+            ).alias("token_ids"),
+        )
+    spark = df.sparkSession
+    vdf = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(vocab)], "_tok string, _tid int"
     )
-    return toks.select(
-        id_col,
-        F.transform(
-            F.col("tokens"),
-            lambda t: F.coalesce(
-                F.element_at(lookup, t), F.lit(unk)
-            ).cast("int"),
-        ).alias("token_ids"),
+    exploded = toks.select(
+        id_col, F.posexplode("tokens").alias("_pos", "_tok")
+    )
+    mapped = (
+        exploded.join(F.broadcast(vdf), "_tok", "left")
+        .withColumn("_tid", F.coalesce("_tid", F.lit(unk)).cast("int"))
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_tid")))
+                ),
+                lambda s: s["_tid"],
+            ).alias("token_ids")
+        )
+    )
+    # empty documents explode to zero rows — restore them with [] so both
+    # lookup paths agree row-for-row
+    return (
+        toks.select(id_col)
+        .join(mapped, id_col, "left")
+        .withColumn(
+            "token_ids",
+            F.coalesce("token_ids", F.array().cast("array<int>")),
+        )
     )

@@ -118,3 +118,23 @@ def test_encode_ids_unknown_token_maps_to_unk(spark):
     got = encode_ids(test, merges, vocab=vocab).collect()[0].token_ids
     # a, b known; z unknown -> unk id = len(vocab); </w> known
     assert got == [0, 1, len(vocab), 2]
+
+
+def test_encode_ids_join_path_matches_map_path(spark):
+    """Vocabularies past the literal-map threshold route through the
+    broadcast-join pipeline; both paths must agree, including on empty
+    documents."""
+    from astro_sdk_spark.functions.bpe import bpe_vocab, encode_ids
+
+    df = spark.createDataFrame(
+        [(1, "low low lowest"), (2, ""), (3, "xyz low")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(df.filter("doc_id = 1"), n_merges=3)
+    small = bpe_vocab(merges)
+    # pad with unused tokens to force the join path (>1024)
+    big = small + [f"pad{i}" for i in range(1100)]
+    a = {r.doc_id: r.token_ids for r in encode_ids(df, merges, vocab=small).collect()}
+    b = {r.doc_id: r.token_ids for r in encode_ids(df, merges, vocab=big).collect()}
+    assert a == b
+    assert a[2] == []
