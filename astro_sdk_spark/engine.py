@@ -154,13 +154,38 @@ class SparkEngine:
         table: BaseTable,
         parameters: dict[str, Any] | None = None,
         query_modifier: QueryModifier | None = None,
+        partition_by: Sequence[str] | None = None,
+        bucket_by: tuple[int, Sequence[str]] | None = None,
     ) -> None:
         """CTAS — reference ``base.py:363-381``; drop-first semantics match
-        ``TransformOperator.execute`` (``transform.py:55-72``)."""
+        ``TransformOperator.execute`` (``transform.py:55-72``).
+
+        ``partition_by`` / ``bucket_by=(n, cols)`` control the produced
+        table's physical layout — hive-style partition pruning and
+        shuffle-free co-located joins respectively, the data-layout
+        levers that matter at warehouse scale (the reference delegated
+        layout to the SQL warehouse; here the CTAS carries it)."""
         self.create_schema_if_applicable(table.metadata.spark_database)
         self.drop_table(table)
         select = render_sql(statement, parameters, resolve_table=self._resolve_handle)
-        sql = _CTAS.format(table=quote_identifier(table.qualified_name), select=select)
+        layout = ""
+        if partition_by:
+            cols = ", ".join(quote_identifier(c) for c in partition_by)
+            layout += f" PARTITIONED BY ({cols})"
+        if bucket_by:
+            n, bcols = bucket_by
+            cols = ", ".join(quote_identifier(c) for c in bcols)
+            layout += f" CLUSTERED BY ({cols}) INTO {int(n)} BUCKETS"
+        if layout:
+            sql = (
+                f"CREATE TABLE IF NOT EXISTS "
+                f"{quote_identifier(table.qualified_name)} USING parquet"
+                f"{layout} AS {select}"
+            )
+        else:
+            sql = _CTAS.format(
+                table=quote_identifier(table.qualified_name), select=select
+            )
         if query_modifier:
             for q in query_modifier.pre_queries:
                 self.spark.sql(q).collect()

@@ -52,11 +52,14 @@ def _materialize(
     parameters: dict[str, Any],
     output_table: BaseTable | None,
     query_modifier: QueryModifier | None = None,
+    partition_by=None,
+    bucket_by=None,
 ) -> BaseTable:
     _materialize_dataframe_args(eng, parameters)
     out = output_table or TempTable()
     eng.create_table_from_select_statement(
-        sql, out, parameters=parameters, query_modifier=query_modifier
+        sql, out, parameters=parameters, query_modifier=query_modifier,
+        partition_by=partition_by, bucket_by=bucket_by,
     )
     from astro_sdk_spark.lineage import _name_of, emit
 
@@ -76,10 +79,17 @@ def run_transform(
     engine: SparkEngine | None = None,
     spark: SparkSession | None = None,
     query_modifier: QueryModifier | None = None,
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
 ) -> BaseTable:
-    """Direct-call form: render + CTAS + return handle."""
+    """Direct-call form: render + CTAS + return handle. ``partition_by``
+    / ``bucket_by=(n, cols)`` shape the output table's physical layout
+    (partition pruning / shuffle-free co-located joins downstream)."""
     eng = engine or SparkEngine(spark or default_session())
-    return _materialize(eng, sql, dict(parameters or {}), output_table, query_modifier)
+    return _materialize(
+        eng, sql, dict(parameters or {}), output_table, query_modifier,
+        partition_by=partition_by, bucket_by=bucket_by,
+    )
 
 
 def transform(

@@ -111,3 +111,61 @@ def test_transform_materializes_dataframe_args(engine, spark, lineitem):
     # the pandas arg was staged as a registered temp table (cleanup target)
     assert any(t.name.startswith("_tmp") for t in engine.temp_tables)
     engine.drop_table(out)
+
+
+def test_transform_partitioned_ctas(spark, engine, sf_dir):
+    """partition_by produces a hive-partitioned table: filters on the
+    partition column prune at the scan (PartitionFilters), and the table
+    directory is laid out by value."""
+    import os
+
+    from astro_sdk_spark.files import File
+    from astro_sdk_spark.operators.load_file import load_file
+    from astro_sdk_spark.operators.transform import run_transform
+    from astro_sdk_spark.table import Table
+
+    src = Table(name="pt_docs_src")
+    load_file(File(f"{sf_dir}/documents.parquet"), src, engine=engine, if_exists="replace")
+    out = run_transform(
+        "SELECT doc_id, n_chars, lang FROM {{ src }}",
+        parameters={"src": src},
+        output_table=Table(name="pt_docs_by_lang"),
+        engine=engine,
+        partition_by=["lang"],
+    )
+    back = spark.table(out.qualified_name)
+    assert back.count() == spark.table(src.qualified_name).count()
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {out.qualified_name}")
+        .filter("col_name = 'Location'").collect()[0].data_type
+    ).removeprefix("file:")
+    assert any(d.startswith("lang=") for d in os.listdir(loc))
+    plan = (
+        back.filter("lang = 'en'")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    spark.sql("DROP TABLE IF EXISTS pt_docs_src")
+    spark.sql("DROP TABLE IF EXISTS pt_docs_by_lang")
+
+
+def test_transform_bucketed_ctas(spark, engine, sf_dir):
+    from astro_sdk_spark.files import File
+    from astro_sdk_spark.operators.load_file import load_file
+    from astro_sdk_spark.operators.transform import run_transform
+    from astro_sdk_spark.table import Table
+
+    src = Table(name="bk_docs_src")
+    load_file(File(f"{sf_dir}/documents.parquet"), src, engine=engine, if_exists="replace")
+    out = run_transform(
+        "SELECT doc_id, n_chars FROM {{ src }}",
+        parameters={"src": src},
+        output_table=Table(name="bk_docs_bucketed"),
+        engine=engine,
+        bucket_by=(4, ["doc_id"]),
+    )
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {out.qualified_name}").collect()
+    info = {r.col_name: r.data_type for r in desc}
+    assert info.get("Num Buckets") == "4"
+    assert "doc_id" in info.get("Bucket Columns", "")
+    spark.sql("DROP TABLE IF EXISTS bk_docs_src")
+    spark.sql("DROP TABLE IF EXISTS bk_docs_bucketed")
