@@ -339,3 +339,46 @@ def lm_score(
         F.round(F.avg("_lp"), round_digits).alias("avg_logprob"),
         F.round(F.exp(-F.avg("_lp")), round_digits).alias("perplexity"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    context-window preparation for RAG indexing and fixed-length
+    pre-training examples (each chunk carries ``overlap_tokens`` of left
+    context so no boundary information is lost).
+
+    Windows start every ``stride = chunk_tokens − overlap_tokens`` tokens
+    and the final window may be short; output is one row per chunk:
+    ``(id, chunk_id, chunk_text, chunk_token_count)`` with ``chunk_id``
+    dense from 0 in document order.
+
+    Scale shape: a pure generator projection — split / sequence /
+    posexplode / slice are all built-ins, no shuffle, no UDF; chunking
+    100 TB is a single map stage whose output partitioning follows the
+    input (chunks of one document stay in one partition, which is what
+    downstream per-chunk embedding batches want). Chunk geometry is a
+    row-local decision, so the op is append-stable and streaming-safe.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens ({overlap_tokens}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap_tokens
+    base = df.select(F.col(id_col), F.split(F.col(text_col), _WS).alias("_tk"))
+    starts = F.sequence(F.lit(0), F.size("_tk") - 1, F.lit(stride))
+    exploded = base.select(
+        F.col(id_col), F.col("_tk"), F.posexplode(starts).alias("chunk_id", "_st")
+    )
+    window = F.slice(F.col("_tk"), F.col("_st") + 1, F.lit(chunk_tokens))
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.array_join(window, _WS).alias("chunk_text"),
+        F.size(window).alias("chunk_token_count"),
+    )

@@ -3237,6 +3237,107 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Document chunking — overlapping token windows (RAG / fixed-length example
+# prep). Pure generator projection; the oracle replays the window geometry
+# with generate_series + list slicing.
+
+_CHUNKS_ORACLE = """
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    st AS (
+      SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s FROM tk)
+    SELECT doc_id,
+           s // 48 AS chunk_id,
+           array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text,
+           len(t[s + 1 : s + 64]) AS chunk_token_count
+    FROM st
+"""
+
+
+@q("q_doc_chunks", _CHUNKS_ORACLE)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (functions/text.py:chunk_documents):
+    64-token windows every 48 tokens (16 tokens of left-context overlap),
+    one row per chunk — the RAG-index / context-window prep stage."""
+    from astro_sdk_spark.functions.text import chunk_documents
+
+    docs = T(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap_tokens=16)
+
+
+# --------------------------------------------------------------------------
+# Quality classifier — hashed-bigram logistic regression (the GPT-3/LLaMA
+# corpus-curation filter; Brown et al. 2020 App. A, Touvron et al. 2023 §2).
+# Training is full-batch GD on a fixed-point micro-unit grid (every
+# cross-row sum an exact integer — reduction-order-independent), which is
+# what lets the oracle unroll BOTH gradient iterations in SQL and match the
+# trained scores bit-for-bit. Label: lang='en' as the trusted class.
+
+_CLASSIFIER_ORACLE = f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 10000 AS b
+      FROM (SELECT doc_id, unnest({_DUCK_SHINGLES_K2_RAW}) AS g FROM documents)),
+    labels AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    n AS (SELECT count(*) AS nn FROM documents),
+    g1 AS (
+      SELECT f.b, sum(500000 - l.y * 1000000) AS gi
+      FROM feats f JOIN labels l USING (doc_id) GROUP BY f.b),
+    w1 AS (
+      SELECT b, 0 - CAST(floor(0.5 * gi / nn + 0.5) AS BIGINT) AS wi
+      FROM g1 CROSS JOIN n),
+    m2 AS (
+      SELECT f.doc_id, sum(w1.wi) AS mi
+      FROM feats f JOIN w1 USING (b) GROUP BY f.doc_id),
+    r2 AS (
+      SELECT m2.doc_id,
+             CAST(floor((1.0 / (1.0 + exp(-(mi / 1000000.0))) - l.y)
+                        * 1000000.0 + 0.5) AS BIGINT) AS ri
+      FROM m2 JOIN labels l USING (doc_id)),
+    g2 AS (
+      SELECT f.b, sum(r2.ri) AS gi
+      FROM feats f JOIN r2 USING (doc_id) GROUP BY f.b),
+    w2 AS (
+      SELECT coalesce(w1.b, g2.b) AS b,
+             coalesce(w1.wi, 0)
+               - CAST(floor(0.5 * coalesce(g2.gi, 0) / nn + 0.5) AS BIGINT)
+               AS wi
+      FROM w1 FULL JOIN g2 ON w1.b = g2.b CROSS JOIN n),
+    sc AS (
+      SELECT f.doc_id, count(*) AS n_feats, sum(w2.wi) AS mi
+      FROM feats f JOIN w2 USING (b) GROUP BY f.doc_id)
+    SELECT doc_id, n_feats,
+           floor((1.0 / (1.0 + exp(-(mi / 1000000.0)))) * 10000.0 + 0.5)
+             / 10000.0 AS score,
+           (floor((1.0 / (1.0 + exp(-(mi / 1000000.0)))) * 10000.0 + 0.5)
+             / 10000.0) >= 0.5 AS keep
+    FROM sc
+"""
+
+
+@q("q_quality_classifier", _CLASSIFIER_ORACLE)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the hashed-bigram logistic-regression quality filter
+    (functions/classifier.py) for 2 full-batch GD iterations against the
+    lang='en' trusted class, then score the whole corpus with the trained
+    ≤10k-row broadcast model. The md5 hash path + integer micro-unit
+    arithmetic make both training iterations SQL-replayable."""
+    from astro_sdk_spark.functions.classifier import (
+        score_text_classifier,
+        train_text_classifier,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    labeled = docs.withColumn("_y1", (F.col("lang") == "en").cast("int"))
+    weights = train_text_classifier(
+        labeled, "_y1", n_iters=2, lr=0.5, hash_fn="md5"
+    )
+    return score_text_classifier(docs, weights, hash_fn="md5")
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -3290,6 +3391,9 @@ _TAIL_VARIANTS = [
     "q_gopher_filter",     # text quality: q_quality_score (in-window)
     "q_c4_rules",          # cleaning: q_pii_redaction, q_line_dedup in-window
     "q_dsir_weights",      # sampling/selection: q_train_split, q_domain_mix
+    "q_doc_chunks",        # sampling/example-prep: q_seq_packing in-window
+                           # (same window-geometry family)
+    "q_quality_classifier",  # model scoring: q_tfidf, q_lm_score in-window
 ]
 
 

@@ -60,12 +60,12 @@ FAMILIES: dict[str, list[str]] = {
         "q_gopher_filter", "q_bpe_train", "q_bpe_encode",
     ],
     "lang-id": ["q_lang_id", "q_lang_distribution"],
-    "tfidf-scoring": ["q_tfidf", "q_lm_score"],
+    "tfidf-scoring": ["q_tfidf", "q_lm_score", "q_quality_classifier"],
     "cleaning": ["q_pii_redaction", "q_decontaminate", "q_c4_rules"],
     "content-dedup": ["q_line_dedup", "q_substring_dedup"],
     "sampling": [
         "q_train_split", "q_stratified_sample", "q_seq_packing", "q_domain_mix",
-        "q_dsir_weights",
+        "q_dsir_weights", "q_doc_chunks",
     ],
 }
 
