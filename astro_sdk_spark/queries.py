@@ -3266,6 +3266,55 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SQ8 scalar-quantized ANN — train (per-dim min/max) → encode (byte codes)
+# → symmetric integer code-space dot → rank. Every score is an exact
+# integer sum, so the oracle replays the WHOLE pipeline with no float in
+# the ranking path.
+
+_SQ8_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v),
+    codes AS (
+      SELECT vec_id,
+             unnest(CASE WHEN nrm > 0
+               THEN list_transform(
+                      e, x -> CAST(floor(x / nrm * 127.0 + 0.5) AS BIGINT))
+               ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END) AS c,
+             unnest(range(1, len(e) + 1)) AS d
+      FROM n),
+    q AS (SELECT vec_id AS query_id, d, c AS qc FROM codes WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, codes.vec_id AS cand_id, sum(q.qc * codes.c) AS score
+      FROM q JOIN codes ON q.d = codes.d AND q.query_id <> codes.vec_id
+      GROUP BY q.query_id, codes.vec_id),
+    r AS (
+      SELECT query_id, cand_id, CAST(score AS BIGINT) AS score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, score, rank FROM r WHERE rank <= 10
+"""
+
+
+@q("q_sq8_topk", _SQ8_ORACLE)
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized cosine top-k (functions/sq.py): L2-normalize,
+    scale to ±127, integer code dot — the 4×-compressed ANN baseline
+    completing the flat/IVF/PQ/SQ family. Scores are exact integers, so
+    encode→score→rank is SQL-replayable with zero float tolerance in the
+    ranking path."""
+    from astro_sdk_spark.functions.sq import sq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    return sq_topk(emb.filter(F.col("vec_id") < 8), emb, k=10)
+
+
+# --------------------------------------------------------------------------
 # Quality classifier — hashed-bigram logistic regression (the GPT-3/LLaMA
 # corpus-curation filter; Brown et al. 2020 App. A, Touvron et al. 2023 §2).
 # Training is full-batch GD on a fixed-point micro-unit grid (every
@@ -3394,6 +3443,8 @@ _TAIL_VARIANTS = [
     "q_doc_chunks",        # sampling/example-prep: q_seq_packing in-window
                            # (same window-geometry family)
     "q_quality_classifier",  # model scoring: q_tfidf, q_lm_score in-window
+    "q_sq8_topk",          # ANN compression: q_embedding_topk, q_ivf_topk
+                           # in-window (SQ completes flat/IVF/PQ/SQ)
 ]
 
 

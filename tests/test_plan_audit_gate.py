@@ -41,6 +41,8 @@ NESTED_LOOP_WHITELIST = {
     "q_fuzzy_join": 1,       # short-string sliver cross join — bounded by
                              # the alphabet (len ≤ q·d−q+1+d), empty on
                              # customer names; the prefix path owns the rest
+    "q_sq8_topk": 1,         # query-set cross: |queries| code rows, broadcast
+                             # (the cosine_topk exact-baseline shape)
 }
 
 # query → max allowed Python/Arrow boundary nodes (MapInPandas etc.).
