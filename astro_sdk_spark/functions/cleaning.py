@@ -133,6 +133,70 @@ def decontaminate(
     return corpus.join(hits.select(id_col), id_col, "left_anti")
 
 
+def contamination_score(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    broadcast_benchmark: bool = True,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Graded contamination: for EVERY corpus document, the fraction of
+    its distinct word ``shingle_k``-grams that appear in the benchmark —
+    the overlap-percentage measurement GPT-3 used to adjudicate test-set
+    contamination (Brown et al. 2020, arXiv:2005.14165 Appendix C), where
+    :func:`decontaminate` is the boolean drop decision.
+
+    Returns ``(id, n_ngrams, n_hits, contamination)`` with
+    ``contamination = n_hits / n_ngrams`` rounded — one row per corpus
+    doc, zero-hit docs included (that completeness is what makes the
+    score usable as a filter threshold rather than only a flag).
+
+    Scale shape: ONE shuffle. The benchmark collapses to a distinct
+    broadcast n-gram set carrying a hit marker; the corpus explodes its
+    distinct n-grams once, LEFT-joins the marker (map-side, no exchange),
+    and a single partial-aggregated groupBy(id) counts total and hit
+    n-grams together. ``broadcast_benchmark=False`` degrades to a
+    shuffle join for oversized benchmark unions, as in
+    :func:`decontaminate`."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingles_col(F.col(text_col), shingle_k)).alias("_g")
+        )
+        .dropDuplicates(["_g"])
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(shingles_col(F.col(text_col), shingle_k)).alias("_g"),
+    )
+    bench_side = F.broadcast(bench_grams) if broadcast_benchmark else bench_grams
+    return (
+        corpus_grams.join(bench_side, "_g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("_hit").alias("n_hits"),
+        )
+        .select(
+            F.col(id_col),
+            "n_ngrams",
+            "n_hits",
+            # engine-agnostic floor(x·10^d + ½) pin (ratio ≥ 0): exact
+            # p/q halves (e.g. 1/32 at 4 digits) round identically in any
+            # engine, where native round() half-handling diverges
+            (
+                F.floor(
+                    F.col("n_hits") / F.col("n_ngrams") * F.lit(float(10**round_digits))
+                    + F.lit(0.5)
+                )
+                / F.lit(float(10**round_digits))
+            ).alias("contamination"),
+        )
+    )
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",

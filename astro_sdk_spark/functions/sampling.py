@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 GRANULARITY = 10_000  # bucket space for rate decisions: 0.01% resolution
 
@@ -352,4 +353,86 @@ def dsir_select(
         weights.crossJoin(F.broadcast(thr))
         .filter(F.col(key_col) >= F.col("_thr"))
         .drop("_thr", "_gkey")
+    )
+
+
+def unimax_rates(
+    df: DataFrame,
+    budget: float,
+    lang_col: str = "lang",
+    size_col: str | None = None,
+    max_epochs: float = 4.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """UniMax language-sampling allocation (Chung et al., "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", ICLR 2023): split a total training ``budget`` across
+    languages as evenly as possible, but never sample any language for
+    more than ``max_epochs`` passes over its corpus.
+
+    This is water-filling over per-language caps ``c_l = n_l ·
+    max_epochs``: find the level ``t`` with ``Σ min(c_l, t) = budget``;
+    low-resource languages are capped at ``c_l``, the rest all get ``t``.
+    Implemented CLOSED-FORM with one ascending window scan (no driver
+    loop): the fill level is the ``t_j = (budget − cum_{j−1}) / (n − j +
+    1)`` of the FIRST row where ``t_j ≤ c_j``. If the whole corpus fits
+    inside the budget, every language is fully used (data-limited case).
+
+    ``size_col=None`` counts rows (documents); pass e.g. ``n_chars`` to
+    budget in characters/tokens.
+
+    Returns one row per language: ``(lang, corpus_size, cap, alloc,
+    epochs)`` where ``alloc`` is the sampled quota and ``epochs = alloc /
+    corpus_size`` (pinned with floor(x·10^d + ½) — engine-agnostic).
+
+    Scale shape: the only corpus-sized work is one partial-aggregated
+    groupBy(lang); everything after operates on the ≤|languages|-row
+    table (a single-partition window over a tiny frame, then a one-row
+    broadcast of the fill level). Apply the resulting per-language
+    epochs with :func:`stratified_sample` / :func:`hash_bucket` —
+    selection stays a scan-side decision."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be positive, got {max_epochs}")
+    size_expr = F.count(F.lit(1)) if size_col is None else F.sum(size_col)
+    sizes = df.groupBy(lang_col).agg(size_expr.cast("bigint").alias("corpus_size"))
+    sized = sizes.select(
+        F.col(lang_col),
+        "corpus_size",
+        (F.col("corpus_size") * F.lit(float(max_epochs))).alias("cap"),
+    )
+    w = Window.orderBy("cap", lang_col)
+    wall = Window.orderBy("cap", lang_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    leveled = sized.select(
+        "*",
+        F.row_number().over(w).alias("_j"),
+        (F.sum("cap").over(w) - F.col("cap")).alias("_cum_prev"),
+        F.count(F.lit(1)).over(wall).alias("_nl"),
+    ).select(
+        "*",
+        (
+            (F.lit(float(budget)) - F.col("_cum_prev"))
+            / (F.col("_nl") - F.col("_j") + 1)
+        ).alias("_t"),
+    )
+    level = leveled.filter(F.col("_t") <= F.col("cap")).agg(
+        F.min_by("_t", "_j").alias("_level")
+    )
+    pin = float(10**round_digits)
+    alloc = F.least(F.col("cap"), F.coalesce(F.col("_level"), F.col("cap")))
+    return (
+        leveled.crossJoin(F.broadcast(level))
+        .select(
+            F.col(lang_col),
+            "corpus_size",
+            "cap",
+            (F.floor(alloc * F.lit(pin) + F.lit(0.5)) / F.lit(pin)).alias("alloc"),
+            (
+                F.floor(alloc / F.col("corpus_size") * F.lit(pin) + F.lit(0.5))
+                / F.lit(pin)
+            ).alias("epochs"),
+        )
     )

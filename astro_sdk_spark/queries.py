@@ -3266,6 +3266,88 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# UniMax language sampling (Chung et al., ICLR 2023) — closed-form
+# water-filling of a character budget across languages with an epoch cap,
+# replayed in SQL with the same window scan.
+
+_UNIMAX_ORACLE = """
+    WITH sizes0 AS (
+      SELECT lang, CAST(sum(n_chars) AS BIGINT) AS corpus_size
+      FROM documents GROUP BY lang),
+    sizes AS (
+      SELECT lang, corpus_size,
+             CAST(corpus_size AS DOUBLE) * 1.0 AS cap
+      FROM sizes0),
+    lev AS (
+      SELECT lang, corpus_size, cap,
+             row_number() OVER (ORDER BY cap, lang) AS j,
+             sum(cap) OVER (ORDER BY cap, lang ROWS UNBOUNDED PRECEDING)
+               - cap AS cum_prev,
+             count(*) OVER () AS nl
+      FROM sizes),
+    t AS (
+      SELECT *, (100000.0 - cum_prev) / (nl - j + 1) AS tj FROM lev),
+    sel AS (SELECT arg_min(tj, j) AS level FROM t WHERE tj <= cap)
+    SELECT lang, corpus_size, cap,
+           floor(least(cap, coalesce(level, cap)) * 10000.0 + 0.5)
+             / 10000.0 AS alloc,
+           floor(least(cap, coalesce(level, cap)) / corpus_size * 10000.0
+                 + 0.5) / 10000.0 AS epochs
+    FROM t CROSS JOIN sel
+"""
+
+
+@q("q_unimax", _UNIMAX_ORACLE)
+def q_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (functions/sampling.py:unimax_rates):
+    100k characters split across languages with at most 1 epoch per
+    language — low-resource languages cap at their corpus size, the rest
+    share the water-filling level. One corpus-sized groupBy(lang); the
+    waterfall itself runs on the ≤|languages|-row table."""
+    from astro_sdk_spark.functions.sampling import unimax_rates
+
+    d = T(spark, sf_dir, "documents")
+    return unimax_rates(d, budget=100000.0, size_col="n_chars", max_epochs=1.0)
+
+
+# --------------------------------------------------------------------------
+# Graded contamination score — the GPT-3 Appendix-C overlap measurement
+# (fraction of a doc's distinct 3-grams present in the benchmark), where
+# q_decontaminate is the boolean drop decision. Zero-hit docs included.
+
+_CONTAM_ORACLE = f"""
+    WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES_K3} AS s FROM documents),
+    cg AS (
+      SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0),
+    bg AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0)),
+    j AS (
+      SELECT cg.doc_id, CASE WHEN bg.g IS NOT NULL THEN 1 END AS hit
+      FROM cg LEFT JOIN bg USING (g))
+    SELECT doc_id, count(*) AS n_ngrams, count(hit) AS n_hits,
+           floor(count(hit) / count(*) * 10000.0 + 0.5) / 10000.0
+             AS contamination
+    FROM j GROUP BY doc_id
+"""
+
+
+@q("q_contamination_score", _CONTAM_ORACLE)
+def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded benchmark-overlap scoring
+    (functions/cleaning.py:contamination_score): every 97th doc is the
+    'eval set'; every remaining doc gets the fraction of its distinct
+    3-grams that appear there — one broadcast left-join + one
+    partial-aggregated groupBy, zero-hit docs included."""
+    from astro_sdk_spark.functions.cleaning import contamination_score
+
+    d = T(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_score(corpus, bench)
+
+
+# --------------------------------------------------------------------------
 # SQ8 scalar-quantized ANN — train (per-dim min/max) → encode (byte codes)
 # → symmetric integer code-space dot → rank. Every score is an exact
 # integer sum, so the oracle replays the WHOLE pipeline with no float in
@@ -3445,6 +3527,10 @@ _TAIL_VARIANTS = [
     "q_quality_classifier",  # model scoring: q_tfidf, q_lm_score in-window
     "q_sq8_topk",          # ANN compression: q_embedding_topk, q_ivf_topk
                            # in-window (SQ completes flat/IVF/PQ/SQ)
+    "q_contamination_score",  # cleaning: q_pii_redaction, q_decontaminate
+                              # in-window (graded variant of decontaminate)
+    "q_unimax",            # sampling/mixture: q_train_split, q_domain_mix
+                           # in-window (multilingual budget allocation)
 ]
 
 

@@ -387,3 +387,49 @@ def test_line_dedup_null_text_is_empty_document(spark):
     rows = {r.doc_id: r for r in line_dedup(df).collect()}
     assert rows[2].text == "" and rows[2].n_lines == 1
     assert rows[1].text == "a\nb"
+
+
+# ---------------------------------------------------------------------------
+# contamination_score (graded decontamination)
+
+
+def test_contamination_score_extremes(spark):
+    from astro_sdk_spark.functions.cleaning import contamination_score
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # identical
+            (2, "completely unrelated words appear in this sentence here"),
+            (3, "the quick brown fox went somewhere else entirely today"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in contamination_score(corpus, bench).collect()}
+    assert rows[1]["contamination"] == 1.0
+    assert rows[2]["contamination"] == 0.0 and rows[2]["n_hits"] == 0
+    assert 0.0 < rows[3]["contamination"] < 1.0
+    # every corpus doc gets a row, including the zero-hit one
+    assert set(rows) == {1, 2, 3}
+
+
+def test_contamination_score_halfway_pin(spark):
+    """Exact p/q half-boundaries must round half-up deterministically:
+    1 hit out of 32 distinct 3-grams → 0.03125 → 0.0313 (not banker's
+    0.0312)."""
+    from astro_sdk_spark.functions.cleaning import contamination_score
+
+    # 34 tokens → 32 distinct 3-grams; benchmark shares exactly the first
+    toks = [f"w{i}" for i in range(34)]
+    corpus = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, " ".join(toks[:3]) + " zzz qqq rrr")], "doc_id long, text string"
+    )
+    row = contamination_score(corpus, bench).collect()[0]
+    assert row["n_ngrams"] == 32 and row["n_hits"] == 1
+    assert row["contamination"] == 0.0313

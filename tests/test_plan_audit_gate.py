@@ -43,6 +43,8 @@ NESTED_LOOP_WHITELIST = {
                              # customer names; the prefix path owns the rest
     "q_sq8_topk": 1,         # query-set cross: |queries| code rows, broadcast
                              # (the cosine_topk exact-baseline shape)
+    "q_unimax": 1,           # water-filling level: one-row broadcast
+                             # (tf_idf normalizer device)
 }
 
 # query → max allowed Python/Arrow boundary nodes (MapInPandas etc.).

@@ -332,3 +332,76 @@ def test_dsir_select_gumbel_deterministic_and_weighted(spark, sf_dir):
     out = dsir_select(w, 0.3, gumbel=True)
     assert set(out.columns) == set(w.columns)
     w.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# unimax_rates (UniMax language budget allocation)
+
+
+def _lang_df(spark, sizes):
+    rows = []
+    did = 0
+    for lang, n in sizes.items():
+        rows.append((did, lang, n))
+        did += 1
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+
+def test_unimax_mixed_cap(spark):
+    from astro_sdk_spark.functions.sampling import unimax_rates
+
+    # caps (1 epoch): a=10, b=40, c=100; budget 100 → a capped at 10,
+    # level (100-10)/2 = 45 for b? no: sorted [10,40,100]; j=1 t=33.3>10
+    # capped; j=2 t=(100-10)/2=45>40 capped; j=3 t=(100-50)/1=50<=100 → 50
+    df = _lang_df(spark, {"a": 10, "b": 40, "c": 100})
+    out = {r["lang"]: r for r in unimax_rates(
+        df, budget=100.0, size_col="n_chars", max_epochs=1.0
+    ).collect()}
+    assert out["a"]["alloc"] == 10.0 and out["a"]["epochs"] == 1.0
+    assert out["b"]["alloc"] == 40.0
+    assert out["c"]["alloc"] == 50.0 and out["c"]["epochs"] == 0.5
+    assert sum(r["alloc"] for r in out.values()) == 100.0
+
+
+def test_unimax_uncapped_even_split(spark):
+    from astro_sdk_spark.functions.sampling import unimax_rates
+
+    df = _lang_df(spark, {"a": 100, "b": 200, "c": 300})
+    out = {r["lang"]: r["alloc"] for r in unimax_rates(
+        df, budget=90.0, size_col="n_chars", max_epochs=1.0
+    ).collect()}
+    assert out == {"a": 30.0, "b": 30.0, "c": 30.0}
+
+
+def test_unimax_data_limited(spark):
+    from astro_sdk_spark.functions.sampling import unimax_rates
+
+    # budget exceeds every cap: everything fully used, epochs = max_epochs
+    df = _lang_df(spark, {"a": 10, "b": 20})
+    out = {r["lang"]: r for r in unimax_rates(
+        df, budget=1000.0, size_col="n_chars", max_epochs=2.0
+    ).collect()}
+    assert out["a"]["alloc"] == 20.0 and out["a"]["epochs"] == 2.0
+    assert out["b"]["alloc"] == 40.0 and out["b"]["epochs"] == 2.0
+
+
+def test_unimax_counts_docs_when_no_size_col(spark):
+    from astro_sdk_spark.functions.sampling import unimax_rates
+
+    df = _lang_df(spark, {"a": 7}).union(_lang_df(spark, {"a": 9, "b": 5}))
+    out = {r["lang"]: r["corpus_size"] for r in unimax_rates(
+        df, budget=10.0, max_epochs=1.0
+    ).collect()}
+    assert out == {"a": 2, "b": 1}
+
+
+def test_unimax_validation(spark):
+    import pytest
+
+    from astro_sdk_spark.functions.sampling import unimax_rates
+
+    df = _lang_df(spark, {"a": 1})
+    with pytest.raises(ValueError, match="budget"):
+        unimax_rates(df, budget=0.0)
+    with pytest.raises(ValueError, match="max_epochs"):
+        unimax_rates(df, budget=1.0, max_epochs=0.0)

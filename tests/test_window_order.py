@@ -61,11 +61,14 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "lang-id": ["q_lang_id", "q_lang_distribution"],
     "tfidf-scoring": ["q_tfidf", "q_lm_score", "q_quality_classifier"],
-    "cleaning": ["q_pii_redaction", "q_decontaminate", "q_c4_rules"],
+    "cleaning": [
+        "q_pii_redaction", "q_decontaminate", "q_c4_rules",
+        "q_contamination_score",
+    ],
     "content-dedup": ["q_line_dedup", "q_substring_dedup"],
     "sampling": [
         "q_train_split", "q_stratified_sample", "q_seq_packing", "q_domain_mix",
-        "q_dsir_weights", "q_doc_chunks",
+        "q_dsir_weights", "q_doc_chunks", "q_unimax",
     ],
 }
 
