@@ -341,6 +341,94 @@ def lm_score(
     )
 
 
+def bigram_lm_score(
+    corpus: DataFrame,
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    add_k: float = 1.0,
+    round_digits: int = 4,
+    broadcast_model: bool | None = None,
+) -> DataFrame:
+    """Bigram LM quality scoring with Stupid Backoff (Brants et al.,
+    "Large Language Models in Machine Translation", EMNLP 2007 §4) — the
+    smoothing designed FOR distributed corpus-scale LMs: no discount
+    bookkeeping, no normalization pass, just
+
+        S(w | v) = count(vw) / count(v)            if count(vw) > 0
+                 = α · S(w)                         otherwise
+        S(w)     = (count(w) + k) / (T + k·(V+1))   (the lm_score unigram)
+
+    The first token of a document is unigram-scored; every later token is
+    scored through the backoff chain. Returns ``(id, n_tokens,
+    avg_logprob, perplexity)`` — drop-in beside :func:`lm_score`, one
+    order of context stronger (repetitive/boilerplate text shows up much
+    harder in bigram space).
+
+    Scale shape: two model tables — groupBy(term) and groupBy(prev, term)
+    counts, both ONE partial-aggregated shuffle over corpus tokens; the
+    bigram table is Zipf-concentrated and broadcast-hinted by default for
+    self-scoring (pass ``broadcast_model=False`` for open-domain corpora
+    — AQE then handles hot-bigram skew in the shuffle join). Scoring is
+    three left joins + one groupBy(doc); position/prev extraction is a
+    generator projection (posexplode + element_at), no per-doc window."""
+    if broadcast_model is None:
+        broadcast_model = docs is None
+    if docs is None:
+        docs = corpus
+
+    def _positions(df: DataFrame):
+        norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+        base = df.select(F.col(id_col), F.split(norm, " ").alias("_tk"))
+        return base.select(
+            F.col(id_col), "_tk", F.posexplode("_tk").alias("_p", "term")
+        ).select(
+            F.col(id_col),
+            "term",
+            F.when(F.col("_p") >= 1, F.element_at("_tk", F.col("_p"))).alias("prev"),
+        )
+
+    corpus_pos = _positions(corpus)
+    uni = corpus_pos.groupBy("term").agg(F.count(F.lit(1)).alias("_c1"))
+    tot = uni.agg(F.sum("_c1").alias("_T"), F.count(F.lit(1)).alias("_V"))
+    bi = (
+        corpus_pos.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "term")
+        .agg(F.count(F.lit(1)).alias("_c2"))
+    )
+    uni_side = F.broadcast(uni) if broadcast_model else uni
+    bi_side = F.broadcast(bi) if broadcast_model else bi
+
+    doc_pos = _positions(docs)
+    k = float(add_k)
+    denom = F.col("_T") + F.lit(k) * (F.col("_V") + 1)
+    uni_num = F.coalesce(F.col("_c1t"), F.lit(0)) + F.lit(k)
+    lp = (
+        F.when(F.col("_c2").isNotNull(), F.log(F.col("_c2") / F.col("_c1p")))
+        .when(F.col("prev").isNotNull(), F.log(F.lit(float(alpha)) * uni_num / denom))
+        .otherwise(F.log(uni_num / denom))
+    )
+    scored = (
+        doc_pos.join(bi_side, ["prev", "term"], "left")
+        .join(uni_side.withColumnRenamed("_c1", "_c1t"), "term", "left")
+        .join(
+            uni_side.select(
+                F.col("term").alias("prev"), F.col("_c1").alias("_c1p")
+            ),
+            "prev",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(F.col(id_col), lp.alias("_lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("_lp"), round_digits).alias("avg_logprob"),
+        F.round(F.exp(-F.avg("_lp")), round_digits).alias("perplexity"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -3266,6 +3266,62 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Stupid Backoff bigram LM (Brants et al., EMNLP 2007) — the distributed-
+# first LM smoothing: bigram ratio when seen, α·unigram otherwise. The
+# oracle replays both model tables and the three-branch backoff chain.
+
+_LM_BACKOFF_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(tk) AS term,
+             unnest(range(1, len(tk) + 1)) AS p, tk
+      FROM toks),
+    pos2 AS (
+      SELECT doc_id, term,
+             CASE WHEN p >= 2 THEN tk[p - 1] END AS prev
+      FROM pos),
+    uni AS (SELECT term, count(*) AS c1 FROM pos2 GROUP BY term),
+    tot AS (SELECT sum(c1) AS T, count(*) AS V FROM uni),
+    bi AS (
+      SELECT prev, term, count(*) AS c2 FROM pos2
+      WHERE prev IS NOT NULL GROUP BY prev, term),
+    lp AS (
+      SELECT s.doc_id,
+             CASE
+               WHEN b.c2 IS NOT NULL THEN ln(b.c2 / up.c1)
+               WHEN s.prev IS NOT NULL THEN
+                 ln(0.4 * (coalesce(ut.c1, 0) + 1.0)
+                    / (tot.T + 1.0 * (tot.V + 1)))
+               ELSE ln((coalesce(ut.c1, 0) + 1.0)
+                       / (tot.T + 1.0 * (tot.V + 1)))
+             END AS lp
+      FROM pos2 s
+      LEFT JOIN bi b ON s.prev = b.prev AND s.term = b.term
+      LEFT JOIN uni ut ON s.term = ut.term
+      LEFT JOIN uni up ON s.prev = up.term
+      CROSS JOIN tot)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(lp), 4) AS avg_logprob,
+           round(exp(-avg(lp)), 4) AS perplexity
+    FROM lp GROUP BY doc_id
+"""
+
+
+@q("q_lm_backoff", _LM_BACKOFF_ORACLE)
+def q_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff bigram LM scoring
+    (functions/text.py:bigram_lm_score): bigram and unigram count models
+    fit on the corpus in one partial-aggregated shuffle each, every token
+    scored through the seen-bigram / α·unigram backoff chain — one order
+    of context stronger than q_lm_score's unigram CCNet filter."""
+    from astro_sdk_spark.functions.text import bigram_lm_score
+
+    return bigram_lm_score(T(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # UniMax language sampling (Chung et al., ICLR 2023) — closed-form
 # water-filling of a character budget across languages with an epoch cap,
 # replayed in SQL with the same window scan.
@@ -3531,6 +3587,8 @@ _TAIL_VARIANTS = [
                               # in-window (graded variant of decontaminate)
     "q_unimax",            # sampling/mixture: q_train_split, q_domain_mix
                            # in-window (multilingual budget allocation)
+    "q_lm_backoff",        # model scoring: q_tfidf, q_lm_score in-window
+                           # (bigram Stupid-Backoff variant)
 ]
 
 

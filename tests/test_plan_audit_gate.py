@@ -45,6 +45,8 @@ NESTED_LOOP_WHITELIST = {
                              # (the cosine_topk exact-baseline shape)
     "q_unimax": 1,           # water-filling level: one-row broadcast
                              # (tf_idf normalizer device)
+    "q_lm_backoff": 1,       # model-normalizer one-row broadcast (the
+                             # q_lm_score device, bigram variant)
 }
 
 # query → max allowed Python/Arrow boundary nodes (MapInPandas etc.).

@@ -93,3 +93,56 @@ def test_gopher_rules_matches_python_reference_on_random_docs(spark):
         row = got[i]
         for k, v in ref.items():
             assert getattr(row, k) == v, (i, k, getattr(row, k), v, text)
+
+
+# ---------------------------------------------------------------------------
+# bigram_lm_score (Stupid Backoff)
+
+
+def test_bigram_lm_prefers_seen_transitions(spark):
+    from astro_sdk_spark.functions.text import bigram_lm_score
+
+    corpus = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(100, "the cat sat on the mat"),  # every bigram seen
+         (101, "mat the on sat cat the")],  # same unigrams, unseen bigrams
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_score(corpus, docs).collect()}
+    assert out[100]["avg_logprob"] > out[101]["avg_logprob"]
+    assert out[100]["perplexity"] < out[101]["perplexity"]
+    assert out[100]["n_tokens"] == 6
+
+
+def test_bigram_lm_single_token_doc_uses_unigram(spark):
+    from astro_sdk_spark.functions.text import bigram_lm_score
+
+    import math
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_score(corpus).collect()}
+    # doc 2: one token, no bigram context → pure unigram path
+    # uni: alpha=2, beta=1, T=3, V=2 → S(alpha) = (2+1)/(3+3) = 0.5
+    assert out[2]["n_tokens"] == 1
+    assert out[2]["avg_logprob"] == round(math.log(0.5), 4)
+
+
+def test_bigram_lm_backoff_branch_exact(spark):
+    from astro_sdk_spark.functions.text import bigram_lm_score
+
+    import math
+
+    corpus = spark.createDataFrame(
+        [(1, "a b"), (2, "b a")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame([(9, "a a")], "doc_id long, text string")
+    out = bigram_lm_score(corpus, docs, broadcast_model=True).collect()[0]
+    # uni: a=2, b=2, T=4, V=2; S(a) = (2+1)/(4+3) = 3/7
+    # pos1: unigram ln(3/7); pos2: bigram "a a" unseen → ln(0.4 * 3/7)
+    expected = (math.log(3 / 7) + math.log(0.4 * 3 / 7)) / 2
+    assert out["avg_logprob"] == round(expected, 4)

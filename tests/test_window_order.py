@@ -60,7 +60,9 @@ FAMILIES: dict[str, list[str]] = {
         "q_gopher_filter", "q_bpe_train", "q_bpe_encode",
     ],
     "lang-id": ["q_lang_id", "q_lang_distribution"],
-    "tfidf-scoring": ["q_tfidf", "q_lm_score", "q_quality_classifier"],
+    "tfidf-scoring": [
+        "q_tfidf", "q_lm_score", "q_quality_classifier", "q_lm_backoff",
+    ],
     "cleaning": [
         "q_pii_redaction", "q_decontaminate", "q_c4_rules",
         "q_contamination_score",
