@@ -9,6 +9,11 @@ from astro_sdk_spark.multimodal.codecs import (
     encode_png,
     resize_nearest,
 )
+from astro_sdk_spark.multimodal.avi import (
+    avi_frames,
+    avi_metadata,
+    write_avi_mjpeg,
+)
 from astro_sdk_spark.multimodal.jpeg import encode_jpeg
 from astro_sdk_spark.multimodal.ops import (
     MEDIA_SCHEMA,
@@ -38,6 +43,9 @@ __all__ = [
     "encode_jpeg",
     "decode_wav",
     "resize_nearest",
+    "avi_frames",
+    "avi_metadata",
+    "write_avi_mjpeg",
     "extract_image_features",
     "extract_audio_features",
     "image_phash_batch",

@@ -306,16 +306,34 @@ def frame_sample_video(
     content_col: str = "content",
     id_col: str = "path",
 ) -> DataFrame:
-    """Frame-sampling stub: emits (video, frame_idx, frame_bytes) rows —
-    one input row explodes into ≤max_frames output rows, the real shape of
-    a video→frames stage (the exploded layout is what downstream image ops
-    consume). Frame bytes are deterministic slices of the blob."""
+    """Frame sampling: emits (video, frame_idx, frame) rows — one input
+    row explodes into ≤``max_frames`` output rows, the exploded layout
+    downstream image ops consume.
+
+    AVI/MJPEG blobs take the REAL path (``multimodal.avi``): every
+    ``every_n``-th video frame is sliced out of the container by chunk
+    offset (the rest of the blob is never materialized) and emitted as a
+    standalone baseline-JPEG blob — feed the frames straight to
+    :func:`decode_image_batch` / :func:`image_phash_batch`;
+    ``frame_idx`` is the frame number. Containers without a stdlib
+    parser (mp4/h264/mkv) keep the deterministic byte-slice stub with
+    ``frame_idx`` as a byte offset — honestly fake, shape-correct."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from astro_sdk_spark.multimodal.avi import avi_frame_offsets, is_avi
+
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for pid, b in zip(pdf[id_col], pdf[content_col]):
-                blob = b or b""
+                blob = bytes(b or b"")
+                if is_avi(blob):
+                    offs = avi_frame_offsets(blob)
+                    for i in range(0, len(offs), max(every_n, 1))[:max_frames]:
+                        o, s = offs[i]
+                        ids.append(pid)
+                        idxs.append(i)
+                        frames.append(blob[o : o + s])
+                    continue
                 n = min(max_frames, max(1, len(blob) // max(every_n, 1)))
                 for i in range(n):
                     ids.append(pid)
