@@ -12,6 +12,7 @@ watermark beyond every real window; the sentinel's own window stays open
 from __future__ import annotations
 
 import datetime
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -58,6 +59,14 @@ SCHEMA = (
 
 def _run_to_table(spark, df, name, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # a killed previous run can leave the managed location behind with no
+    # catalog entry — Spark then refuses the name (LOCATION_ALREADY_EXISTS)
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(
+        os.path.join(wh.removeprefix("file:"), name), ignore_errors=True
+    )
     q = stream_to_table(df, name, str(tmp_path / "ckpt"), trigger_once=True)
     q.awaitTermination(120)
     return spark.table(name)
