@@ -35,26 +35,39 @@ from pyspark.sql.window import Window
 __all__ = ["sq_code_col", "sq_encode", "sq_topk"]
 
 
-def sq_code_col(vec_col, bits: int = 8) -> Column:
+def sq_code_col(vec_col, bits: int = 8, norm_col: Column | None = None) -> Column:
     """Signed int code array for one vector column: L2-normalize, scale by
     ``2^(bits−1) − 1``, round half-up. Zero vectors code to all-zero.
     The float element is cast to double BEFORE any arithmetic (the cosine
-    float32→double contract)."""
+    float32→double contract).
+
+    Pass ``norm_col`` (a column already holding the L2 norm) whenever
+    possible: Spark re-evaluates subtrees captured by HOF lambdas on
+    EVERY element call, so an inlined norm makes encoding O(d²) per row
+    (the shingles_col lesson) — a materialized norm column keeps it
+    O(d). :func:`sq_encode` does this automatically."""
     if not 2 <= bits <= 16:
         raise ValueError(f"bits must be in [2, 16], got {bits}")
     half = float(2 ** (bits - 1) - 1)
     v = vec_col if isinstance(vec_col, Column) else F.col(vec_col)
     dv = F.transform(v, lambda x: x.cast("double"))
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(dv, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
+    norm = sq_norm_col(v) if norm_col is None else norm_col
     return F.transform(
         dv,
         lambda x: F.when(
             norm > 0, F.floor(x / norm * F.lit(half) + F.lit(0.5))
         ).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
+def sq_norm_col(vec_col) -> Column:
+    """L2 norm of a vector column (elements cast to double first)."""
+    v = vec_col if isinstance(vec_col, Column) else F.col(vec_col)
+    dv = F.transform(v, lambda x: x.cast("double"))
+    return F.sqrt(
+        F.aggregate(
+            F.transform(dv, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
     )
 
 
@@ -66,8 +79,18 @@ def sq_encode(
     bits: int = 8,
 ) -> DataFrame:
     """(id, code) table — the compressed representation that persists and
-    shuffles in place of the float vectors."""
-    return df.select(F.col(id_col), sq_code_col(F.col(vec_col), bits).alias(code_col))
+    shuffles in place of the float vectors. Two-step projection: the norm
+    materializes once per row, then the per-element lambda references it
+    as a plain column (O(d) per row, not O(d²))."""
+    staged = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sq_norm_col(F.col(vec_col)).alias("_nrm"),
+    )
+    return staged.select(
+        F.col(id_col),
+        sq_code_col(F.col(vec_col), bits, norm_col=F.col("_nrm")).alias(code_col),
+    )
 
 
 def sq_topk(
