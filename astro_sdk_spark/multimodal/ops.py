@@ -63,6 +63,7 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFr
     magic-byte sniffing — all built-ins / deterministic."""
     c = F.col(content_col)
     magic = F.hex(F.substring(c, 1, 4))
+    riff_type = F.hex(F.substring(c, 9, 4))  # RIFF form type at offset 8
     return (
         df.withColumn("n_bytes", F.length(c))
         .withColumn("sha256", F.sha2(c, 256))
@@ -70,7 +71,13 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFr
             "sniffed_format",
             F.when(magic.startswith("89504E47"), "png")
             .when(magic.startswith("FFD8"), "jpeg")
-            .when(magic.startswith("52494646"), "riff")
+            .when(
+                magic.startswith("52494646"),
+                # RIFF containers split by form type: 'AVI ' vs 'WAVE'
+                F.when(riff_type == F.lit("41564920"), F.lit("avi"))
+                .when(riff_type == F.lit("57415645"), F.lit("wav"))
+                .otherwise(F.lit("riff")),
+            )
             .when(magic.startswith("47494638"), "gif")
             .otherwise("unknown"),
         )

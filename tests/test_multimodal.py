@@ -71,7 +71,7 @@ def test_media_table_types_and_metadata(spark, media_dir):
     assert rows["c.jpg"].media_type == "image"
     assert rows["d.mp4"].media_type == "video"
     assert rows["a.png"].sniffed_format == "png"
-    assert rows["b.wav"].sniffed_format == "riff"
+    assert rows["b.wav"].sniffed_format == "wav"
     assert rows["c.jpg"].sniffed_format == "jpeg"
     assert rows["d.mp4"].sniffed_format == "unknown"
     # sha256 matches a local hash of the same bytes
@@ -365,3 +365,13 @@ def test_frame_sample_avi_feeds_phash(spark, tmp_path):
     hashes = image_phash_batch(keyed, content_col="content", id_col="fid").collect()
     assert len(hashes) == 3
     assert all(r.phash is not None for r in hashes)
+
+
+def test_sniff_distinguishes_avi_from_wav(spark, tmp_path):
+    from astro_sdk_spark.multimodal.avi import write_avi_mjpeg
+
+    (tmp_path / "v.avi").write_bytes(write_avi_mjpeg(_gradient_frames(1)))
+    (tmp_path / "s.wav").write_bytes(_tiny_wav())
+    mt = attach_media_metadata(media_table_from_files(spark, str(tmp_path) + "/*"))
+    rows = {r.path.rsplit("/", 1)[-1]: r.sniffed_format for r in mt.collect()}
+    assert rows == {"v.avi": "avi", "s.wav": "wav"}
