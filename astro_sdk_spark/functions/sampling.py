@@ -436,3 +436,75 @@ def unimax_rates(
             ).alias("epochs"),
         )
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "",
+    hash_fn: str = "xxhash64",
+    round_digits: int = 12,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k items per group
+    (Efraimidis & Spirakis, "Weighted random sampling with a reservoir",
+    IPL 2006): each row gets key ``u^(1/w)`` with ``u ~ Uniform(0,1)``;
+    the k largest keys per group are a weighted sample without
+    replacement — the distributed-reservoir standard (one pass, no
+    global state).
+
+    ``u`` is hash-derived from ``(id, salt)`` (the dsir_select Gumbel
+    device: the 53-bit mantissa of xxhash64), so selection is
+    DETERMINISTIC, append-stable, and replicable by an external SQL
+    engine — rerunning on a grown corpus re-evaluates fairly without
+    any RNG state. Rows with weight ≤ 0 are excluded (zero-weight items
+    have zero selection probability; a log-domain key would NaN).
+
+    Scale shape: one projection computes the keys, then ONE shuffle — a
+    per-group window top-k (rank over descending key). No collect, no
+    iteration; with ``group_col=None`` a single global reservoir (the
+    one-partition window is the documented cost — use groups at scale).
+
+    Returns the sampled rows with ``_wkey`` and ``sample_rank`` attached.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if hash_fn == "xxhash64":
+        u = (
+            F.shiftrightunsigned(
+                F.xxhash64(F.col(id_col).cast("string"), F.lit(salt)), 11
+            ).cast("double")
+            / F.lit(float(1 << 53))
+            + F.lit(2.0 ** -54)
+        )
+    elif hash_fn == "md5":
+        # 52-bit md5 mantissa — the engine-portable device (classifier/
+        # dsir bucketing), replicable in an external SQL oracle
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+                    1, 13,
+                ),
+                16, 10,
+            ).cast("bigint").cast("double")
+            / F.lit(float(1 << 52))
+            + F.lit(1.0) / F.lit(float(1 << 53))
+        )
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    w = F.col(weight_col).cast("double")
+    pin = F.lit(float(10 ** round_digits))
+    # floor-pin the key (positive) so libm pow ulp noise can never flip a
+    # rank across engines; id tiebreak settles pinned ties
+    keyed = df.filter(w > 0).withColumn(
+        "_wkey", F.floor(F.pow(u, F.lit(1.0) / w) * pin + F.lit(0.5)) / pin
+    )
+    part = Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    win = part.orderBy(F.desc("_wkey"), F.asc(id_col))
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -3266,6 +3266,45 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Weighted reservoir sampling per group (Efraimidis–Spirakis) — k docs per
+# language with probability ∝ n_chars, deterministic via the md5-mantissa
+# uniform; the oracle replays key derivation, pow, pin, and ranking.
+
+_WSAMPLE_ORACLE = """
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             floor(pow(
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), 1, 13)
+                    AS BIGINT) / 4503599627370496.0
+                 + 1.0 / 9007199254740992.0,
+               1.0 / CAST(n_chars AS DOUBLE)) * 1e12 + 0.5) / 1e12 AS _wkey
+      FROM documents WHERE CAST(n_chars AS DOUBLE) > 0),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY lang ORDER BY _wkey DESC, doc_id) AS sample_rank
+      FROM keyed)
+    SELECT doc_id, lang, n_chars, _wkey, sample_rank
+    FROM r WHERE sample_rank <= 5
+"""
+
+
+@q("q_weighted_sample", _WSAMPLE_ORACLE)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample
+    (functions/sampling.py:weighted_sample_per_group): 5 docs per
+    language, inclusion probability ∝ n_chars — one key projection + one
+    per-group window top-k; md5-mantissa uniforms keep it deterministic
+    and SQL-replayable."""
+    from astro_sdk_spark.functions.sampling import weighted_sample_per_group
+
+    d = T(spark, sf_dir, "documents")
+    return weighted_sample_per_group(
+        d, k=5, weight_col="n_chars", group_col="lang",
+        salt="ws", hash_fn="md5",
+    ).select("doc_id", "lang", "n_chars", "_wkey", "sample_rank")
+
+
+# --------------------------------------------------------------------------
 # Stupid Backoff bigram LM (Brants et al., EMNLP 2007) — the distributed-
 # first LM smoothing: bigram ratio when seen, α·unigram otherwise. The
 # oracle replays both model tables and the three-branch backoff chain.
@@ -3589,6 +3628,8 @@ _TAIL_VARIANTS = [
                            # in-window (multilingual budget allocation)
     "q_lm_backoff",        # model scoring: q_tfidf, q_lm_score in-window
                            # (bigram Stupid-Backoff variant)
+    "q_weighted_sample",   # sampling: q_train_split, q_domain_mix,
+                           # q_seq_packing in-window (E–S reservoir)
 ]
 
 

@@ -405,3 +405,69 @@ def test_unimax_validation(spark):
         unimax_rates(df, budget=0.0)
     with pytest.raises(ValueError, match="max_epochs"):
         unimax_rates(df, budget=1.0, max_epochs=0.0)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_per_group (Efraimidis–Spirakis reservoir)
+
+
+def test_weighted_sample_shape_and_determinism(spark):
+    from astro_sdk_spark.functions.sampling import weighted_sample_per_group
+
+    rows = [(i, "g1" if i % 2 else "g2", (i % 7) + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+    out1 = weighted_sample_per_group(df, k=3, weight_col="w", group_col="grp")
+    got1 = sorted((r["grp"], r["doc_id"]) for r in out1.collect())
+    # exactly k per group
+    from collections import Counter
+
+    assert Counter(g for g, _ in got1) == {"g1": 3, "g2": 3}
+    # deterministic across partitionings
+    out2 = weighted_sample_per_group(
+        df.repartition(7), k=3, weight_col="w", group_col="grp"
+    )
+    assert sorted((r["grp"], r["doc_id"]) for r in out2.collect()) == got1
+    # salt changes the draw
+    out3 = weighted_sample_per_group(
+        df, k=3, weight_col="w", group_col="grp", salt="other"
+    )
+    assert sorted((r["grp"], r["doc_id"]) for r in out3.collect()) != got1
+
+
+def test_weighted_sample_zero_weight_excluded(spark):
+    from astro_sdk_spark.functions.sampling import weighted_sample_per_group
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, -3), (3, 5), (4, 5)], "doc_id long, w long"
+    )
+    got = {r["doc_id"] for r in
+           weighted_sample_per_group(df, k=10, weight_col="w").collect()}
+    assert got == {3, 4}
+
+
+def test_weighted_sample_bias_follows_weights(spark):
+    """A heavy item must be selected far more often than a light one
+    across independent salts (probabilistic contract, not just shape)."""
+    from astro_sdk_spark.functions.sampling import weighted_sample_per_group
+
+    rows = [(i, 100 if i == 0 else 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    hits = 0
+    for s in range(20):
+        sel = {r["doc_id"] for r in weighted_sample_per_group(
+            df, k=5, weight_col="w", salt=str(s)
+        ).collect()}
+        hits += 0 in sel
+    assert hits >= 15  # P(select) ≈ 1 for w=100 vs 49 × w=1, k=5
+
+
+def test_weighted_sample_validation(spark):
+    import pytest
+
+    from astro_sdk_spark.functions.sampling import weighted_sample_per_group
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, w long")
+    with pytest.raises(ValueError, match="k must"):
+        weighted_sample_per_group(df, k=0, weight_col="w")
+    with pytest.raises(ValueError, match="hash_fn"):
+        weighted_sample_per_group(df, k=1, weight_col="w", hash_fn="crc")

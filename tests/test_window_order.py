@@ -70,7 +70,7 @@ FAMILIES: dict[str, list[str]] = {
     "content-dedup": ["q_line_dedup", "q_substring_dedup"],
     "sampling": [
         "q_train_split", "q_stratified_sample", "q_seq_packing", "q_domain_mix",
-        "q_dsir_weights", "q_doc_chunks", "q_unimax",
+        "q_dsir_weights", "q_doc_chunks", "q_unimax", "q_weighted_sample",
     ],
 }
 
