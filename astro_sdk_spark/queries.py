@@ -10,21 +10,15 @@ Determinism rules used throughout:
 - every top-k is ordered with a unique-key tiebreak;
 - rank-on-rounded for similarity scores so both engines rank identically.
 
-Coverage map (SURVEY §2.5 + extensions):
-  scans/filter/project  → q_filter_project
-  aggregation           → q_pricing_summary (flagship), q_distinct_counts,
-                          q_group_having, q_rollup, q_cube
-  joins                 → q_join_agg (broadcast dim), q_region_revenue
-                          (multi-join), q_semi_anti_join
-  windows               → q_window_topk, q_window_running
-  sort/limit            → q_topk_order
-  set ops               → q_set_ops
-  scalar functions      → q_scalar_funcs, q_date_funcs, q_json_extract
-  merge/append semantics→ q_merge_update, q_merge_ignore, q_append_map
-  events (time series)  → q_events_tumbling, q_events_sessions
-  dedup                 → q_dedup_exact (oracle), minhash/simhash (rows-only)
-  text analysis         → q_token_stats, q_quality_score
-  similarity search     → q_embedding_topk (oracle), LSH ANN (rows-only)
+Coverage map: every §2.5 family and every extension family has at least
+one representative in the 50-entry driver window, with within-family
+variants parked in ``_TAIL_VARIANTS`` (tests/test_window_order.py keeps
+the map total and the window covered). ALL registered queries carry a
+full DuckDB oracle — including the iterative/trained pipelines (k-means,
+PQ, IVF-PQ, BPE, the logistic-regression quality classifier), whose
+oracles unroll their training iterations in SQL, and the LSH/MinHash
+families, whose determinism contracts (rank-on-rounded, capped buckets,
+id tiebreaks) were built so hash-compare is possible at all.
 """
 
 from __future__ import annotations
