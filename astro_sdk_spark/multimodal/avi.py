@@ -58,6 +58,8 @@ def avi_metadata(blob: bytes) -> dict:
             continue
         for sfcc, sp, ssize in _chunks(blob, p + 4, p + size):
             if sfcc == b"avih":
+                if ssize < 40:
+                    raise ValueError("avi: truncated avih header")
                 us_pf, _maxbps, _pad, _flags, total, _init, _streams, _buf, w, h = (
                     struct.unpack_from("<10I", blob, sp)
                 )

@@ -375,3 +375,35 @@ def test_sniff_distinguishes_avi_from_wav(spark, tmp_path):
     mt = attach_media_metadata(media_table_from_files(spark, str(tmp_path) + "/*"))
     rows = {r.path.rsplit("/", 1)[-1]: r.sniffed_format for r in mt.collect()}
     assert rows == {"v.avi": "avi", "s.wav": "wav"}
+
+
+def test_avi_parser_never_crashes_on_corrupt_bytes():
+    """Corrupt-blob policy: truncated/garbled AVI bytes must either parse
+    or raise ValueError — never struct.error/IndexError (hypothesis over
+    random mutations of a valid container)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from astro_sdk_spark.multimodal.avi import (
+        avi_frame_offsets,
+        avi_metadata,
+        write_avi_mjpeg,
+    )
+
+    valid = write_avi_mjpeg(_gradient_frames(2), fps=10)
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.integers(0, len(valid)),
+        st.binary(max_size=24),
+        st.integers(0, len(valid)),
+    )
+    def fuzz(cut, junk, splice):
+        blob = valid[:cut] + junk + valid[splice:]
+        for fn in (avi_metadata, avi_frame_offsets):
+            try:
+                fn(blob)
+            except ValueError:
+                pass  # the one allowed failure mode
+
+    fuzz()
