@@ -407,3 +407,51 @@ class SparkEngine:
             else:
                 aligned.append(F.lit(None).cast(f2.dataType).alias(f2.name))
         src.select(*aligned).write.mode("append").insertInto(target_table.qualified_name)
+
+    def compact_table(
+        self,
+        table: BaseTable,
+        target_file_mb: int = 128,
+        sort_by: Sequence[str] | None = None,
+    ) -> dict:
+        """Rewrite a managed table into right-sized files — the small-files
+        maintenance op every long-lived 100 TB table needs (each parquet
+        file below ~100 MB costs a task, a footer read, and an open per
+        scan; ingest jobs and streaming sinks accumulate thousands).
+
+        Sizing comes from the optimizer's relation statistics
+        (``sizeInBytes`` — refreshed by :meth:`analyze_table`), so no
+        filesystem walk: ``n_files = ceil(size / target_file_mb)``. With
+        ``sort_by`` the rewrite range-partitions on those columns and
+        sorts within each file — parquet min/max stats then prune file
+        ranges on those predicates (ZORDER-lite clustering for the 1-D
+        case). The rewrite stages into a temp table and goes live via the
+        merge machinery's atomic DROP+RENAME swap, so readers never see a
+        partial table.
+
+        Returns ``{"files_before", "files_after", "bytes_estimated"}``.
+        """
+        qname = table.qualified_name
+        df = self.spark.table(qname)
+        files_before = len(df.inputFiles())
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        n = max(1, -(-size // (target_file_mb * 1024 * 1024)))
+        if sort_by:
+            cols = [F.col(c) for c in sort_by]
+            compacted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+        else:
+            compacted = df.repartition(n)
+        staging = f"{qname}__compact_staging"
+        self.spark.sql(f"DROP TABLE IF EXISTS {quote_identifier(staging)}")
+        compacted.write.format("parquet").saveAsTable(staging)
+        from astro_sdk_spark.operators.swap import swap_table
+
+        swap_table(self.spark, staging, qname)
+        files_after = len(self.spark.table(qname).inputFiles())
+        return {
+            "files_before": files_before,
+            "files_after": files_after,
+            "bytes_estimated": size,
+        }

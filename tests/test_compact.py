@@ -1,0 +1,63 @@
+"""compact_table: small-file compaction with optional clustering —
+file-count reduction, data preservation, atomic swap, sorted layout."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from astro_sdk_spark import Table
+
+
+@pytest.fixture()
+def demo_table(spark):
+    name = "compact_demo_t"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(os.path.join(wh.removeprefix("file:"), name), ignore_errors=True)
+    df = spark.range(0, 300_000).selectExpr(
+        "id", "id % 7 as k", "cast(id as string) as s"
+    )
+    df.repartition(40).write.saveAsTable(name)
+    yield Table(name=name)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_compact_reduces_files_and_preserves_data(spark, engine, demo_table):
+    before = spark.table(demo_table.qualified_name)
+    checksum = before.agg(F.sum("id"), F.count(F.lit(1))).collect()[0]
+    stats = engine.compact_table(demo_table, target_file_mb=128)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] < 40
+    after = spark.table(demo_table.qualified_name)
+    assert after.agg(F.sum("id"), F.count(F.lit(1))).collect()[0] == checksum
+
+
+def test_compact_sorted_layout_clusters_ranges(spark, engine, demo_table):
+    """With sort_by, files hold disjoint key ranges (range partitioning +
+    within-file sort) — the layout parquet min/max pruning wants."""
+    stats = engine.compact_table(demo_table, target_file_mb=1, sort_by=["id"])
+    assert stats["files_after"] > 1
+    spans = (
+        spark.table(demo_table.qualified_name)
+        .select("id", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in spans)
+    assert len(spans) == stats["files_after"]
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # disjoint, ordered ranges across files
+
+
+def test_compact_is_atomic_under_name(spark, engine, demo_table):
+    """No staging residue after compaction; the table name stays live."""
+    engine.compact_table(demo_table, target_file_mb=128)
+    assert spark.catalog.tableExists(demo_table.qualified_name)
+    assert not spark.catalog.tableExists(
+        demo_table.qualified_name + "__compact_staging"
+    )
