@@ -432,6 +432,18 @@ class SparkEngine:
         Returns ``{"files_before", "files_after", "bytes_estimated"}``.
         """
         qname = table.qualified_name
+        parts = [
+            c.name for c in self.spark.catalog.listColumns(qname) if c.isPartition
+        ]
+        if parts:
+            # a flat rewrite would silently drop the partition spec (and
+            # with it partition pruning) — refuse loudly until a
+            # per-partition rewrite is requested explicitly
+            raise ValueError(
+                f"compact_table: {qname} is partitioned by {parts}; compact "
+                f"one partition at a time (filter + insert overwrite) — a "
+                f"flat rewrite would lose the partitioning"
+            )
         df = self.spark.table(qname)
         files_before = len(df.inputFiles())
         size = int(

@@ -61,3 +61,16 @@ def test_compact_is_atomic_under_name(spark, engine, demo_table):
     assert not spark.catalog.tableExists(
         demo_table.qualified_name + "__compact_staging"
     )
+
+
+def test_compact_refuses_partitioned_tables(spark, engine):
+    name = "compact_part_t"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(os.path.join(wh.removeprefix("file:"), name), ignore_errors=True)
+    spark.range(0, 100).selectExpr("id", "id % 3 as p").write.partitionBy(
+        "p"
+    ).saveAsTable(name)
+    with pytest.raises(ValueError, match="partitioned"):
+        engine.compact_table(Table(name=name))
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
