@@ -3260,6 +3260,52 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# compact_table round-trip: CTAS a fragmented managed table, compact it
+# with a clustered (sort_by) layout, read back an aggregate over a range
+# predicate — the oracle is the same aggregate on the raw parquet, so a
+# compaction that loses/duplicates/corrupts rows hash-mismatches.
+
+
+@q(
+    "q_compact_roundtrip",
+    """
+    SELECT o_orderstatus,
+           round(sum(o_totalprice), 2) AS total_price,
+           count(*) AS n_orders
+    FROM orders WHERE o_orderkey % 5 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the hash gate
+    (engine.py:compact_table): stage orders into a deliberately
+    fragmented managed table (16 files), compact to a sorted layout via
+    the atomic staged swap, and aggregate the compacted table — content
+    must survive the rewrite bit-for-bit."""
+    from astro_sdk_spark.engine import SparkEngine
+    from astro_sdk_spark.table import Table
+
+    eng = SparkEngine(spark)
+    tbl = "q_compact_orders"
+    _drop_table_and_location(spark, tbl)
+    _drop_table_and_location(spark, tbl + "__compact_staging")
+    T(spark, sf_dir, "orders").repartition(16).write.saveAsTable(tbl)
+    stats = eng.compact_table(
+        Table(name=tbl), target_file_mb=256, sort_by=["o_orderkey"]
+    )
+    assert stats["files_after"] <= stats["files_before"]
+    return (
+        spark.table(tbl)
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Weighted reservoir sampling per group (Efraimidis–Spirakis) — k docs per
 # language with probability ∝ n_chars, deterministic via the md5-mantissa
 # uniform; the oracle replays key derivation, pow, pin, and ranking.
@@ -3624,6 +3670,7 @@ _TAIL_VARIANTS = [
                            # (bigram Stupid-Backoff variant)
     "q_weighted_sample",   # sampling: q_train_split, q_domain_mix,
                            # q_seq_packing in-window (E–S reservoir)
+    "q_compact_roundtrip",  # ctas/operator layer: q_transform_ctas in-window
 ]
 
 

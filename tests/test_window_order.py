@@ -39,7 +39,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_events_rollup", "q_events_gapfill",
     ],
     "merge-append": ["q_merge_update", "q_merge_ignore", "q_append_map"],
-    "ctas-operator": ["q_transform_ctas"],
+    "ctas-operator": ["q_transform_ctas", "q_compact_roundtrip"],
     "data-quality": ["q_check_column", "q_check_table", "q_profile_table"],
     "pipeline": ["q_training_pipeline"],
     "exact-dedup": ["q_dedup_exact", "q_bloom_dedup"],
