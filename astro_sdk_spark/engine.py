@@ -413,6 +413,7 @@ class SparkEngine:
         table: BaseTable,
         target_file_mb: int = 128,
         sort_by: Sequence[str] | None = None,
+        partitions: dict[str, Any] | None = None,
     ) -> dict:
         """Rewrite a managed table into right-sized files — the small-files
         maintenance op every long-lived 100 TB table needs (each parquet
@@ -425,27 +426,50 @@ class SparkEngine:
         ``sort_by`` the rewrite range-partitions on those columns and
         sorts within each file — parquet min/max stats then prune file
         ranges on those predicates (ZORDER-lite clustering for the 1-D
-        case). The rewrite stages into a temp table and goes live via the
-        merge machinery's atomic DROP+RENAME swap, so readers never see a
-        partial table.
+        case).
 
-        Returns ``{"files_before", "files_after", "bytes_estimated"}``.
+        Unpartitioned tables rewrite whole: stage into a temp table, go
+        live via the merge machinery's atomic DROP+RENAME swap — readers
+        never see a partial table. Partitioned tables compact ONE
+        partition at a time: pass ``partitions={"p": value, ...}`` and
+        the rewrite becomes a dynamic-partition INSERT OVERWRITE of
+        exactly that partition (Spark's commit protocol swaps the
+        partition directory atomically; every other partition's files are
+        untouched — which is the point: at 100 TB you compact the
+        partitions your ingest just fragmented, not the table). Calling
+        without ``partitions`` on a partitioned table raises — a flat
+        rewrite would silently drop the partition spec.
+
+        Returns ``{"files_before", "files_after", "bytes_estimated"}``
+        (scoped to the selected partition when ``partitions`` is given).
         """
         qname = table.qualified_name
-        parts = [
+        part_cols = [
             c.name for c in self.spark.catalog.listColumns(qname) if c.isPartition
         ]
-        if parts:
-            # a flat rewrite would silently drop the partition spec (and
-            # with it partition pruning) — refuse loudly until a
-            # per-partition rewrite is requested explicitly
+        if part_cols and partitions is None:
             raise ValueError(
-                f"compact_table: {qname} is partitioned by {parts}; compact "
-                f"one partition at a time (filter + insert overwrite) — a "
+                f"compact_table: {qname} is partitioned by {part_cols}; pass "
+                f"partitions={{col: value}} to compact one partition — a "
                 f"flat rewrite would lose the partitioning"
             )
+        if partitions is not None:
+            unknown = set(partitions) - set(part_cols)
+            if unknown:
+                raise ValueError(
+                    f"compact_table: {sorted(unknown)} are not partition "
+                    f"columns of {qname} (has {part_cols})"
+                )
+
         df = self.spark.table(qname)
-        files_before = len(df.inputFiles())
+        if partitions:
+            for col_name, val in partitions.items():
+                df = df.filter(F.col(col_name) == F.lit(val))
+
+        def _file_count(frame: DataFrame) -> int:
+            return frame.select(F.input_file_name()).distinct().count()
+
+        files_before = _file_count(df)
         size = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
@@ -455,13 +479,29 @@ class SparkEngine:
             compacted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
         else:
             compacted = df.repartition(n)
-        staging = f"{qname}__compact_staging"
-        self.spark.sql(f"DROP TABLE IF EXISTS {quote_identifier(staging)}")
-        compacted.write.format("parquet").saveAsTable(staging)
-        from astro_sdk_spark.operators.swap import swap_table
 
-        swap_table(self.spark, staging, qname)
-        files_after = len(self.spark.table(qname).inputFiles())
+        if partitions:
+            # dynamic partition overwrite: only partitions present in the
+            # (filtered) data — exactly the selected one — are replaced
+            conf_key = "spark.sql.sources.partitionOverwriteMode"
+            prev = self.spark.conf.get(conf_key, "static")
+            self.spark.conf.set(conf_key, "dynamic")
+            try:
+                compacted.write.mode("overwrite").insertInto(qname)
+            finally:
+                self.spark.conf.set(conf_key, prev)
+            after_df = self.spark.table(qname)
+            for col_name, val in partitions.items():
+                after_df = after_df.filter(F.col(col_name) == F.lit(val))
+            files_after = _file_count(after_df)
+        else:
+            staging = f"{qname}__compact_staging"
+            self.spark.sql(f"DROP TABLE IF EXISTS {quote_identifier(staging)}")
+            compacted.write.format("parquet").saveAsTable(staging)
+            from astro_sdk_spark.operators.swap import swap_table
+
+            swap_table(self.spark, staging, qname)
+            files_after = _file_count(self.spark.table(qname))
         return {
             "files_before": files_before,
             "files_after": files_after,

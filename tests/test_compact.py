@@ -63,14 +63,55 @@ def test_compact_is_atomic_under_name(spark, engine, demo_table):
     )
 
 
-def test_compact_refuses_partitioned_tables(spark, engine):
+@pytest.fixture()
+def part_table(spark):
     name = "compact_part_t"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     shutil.rmtree(os.path.join(wh.removeprefix("file:"), name), ignore_errors=True)
-    spark.range(0, 100).selectExpr("id", "id % 3 as p").write.partitionBy(
-        "p"
-    ).saveAsTable(name)
-    with pytest.raises(ValueError, match="partitioned"):
-        engine.compact_table(Table(name=name))
+    spark.range(0, 90_000).selectExpr(
+        "id", "cast(id as string) as s", "id % 3 as p"
+    ).repartition(24).write.partitionBy("p").saveAsTable(name)
+    yield Table(name=name)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_compact_refuses_flat_rewrite_of_partitioned(spark, engine, part_table):
+    with pytest.raises(ValueError, match="partitioned"):
+        engine.compact_table(part_table)
+    with pytest.raises(ValueError, match="not partition"):
+        engine.compact_table(part_table, partitions={"nope": 1})
+
+
+def test_compact_single_partition_leaves_others_untouched(spark, engine, part_table):
+    name = part_table.qualified_name
+    t = spark.table(name)
+    checksum = t.agg(F.sum("id"), F.count(F.lit(1))).collect()[0]
+
+    def files_of(p):
+        return {
+            r[0]
+            for r in t.filter(F.col("p") == p)
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        }
+
+    before_p1, before_p2 = files_of(1), files_of(2)
+    assert len(before_p1) > 1  # fragmented fixture
+    stats = engine.compact_table(part_table, partitions={"p": 1})
+    assert stats["files_before"] == len(before_p1)
+    assert stats["files_after"] < stats["files_before"]
+    t2 = spark.table(name)
+    # partition 2's physical files are byte-identical (untouched)
+    after_p2 = {
+        r[0]
+        for r in t2.filter(F.col("p") == 2)
+        .select(F.input_file_name()).distinct().collect()
+    }
+    assert after_p2 == before_p2
+    # full-table content preserved
+    assert t2.agg(F.sum("id"), F.count(F.lit(1))).collect()[0] == checksum
+    # partition spec intact
+    parts = [c.name for c in spark.catalog.listColumns(name) if c.isPartition]
+    assert parts == ["p"]
