@@ -507,3 +507,46 @@ class SparkEngine:
             "files_after": files_after,
             "bytes_estimated": size,
         }
+
+    def vacuum_orphans(self, dry_run: bool = False) -> list[str]:
+        """Remove warehouse locations that have NO catalog entry — the
+        debris a killed job leaves behind (a staged CTAS/compaction/
+        streaming write whose directory survived but whose table was
+        never committed, or was dropped while the location write was in
+        flight). Spark refuses to reuse such a name
+        (LOCATION_ALREADY_EXISTS), so orphans both waste space and
+        poison table names.
+
+        Only scans the session catalog's current-database warehouse
+        directory on the LOCAL filesystem (the sandbox/test layout);
+        object-store warehouses should use their native lifecycle rules
+        instead. Directories belonging to ANY registered table (current
+        database) are never touched. Run it at idle — an in-flight
+        staged write (CTAS/compaction staging) is indistinguishable
+        from an orphan until its table commits, so vacuuming
+        concurrently with writers can destroy their staging. Returns
+        the removed (or, with ``dry_run``, would-be-removed) paths."""
+        import shutil
+
+        wh = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        if "://" in wh and not wh.startswith("file:"):
+            raise ValueError(
+                f"vacuum_orphans only supports local warehouses, got {wh!r}"
+            )
+        root = wh.removeprefix("file:")
+        if not os.path.isdir(root):
+            return []
+        live = {
+            t.name.lower() for t in self.spark.catalog.listTables()
+        }
+        removed = []
+        for entry in sorted(os.listdir(root)):
+            path = os.path.join(root, entry)
+            if not os.path.isdir(path):
+                continue
+            if entry.lower() in live or entry.endswith(".db"):
+                continue  # registered table or a database directory
+            removed.append(path)
+            if not dry_run:
+                shutil.rmtree(path, ignore_errors=True)
+        return removed

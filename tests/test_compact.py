@@ -115,3 +115,29 @@ def test_compact_single_partition_leaves_others_untouched(spark, engine, part_ta
     # partition spec intact
     parts = [c.name for c in spark.catalog.listColumns(name) if c.isPartition]
     assert parts == ["p"]
+
+
+def test_vacuum_orphans_removes_only_unregistered_dirs(spark, engine):
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    root = wh.removeprefix("file:")
+    os.makedirs(root, exist_ok=True)
+    # a live table and an orphaned location
+    spark.sql("DROP TABLE IF EXISTS vac_live_t")
+    shutil.rmtree(os.path.join(root, "vac_live_t"), ignore_errors=True)
+    spark.range(5).write.saveAsTable("vac_live_t")
+    orphan = os.path.join(root, "vac_orphan_t")
+    os.makedirs(orphan, exist_ok=True)
+    open(os.path.join(orphan, "part-000.parquet"), "wb").write(b"junk")
+    try:
+        would = engine.vacuum_orphans(dry_run=True)
+        assert orphan in would
+        assert os.path.isdir(orphan)  # dry run touches nothing
+        removed = engine.vacuum_orphans()
+        assert orphan in removed
+        assert not os.path.exists(orphan)
+        # the live table survived, both dir and content
+        assert spark.table("vac_live_t").count() == 5
+        assert os.path.isdir(os.path.join(root, "vac_live_t"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS vac_live_t")
+        shutil.rmtree(orphan, ignore_errors=True)
