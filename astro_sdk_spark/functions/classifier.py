@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from astro_sdk_spark.functions._cache import track
 from astro_sdk_spark.functions.dedup import shingles_col
 
-__all__ = ["train_text_classifier", "score_text_classifier"]
+__all__ = ["train_text_classifier", "score_text_classifier", "calibrate_threshold"]
 
 
 def _bucket(col: Column, n_buckets: int, hash_fn: str) -> Column:
@@ -193,3 +193,26 @@ def score_text_classifier(
         score.alias("score"),
         (score >= F.lit(0.5)).alias("keep"),
     )
+
+
+def calibrate_threshold(
+    scores: DataFrame,
+    keep_fraction: float,
+    score_col: str = "score",
+    relative_error: float = 0.001,
+) -> float:
+    """Score cutoff that keeps the top ``keep_fraction`` of documents —
+    how the trained filter is actually deployed (LLaMA kept the
+    pages its classifier scored most reference-like; Touvron et al.
+    2023 §2). One ``percentile_approx`` aggregate — no global sort, the
+    dsir_select quantile device — so calibration is a single scan at any
+    corpus size. Returns the threshold; apply it as a scan-side filter
+    (``scores.filter(F.col("score") >= thr)``)."""
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError(f"keep_fraction must be in (0, 1], got {keep_fraction}")
+    row = scores.agg(
+        F.percentile_approx(
+            score_col, 1.0 - keep_fraction, int(1.0 / relative_error)
+        ).alias("_thr")
+    ).collect()[0]
+    return float(row["_thr"])

@@ -113,3 +113,38 @@ def test_chunk_plan_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
     plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_calibrate_threshold_keeps_target_fraction(spark):
+    from astro_sdk_spark.functions.classifier import calibrate_threshold
+
+    # spread of distinct scores — quantile thresholds are only meaningful
+    # off ties (a bimodal classifier output needs a fraction that falls
+    # between the modes)
+    scored = spark.createDataFrame(
+        [(i, (i + 1) / 100.0) for i in range(100)], "doc_id long, score double"
+    )
+    for frac in (0.25, 0.5, 0.9):
+        thr = calibrate_threshold(scored, keep_fraction=frac)
+        kept = scored.filter(F.col("score") >= thr).count()
+        assert abs(kept / 100.0 - frac) <= 0.05
+    # keep everything → threshold at/below the minimum
+    assert calibrate_threshold(scored, 1.0) <= 0.01 + 1e-9
+    with pytest.raises(ValueError, match="keep_fraction"):
+        calibrate_threshold(scored, 0.0)
+
+
+def test_calibrate_threshold_on_trained_scores(spark):
+    """On the bimodal toy corpus a fraction between the modes recovers
+    exactly the good class."""
+    from astro_sdk_spark.functions.classifier import calibrate_threshold
+
+    df = _toy_corpus(spark)
+    w = train_text_classifier(df, "y", n_iters=3, lr=1.0, hash_fn="xxhash64")
+    scored = score_text_classifier(df, w, hash_fn="xxhash64")
+    thr = calibrate_threshold(scored, keep_fraction=0.4)
+    kept = {r["doc_id"] for r in scored.filter(F.col("score") >= thr).collect()}
+    # the threshold lands inside/above the good mode: everything kept is
+    # good, and a healthy share of the good class survives
+    assert kept and kept <= set(range(20))
+    assert len(kept) >= 10
