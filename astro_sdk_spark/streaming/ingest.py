@@ -222,21 +222,46 @@ def clean_batch(
     bands: int = 8,
     shingle_k: int = 3,
     corpus_sigs: DataFrame | None = None,
+    classifier_weights: DataFrame | None = None,
+    classifier_min_score: float = 0.5,
+    classifier_opts: dict | None = None,
 ) -> DataFrame:
-    """Full cleaning admission for one batch: quality gate → PII redaction
-    → exact/near self-dedup → near-dedup vs corpus (``admit_batch``).
+    """Full cleaning admission for one batch: quality gate → model gate →
+    PII redaction → exact/near self-dedup → near-dedup vs corpus
+    (``admit_batch``).
 
-    The gate and the redaction are pure Column expressions folded into one
-    projection (no joins): ``quality_score_col`` filters, ``redact_col``
-    rewrites ``text_col`` IN PLACE before any hashing — so dedup operates
-    on redacted text, and two documents identical up to their embedded
-    PII (the same form letter sent to different addresses) correctly
-    collapse to one."""
+    The heuristic gate and the redaction are pure Column expressions
+    folded into one projection (no joins): ``quality_score_col`` filters,
+    ``redact_col`` rewrites ``text_col`` IN PLACE before any hashing — so
+    dedup operates on redacted text, and two documents identical up to
+    their embedded PII (the same form letter sent to different addresses)
+    correctly collapse to one.
+
+    ``classifier_weights`` (a :func:`~astro_sdk_spark.functions.
+    classifier.train_text_classifier` table) adds the model-based gate
+    between the cheap heuristic and redaction: the batch is scored via
+    the broadcast ≤n_buckets-row model (pass matching ``n_buckets``/
+    ``shingle_k``/``hash_fn`` through ``classifier_opts``) and rows below
+    ``classifier_min_score`` drop. Scoring is per-batch work against a
+    FIXED model — the corpus never re-scores, so the ingest-loop
+    economics are unchanged."""
     from astro_sdk_spark.functions.cleaning import redact_col
     from astro_sdk_spark.functions.text import quality_score_col
 
     if min_quality > 0.0:
         batch = batch.filter(quality_score_col(F.col(text_col)) >= min_quality)
+    if classifier_weights is not None:
+        from astro_sdk_spark.functions.classifier import score_text_classifier
+
+        keep_ids = (
+            score_text_classifier(
+                batch, classifier_weights, text_col, id_col,
+                **(classifier_opts or {}),
+            )
+            .filter(F.col("score") >= classifier_min_score)
+            .select(id_col)
+        )
+        batch = batch.join(keep_ids, id_col, "left_semi")
     if pii_kinds:
         batch = batch.withColumn(text_col, redact_col(F.col(text_col), pii_kinds))
     return admit_batch(
@@ -258,6 +283,9 @@ def stream_clean_ingest(
     bands: int = 8,
     shingle_k: int = 3,
     trigger_once: bool = True,
+    classifier_weights: DataFrame | None = None,
+    classifier_min_score: float = 0.5,
+    classifier_opts: dict | None = None,
 ):
     """End-to-end streaming corpus builder: every micro-batch is quality-
     gated, PII-redacted, self-deduped, and near-deduped against everything
@@ -284,6 +312,9 @@ def stream_clean_ingest(
                 batch, None, text_col, id_col, min_quality, pii_kinds,
                 threshold, num_hashes, bands, shingle_k,
                 corpus_sigs=corpus_sigs,
+                classifier_weights=classifier_weights,
+                classifier_min_score=classifier_min_score,
+                classifier_opts=classifier_opts,
             ).persist()
             admitted.write.mode("append").saveAsTable(accepted_table)
             minhash_signatures(

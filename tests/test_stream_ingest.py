@@ -285,3 +285,60 @@ def test_stream_maintains_key_and_bloom_stores(spark, docs, tmp_path):
     assert not {i for i in final if i >= 10_000}
     assert spark.table(keys_table_name("accepted_b")).count() == n1
     _drop_stores(spark, "accepted_b")
+
+
+def test_clean_batch_classifier_gate(spark):
+    from astro_sdk_spark.functions.classifier import train_text_classifier
+    from astro_sdk_spark.streaming.ingest import clean_batch
+
+    good = [f"clean prose sentence number {i} reads well" for i in range(10)]
+    bad = [f"zz spam junk blob {i} click buy now" for i in range(10)]
+    train = spark.createDataFrame(
+        [(i, t, 1) for i, t in enumerate(good)]
+        + [(100 + i, t, 0) for i, t in enumerate(bad)],
+        "doc_id long, text string, y int",
+    )
+    w = train_text_classifier(train, "y", n_iters=3, lr=1.0, hash_fn="xxhash64")
+    batch = spark.createDataFrame(
+        [(1000, "clean prose sentence number 99 reads well"),
+         (1001, "zz spam junk blob 99 click buy now")],
+        "doc_id long, text string",
+    )
+    admitted = clean_batch(
+        batch, None, "text", "doc_id",
+        classifier_weights=w, classifier_opts={"hash_fn": "xxhash64"},
+    )
+    assert {r.doc_id for r in admitted.select("doc_id").collect()} == {1000}
+
+
+def test_stream_clean_ingest_with_classifier(spark, docs, tmp_path):
+    """The model gate rides the streaming path: spammy docs never land."""
+    from astro_sdk_spark.functions.classifier import train_text_classifier
+    from astro_sdk_spark.streaming.ingest import stream_clean_ingest
+
+    good = [f"useful article text piece {i} with substance" for i in range(10)]
+    bad = [f"qq buy click spam now {i} zz" for i in range(10)]
+    train = spark.createDataFrame(
+        [(i, t, 1) for i, t in enumerate(good)]
+        + [(100 + i, t, 0) for i, t in enumerate(bad)],
+        "doc_id long, text string, y int",
+    )
+    w = train_text_classifier(train, "y", n_iters=3, lr=1.0, hash_fn="xxhash64")
+
+    incoming = spark.createDataFrame(
+        [(2000, "useful article text piece 42 with substance"),
+         (2001, "qq buy click spam now 42 zz")],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "docs_clf_stream")
+    incoming.coalesce(1).write.mode("overwrite").parquet(d)
+    _drop_stores(spark, "accepted_clf")
+    stream = spark.readStream.schema(incoming.schema).parquet(d)
+    q = stream_clean_ingest(
+        stream, "accepted_clf", str(tmp_path / "ckpt_clf"),
+        classifier_weights=w, classifier_opts={"hash_fn": "xxhash64"},
+    )
+    q.awaitTermination(300)
+    got = {r.doc_id for r in spark.table("accepted_clf").select("doc_id").collect()}
+    assert got == {2000}
+    _drop_stores(spark, "accepted_clf")
