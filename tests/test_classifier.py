@@ -148,3 +148,35 @@ def test_calibrate_threshold_on_trained_scores(spark):
     # good, and a healthy share of the good class survives
     assert kept and kept <= set(range(20))
     assert len(kept) >= 10
+
+
+def test_chunk_reassembly_property(spark):
+    """For ANY document: drop each chunk's overlap prefix (except the
+    first chunk) and concatenate in chunk order → the original token
+    stream, exactly. Hypothesis over random token counts and window
+    geometries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.integers(1, 40),   # document length in tokens
+        st.integers(2, 9),    # chunk_tokens
+        st.integers(0, 7),    # overlap_tokens (< chunk enforced below)
+    )
+    def prop(n_tokens, chunk, overlap):
+        overlap = min(overlap, chunk - 1)
+        text = " ".join(f"w{i}" for i in range(n_tokens))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, chunk_tokens=chunk, overlap_tokens=overlap)
+            .collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        toks = []
+        for i, r in enumerate(rows):
+            parts = r["chunk_text"].split(" ")
+            toks.extend(parts if i == 0 else parts[overlap:])
+        assert toks == text.split(" ")
+
+    prop()
