@@ -508,3 +508,64 @@ def weighted_sample_per_group(
         keyed.withColumn("sample_rank", F.row_number().over(win))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    bucket_cap: int | None = 500,
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/holdout split with cross-boundary decontamination: after the
+    deterministic hash split, any TRAIN document that is a near-duplicate
+    (exact-verified Jaccard ≥ ``threshold``) of any holdout document is
+    relabeled ``'dropped'`` — eliminating the self-inflicted
+    train-test leakage that inflates held-out metrics (the within-corpus
+    counterpart of benchmark :func:`~astro_sdk_spark.functions.cleaning.
+    decontaminate`). Holdout documents are never dropped, so the
+    evaluation set stays an unbiased deterministic sample.
+
+    ``weights`` must contain ``'train'`` (default ``{'train': 0.9,
+    'test': 0.1}``); every non-train split counts as holdout.
+
+    Scale shape: membership is a pure hash projection
+    (:func:`deterministic_split` — append-stable); the leak scan is
+    :func:`~astro_sdk_spark.functions.dedup.incremental_near_dup`'s
+    banded TRAIN×HOLDOUT bucket join (never a corpus self-join, bucket
+    caps bound boilerplate skew), and the relabel is one left join
+    against the (tiny) leaked-id set."""
+    from astro_sdk_spark.functions.dedup import incremental_near_dup
+
+    weights = weights or {"train": 0.9, "test": 0.1}
+    if "train" not in weights:
+        raise ValueError(f"weights must contain a 'train' split, got {list(weights)}")
+    labeled = deterministic_split(df, id_col, weights, salt, split_col)
+    train = labeled.filter(F.col(split_col) == "train")
+    holdout = labeled.filter(F.col(split_col) != "train")
+    leaks = (
+        incremental_near_dup(
+            train, holdout, text_col, id_col,
+            num_hashes, bands, threshold, shingle_k, bucket_cap,
+        )
+        .select(F.col("new_id").alias(id_col))
+        .dropDuplicates([id_col])
+        .withColumn("_leak", F.lit(1))
+    )
+    return (
+        labeled.join(leaks, id_col, "left")
+        .withColumn(
+            split_col,
+            F.when(
+                (F.col(split_col) == "train") & F.col("_leak").isNotNull(),
+                "dropped",
+            ).otherwise(F.col(split_col)),
+        )
+        .drop("_leak")
+    )

@@ -3260,6 +3260,49 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Leakage-safe split: deterministic hash split + cross-boundary
+# decontamination (train docs near-dup to holdout docs → 'dropped').
+# Same exact-Jaccard oracle argument as q_minhash_neardup (LSH recall ≈ 1
+# on this corpus, exact verify removes false positives).
+
+_LEAK_SPLIT_ORACLE = f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             {_DUCK_BUCKET.format(salt="lk", gran=10000)} AS bucket
+      FROM documents),
+    labeled AS (
+      SELECT doc_id, text,
+             CASE WHEN bucket < 9000 THEN 'train' ELSE 'test' END AS split
+      FROM b),
+    sh AS (SELECT doc_id, split, {_DUCK_SHINGLES_K3} AS s FROM labeled),
+    leaks AS (
+      SELECT DISTINCT t.doc_id
+      FROM sh t JOIN sh h ON t.split = 'train' AND h.split <> 'train'
+      WHERE len(list_intersect(t.s, h.s))
+            / CAST(len(t.s) + len(h.s) - len(list_intersect(t.s, h.s))
+                   AS DOUBLE) >= 0.5)
+    SELECT l.doc_id,
+           CASE WHEN l.split = 'train' AND k.doc_id IS NOT NULL
+                THEN 'dropped' ELSE l.split END AS split
+    FROM labeled l LEFT JOIN leaks k ON l.doc_id = k.doc_id
+"""
+
+
+@q("q_leakage_split", _LEAK_SPLIT_ORACLE)
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 90/10 split
+    (functions/sampling.py:leakage_safe_split): hash membership, then
+    every train doc near-dup (exact-verified Jaccard ≥ 0.5) to a test doc
+    is relabeled 'dropped' — per-doc labels under the hash gate."""
+    from astro_sdk_spark.functions.sampling import leakage_safe_split
+
+    d = T(spark, sf_dir, "documents")
+    return leakage_safe_split(d, salt="lk", threshold=0.5).select(
+        "doc_id", "split"
+    )
+
+
+# --------------------------------------------------------------------------
 # compact_table round-trip: CTAS a fragmented managed table, compact it
 # with a clustered (sort_by) layout, read back an aggregate over a range
 # predicate — the oracle is the same aggregate on the raw parquet, so a
@@ -3671,6 +3714,8 @@ _TAIL_VARIANTS = [
     "q_weighted_sample",   # sampling: q_train_split, q_domain_mix,
                            # q_seq_packing in-window (E–S reservoir)
     "q_compact_roundtrip",  # ctas/operator layer: q_transform_ctas in-window
+    "q_leakage_split",     # sampling: q_train_split in-window (split +
+                           # cross-boundary decontamination composition)
 ]
 
 

@@ -471,3 +471,55 @@ def test_weighted_sample_validation(spark):
         weighted_sample_per_group(df, k=0, weight_col="w")
     with pytest.raises(ValueError, match="hash_fn"):
         weighted_sample_per_group(df, k=1, weight_col="w", hash_fn="crc")
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split (split + cross-boundary decontamination)
+
+
+def test_leakage_safe_split_drops_train_side_only(spark):
+    from astro_sdk_spark.functions.sampling import leakage_safe_split
+
+    # craft a near-dup pair that straddles the boundary: same long text,
+    # two ids — whichever lands in test forces the train twin to drop
+    twin = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    uniq = [f"document number {i} totally unique content piece {i*7}" for i in range(30)]
+    rows = [(i, t) for i, t in enumerate(uniq)] + [(500, twin), (501, twin)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # salt "x2" puts doc 500 in train and its twin 501 in test (md5
+    # buckets 500+"x2" < 5000 <= 501+"x2") — a guaranteed straddle
+    out = leakage_safe_split(
+        df, weights={"train": 0.5, "test": 0.5}, salt="x2", threshold=0.5
+    )
+    labels = {r["doc_id"]: r["split"] for r in out.collect()}
+    # the train twin of a cross-boundary near-dup pair is dropped
+    assert labels[500] == "dropped" and labels[501] == "test"
+    # every doc got a label from {train, test, dropped}
+    assert set(labels.values()) <= {"train", "test", "dropped"}
+
+
+def test_leakage_safe_split_requires_train(spark):
+    import pytest
+
+    from astro_sdk_spark.functions.sampling import leakage_safe_split
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="train"):
+        leakage_safe_split(df, weights={"a": 0.5, "b": 0.5})
+
+
+def test_leakage_safe_split_append_stable_membership(spark):
+    """Adding new docs never moves existing docs between train/test
+    (dropped can change only if a NEW holdout doc collides)."""
+    from astro_sdk_spark.functions.sampling import leakage_safe_split
+
+    base = [(i, f"unique content item {i} with words {i*3}") for i in range(40)]
+    df1 = spark.createDataFrame(base, "doc_id long, text string")
+    df2 = spark.createDataFrame(
+        base + [(1000, "entirely new and unrelated text block")],
+        "doc_id long, text string",
+    )
+    l1 = {r["doc_id"]: r["split"] for r in leakage_safe_split(df1, salt="s2").collect()}
+    l2 = {r["doc_id"]: r["split"] for r in leakage_safe_split(df2, salt="s2").collect()}
+    for k in l1:
+        assert l1[k] == l2[k]
