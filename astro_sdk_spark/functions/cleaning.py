@@ -510,3 +510,58 @@ def c4_rules(
         has_brace.alias("has_brace"),
         keep.alias("keep"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+    strip_controls: bool = True,
+    collapse_whitespace: bool = False,
+) -> DataFrame:
+    """Unicode normalization for corpus prep: put every document in a
+    canonical ``form`` (NFC by default — composed characters, the form
+    tokenizers and dedup expect: ``'e' + U+0301`` and ``'é'`` must hash
+    identically), optionally strip C0/C1 control characters (keeping
+    ``\\n``/``\\t``) and collapse whitespace runs.
+
+    Returns ``(id, norm_text, n_chars_in, n_chars_out, changed)``.
+
+    Scale shape: normalization itself is ONE Arrow-batched pandas_udf
+    projection (Spark has no Unicode-normalization builtin — this is the
+    documented "Python only where the JVM can't express it" boundary;
+    the form tables come from Python's unicodedata, the same Unicode
+    standard every engine implements, which is what lets an external SQL
+    engine's ``nfc_normalize`` hash-match it). Control stripping and
+    whitespace collapse stay JVM-side regexp_replace on either side of
+    the boundary. No shuffle anywhere — pure per-row projection,
+    streaming-safe and append-stable."""
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be a Unicode normal form, got {form!r}")
+
+    # lambda form: `from __future__ import annotations` stringifies type
+    # hints, which pandas_udf can't resolve without module-level pandas
+    _norm = F.pandas_udf(
+        lambda s: s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        ),
+        "string",
+    )
+
+    out = _norm(F.col(text_col))
+    if strip_controls:
+        out = F.regexp_replace(
+            out, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""
+        )
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        out.alias("norm_text"),
+        F.length(F.col(text_col)).alias("n_chars_in"),
+        F.length(out).alias("n_chars_out"),
+        (out != F.col(text_col)).alias("changed"),
+    )

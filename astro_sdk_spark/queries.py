@@ -3260,6 +3260,46 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Unicode NFC normalization — staged NON-vacuously: every 'e' in the
+# corpus is decomposed to 'e' + U+0301 (combining acute) in BOTH engines,
+# then each engine's own normalizer must compose it back to 'é'. Python
+# unicodedata vs DuckDB utf8proc implement the same Unicode standard —
+# that shared standard is the oracle contract.
+
+_UNICODE_ORACLE = r"""
+    WITH staged AS (
+      SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS text
+      FROM documents),
+    n AS (
+      SELECT doc_id, text,
+             regexp_replace(nfc_normalize(text),
+                            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS nt
+      FROM staged)
+    SELECT doc_id, nt AS norm_text,
+           length(text) AS n_chars_in, length(nt) AS n_chars_out,
+           (nt <> text) AS changed
+    FROM n
+"""
+
+
+@q("q_unicode_normalize", _UNICODE_ORACLE)
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (functions/cleaning.py:normalize_text):
+    combining sequences staged into the corpus compose back to
+    precomposed characters — the canonicalization every tokenizer/dedup
+    stage assumes. One Arrow-batched projection, no shuffle."""
+    from astro_sdk_spark.functions.cleaning import normalize_text
+
+    # NB: Spark SQL's chr() is mod-256 (chr(769) → U+0001), so the
+    # combining acute rides in as a Python literal
+    staged = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301")).alias("text"),
+    )
+    return normalize_text(staged)
+
+
+# --------------------------------------------------------------------------
 # Leakage-safe split: deterministic hash split + cross-boundary
 # decontamination (train docs near-dup to holdout docs → 'dropped').
 # Same exact-Jaccard oracle argument as q_minhash_neardup (LSH recall ≈ 1
@@ -3716,6 +3756,8 @@ _TAIL_VARIANTS = [
     "q_compact_roundtrip",  # ctas/operator layer: q_transform_ctas in-window
     "q_leakage_split",     # sampling: q_train_split in-window (split +
                            # cross-boundary decontamination composition)
+    "q_unicode_normalize",  # cleaning: q_pii_redaction, q_decontaminate
+                            # in-window (canonicalization pass)
 ]
 
 

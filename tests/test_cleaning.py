@@ -433,3 +433,45 @@ def test_contamination_score_halfway_pin(spark):
     row = contamination_score(corpus, bench).collect()[0]
     assert row["n_ngrams"] == 32 and row["n_hits"] == 1
     assert row["contamination"] == 0.0313
+
+
+# ---------------------------------------------------------------------------
+# normalize_text (Unicode canonicalization)
+
+
+def test_normalize_text_composes_and_strips(spark):
+    from astro_sdk_spark.functions.cleaning import normalize_text
+
+    decomposed = "cafe\u0301 menu"        # e + combining acute
+    with_ctrl = "ab\x07cd\x1fef"                     # BEL + US controls
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, with_ctrl), (3, "plain ascii"), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert rows[1]["norm_text"] == "café menu"  # precomposed é
+    assert rows[1]["changed"] and rows[1]["n_chars_out"] == rows[1]["n_chars_in"] - 1
+    assert rows[2]["norm_text"] == "abcdef" and rows[2]["changed"]
+    assert rows[3]["norm_text"] == "plain ascii" and not rows[3]["changed"]
+    assert rows[4]["norm_text"] is None  # null-safe
+
+
+def test_normalize_text_nfkc_and_ws(spark):
+    from astro_sdk_spark.functions.cleaning import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "ﬁle  name x")],  # ligature fi + double space + NBSP
+        "doc_id long, text string",
+    )
+    row = normalize_text(df, form="NFKC", collapse_whitespace=True).collect()[0]
+    assert row["norm_text"] == "file name x"  # ligature expanded, ws collapsed
+
+
+def test_normalize_text_rejects_bad_form(spark):
+    import pytest as _pytest
+
+    from astro_sdk_spark.functions.cleaning import normalize_text
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="normal form"):
+        normalize_text(df, form="NFX")

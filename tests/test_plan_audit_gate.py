@@ -72,6 +72,9 @@ PY_BOUNDARY_WHITELIST = {
     "q_bpe_encode": 1,       # the BPE encoder itself (apply_bpe mapInPandas)
                              # — tokenizers are Python; Arrow-batched with a
                              # per-batch word cache
+    "q_unicode_normalize": 1,  # unicodedata.normalize pandas_udf — Spark
+                               # has no Unicode-normalization builtin; one
+                               # Arrow-batched projection, no shuffle
 }
 
 # queries adjudicated as carrying parquet filter pushdown (PLAN_AUDIT.md
