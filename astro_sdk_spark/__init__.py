@@ -37,6 +37,7 @@ from astro_sdk_spark.operators.cleanup import cleanup
 from astro_sdk_spark.operators.data_validation import (
     check_column,
     check_table,
+    detect_outliers,
     profile_table,
 )
 from astro_sdk_spark.operators.values import get_value_list
@@ -92,6 +93,7 @@ __all__ = [
     "check_column",
     "check_table",
     "profile_table",
+    "detect_outliers",
     "get_value_list",
     "get_file_list",
     "export_file",

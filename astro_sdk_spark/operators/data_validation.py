@@ -283,3 +283,62 @@ def profile_table(
         "column string, n_rows long, n_nulls long, n_distinct long, "
         "min_value string, max_value string",
     )
+
+
+def detect_outliers(
+    df: DataFrame,
+    value_col: str,
+    method: str = "iqr",
+    k: float = 1.5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Robust outlier fences for a numeric column — the data-quality op
+    that catches corrupted loads (unit mix-ups, sentinel values, decimal
+    shifts) BEFORE they poison aggregates.
+
+    ``method='iqr'``: Tukey fences ``[q1 − k·IQR, q3 + k·IQR]``
+    (k=1.5 standard, 3 for "far out"). ``method='mad'``: median ±
+    k·1.4826·MAD (the normal-consistent median absolute deviation;
+    use k≈3) — sturdier when up to half the data is bad.
+
+    Returns every row with ``(…, lo, hi, is_outlier)`` where lo/hi are
+    rounded for display but the flag compares against the exact fences.
+
+    Scale shape: one exact-percentile aggregate (two for MAD — the
+    second pass computes |x − median| deviations; both are single
+    partial-aggregated scans), then the one-row fence broadcast onto a
+    scan-side projection. No sort, no shuffle of the data itself."""
+    if method not in ("iqr", "mad"):
+        raise ValueError(f"method must be 'iqr' or 'mad', got {method!r}")
+    v = F.col(value_col)
+    if method == "iqr":
+        b = df.agg(
+            F.percentile(v, F.lit(0.25)).alias("_q1"),
+            F.percentile(v, F.lit(0.75)).alias("_q3"),
+        ).select(
+            (F.col("_q1") - F.lit(k) * (F.col("_q3") - F.col("_q1"))).alias("_lo"),
+            (F.col("_q3") + F.lit(k) * (F.col("_q3") - F.col("_q1"))).alias("_hi"),
+        )
+    else:
+        med = df.agg(F.percentile(v, F.lit(0.5)).alias("_med"))
+        dev = (
+            df.crossJoin(F.broadcast(med))
+            .agg(
+                F.percentile(
+                    F.abs(v - F.col("_med")), F.lit(0.5)
+                ).alias("_mad"),
+                F.first("_med").alias("_med"),
+            )
+        )
+        spread = F.lit(k) * F.lit(1.4826) * F.col("_mad")
+        b = dev.select(
+            (F.col("_med") - spread).alias("_lo"),
+            (F.col("_med") + spread).alias("_hi"),
+        )
+    pin = float(10**round_digits)
+    return df.crossJoin(F.broadcast(b)).select(
+        "*",
+        (F.floor(F.col("_lo") * F.lit(pin) + F.lit(0.5)) / F.lit(pin)).alias("lo"),
+        (F.floor(F.col("_hi") * F.lit(pin) + F.lit(0.5)) / F.lit(pin)).alias("hi"),
+        ((v < F.col("_lo")) | (v > F.col("_hi"))).alias("is_outlier"),
+    ).drop("_lo", "_hi")

@@ -3260,6 +3260,39 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Robust outlier fences (Tukey IQR) — exact linear-interpolation
+# percentiles (the q_percentiles equivalence) feed one-row broadcast
+# bounds; the flag compares against the UNROUNDED fences in both engines.
+
+_OUTLIERS_ORACLE = """
+    WITH q AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders),
+    b AS (
+      SELECT q1 - 1.5 * (q3 - q1) AS lo_x, q3 + 1.5 * (q3 - q1) AS hi_x
+      FROM q)
+    SELECT o_orderkey, o_totalprice,
+           floor(lo_x * 10000.0 + 0.5) / 10000.0 AS lo,
+           floor(hi_x * 10000.0 + 0.5) / 10000.0 AS hi,
+           (o_totalprice < lo_x OR o_totalprice > hi_x) AS is_outlier
+    FROM orders CROSS JOIN b
+"""
+
+
+@q("q_outliers", _OUTLIERS_ORACLE)
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection
+    (operators/data_validation.py:detect_outliers): every order flagged
+    against the exact-percentile IQR fences — one aggregate + one
+    broadcast projection, per-row flags under the hash gate."""
+    from astro_sdk_spark.operators.data_validation import detect_outliers
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return detect_outliers(o, "o_totalprice", method="iqr", k=1.5)
+
+
+# --------------------------------------------------------------------------
 # Unicode NFC normalization — staged NON-vacuously: every 'e' in the
 # corpus is decomposed to 'e' + U+0301 (combining acute) in BOTH engines,
 # then each engine's own normalizer must compose it back to 'é'. Python
@@ -3758,6 +3791,8 @@ _TAIL_VARIANTS = [
                            # cross-boundary decontamination composition)
     "q_unicode_normalize",  # cleaning: q_pii_redaction, q_decontaminate
                             # in-window (canonicalization pass)
+    "q_outliers",          # data-quality: q_check_column, q_check_table
+                           # in-window (robust-fence variant)
 ]
 
 

@@ -40,3 +40,45 @@ def test_analyze_table_column_stats(spark, engine, stats_table):
 def test_analyze_table_validates_columns(engine, stats_table):
     with pytest.raises(ValueError, match="not all present"):
         engine.analyze_table(stats_table, columns=["no_such_col"])
+
+
+# ---------------------------------------------------------------------------
+# detect_outliers (robust fences)
+
+
+def test_detect_outliers_iqr(spark):
+    from astro_sdk_spark.operators.data_validation import detect_outliers
+
+    vals = list(range(1, 101)) + [10_000, -10_000]  # two gross outliers
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(vals)],
+                               "id long, v double")
+    out = detect_outliers(df, "v", method="iqr", k=1.5)
+    flagged = {r["v"] for r in out.filter("is_outlier").collect()}
+    assert flagged == {10_000.0, -10_000.0}
+    row = out.filter("id = 0").collect()[0]
+    assert row["lo"] < 1 and row["hi"] > 100  # fences outside the bulk
+
+
+def test_detect_outliers_mad_resists_contamination(spark):
+    from astro_sdk_spark.operators.data_validation import detect_outliers
+
+    # 30% of rows corrupted by a decimal shift: MAD fences still catch
+    # them (the median is untouched by the contamination)
+    vals = [float(50 + (i % 11)) for i in range(70)] + [5500.0] * 30
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, v double")
+    out = detect_outliers(df, "v", method="mad", k=3.0)
+    flagged = out.filter("is_outlier").count()
+    assert flagged == 30
+    clean_flagged = out.filter("is_outlier AND v < 1000").count()
+    assert clean_flagged == 0
+
+
+def test_detect_outliers_validates_method(spark):
+    import pytest as _pytest
+
+    from astro_sdk_spark.operators.data_validation import detect_outliers
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with _pytest.raises(ValueError, match="method"):
+        detect_outliers(df, "v", method="zscore")

@@ -47,6 +47,8 @@ NESTED_LOOP_WHITELIST = {
                              # (tf_idf normalizer device)
     "q_lm_backoff": 1,       # model-normalizer one-row broadcast (the
                              # q_lm_score device, bigram variant)
+    "q_outliers": 1,         # one-row fence-bounds broadcast (tf_idf
+                             # normalizer device)
 }
 
 # query → max allowed Python/Arrow boundary nodes (MapInPandas etc.).

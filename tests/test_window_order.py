@@ -40,7 +40,9 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "merge-append": ["q_merge_update", "q_merge_ignore", "q_append_map"],
     "ctas-operator": ["q_transform_ctas", "q_compact_roundtrip"],
-    "data-quality": ["q_check_column", "q_check_table", "q_profile_table"],
+    "data-quality": [
+        "q_check_column", "q_check_table", "q_profile_table", "q_outliers",
+    ],
     "pipeline": ["q_training_pipeline"],
     "exact-dedup": ["q_dedup_exact", "q_bloom_dedup"],
     "minhash-neardup": ["q_minhash_neardup", "q_neardup_renamed_cols"],
