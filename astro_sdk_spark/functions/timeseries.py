@@ -21,6 +21,8 @@ per-group partitioning — one aggregation shuffle, one join, no Python.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -153,3 +155,55 @@ def gapfill(
         v.alias("v"),
         "filled",
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    strict: bool = True,
+) -> DataFrame:
+    """Ordered funnel conversion: for every user who entered the funnel
+    (performed ``steps[0]``), the earliest time each subsequent step was
+    completed STRICTLY after the previous step's completion time, plus
+    ``max_step`` — the classic product-analytics conversion query
+    (view → click → purchase).
+
+    Semantics: step i's timestamp is the user's earliest ``steps[i]``
+    event after their step-(i−1) timestamp (``strict=False`` allows
+    simultaneous events). A user missing step i has NULL from there on;
+    ``max_step`` counts completed steps. Users who never did ``steps[0]``
+    are not funnel entrants and are excluded.
+
+    Scale shape: one filtered partial-aggregated groupBy(user) per step,
+    chained by user-keyed joins — every shuffle is on the SAME key, so
+    AQE/exchange reuse co-locates the whole chain; no window over raw
+    events, no per-user arrays (a collect_list walk would buffer every
+    event of a hot user; the min-aggregate chain never materializes more
+    than one row per user per step)."""
+    if len(steps) < 2:
+        raise ValueError(f"funnel needs at least 2 steps, got {list(steps)}")
+    ts = F.col(ts_col)
+    carry = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("step_1_ts"))
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        prev = f"step_{i-1}_ts"
+        cond = ts > F.col(prev) if strict else ts >= F.col(prev)
+        nxt = (
+            df.filter(F.col(type_col) == s)
+            .join(carry.select(user_col, prev), user_col)
+            .filter(cond)
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"step_{i}_ts"))
+        )
+        carry = carry.join(nxt, user_col, "left")
+    reached = sum(
+        (F.col(f"step_{i}_ts").isNotNull().cast("int") for i in range(2, len(steps) + 1)),
+        F.lit(1),
+    )
+    return carry.withColumn("max_step", reached)

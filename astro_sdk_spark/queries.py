@@ -3260,6 +3260,46 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Funnel conversion — per-user ordered min-aggregate chain (view → click
+# → purchase), replayed step-for-step in SQL.
+
+_FUNNEL_ORACLE = """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS step_1_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS step_2_ts
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.step_1_ts
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS step_3_ts
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.step_2_ts
+      GROUP BY e.user_id)
+    SELECT s1.user_id, s1.step_1_ts, s2.step_2_ts, s3.step_3_ts,
+           1 + (CASE WHEN s2.step_2_ts IS NOT NULL THEN 1 ELSE 0 END)
+             + (CASE WHEN s3.step_3_ts IS NOT NULL THEN 1 ELSE 0 END)
+             AS max_step
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
+@q("q_funnel", _FUNNEL_ORACLE)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (functions/timeseries.py:funnel):
+    view → click → purchase per user, each step strictly after the
+    previous step's earliest completion — one user-keyed min-aggregate
+    chain, no raw-event window, no per-user arrays."""
+    from astro_sdk_spark.functions.timeseries import funnel
+
+    e = T(spark, sf_dir, "events")
+    return funnel(e, ["view", "click", "purchase"])
+
+
+# --------------------------------------------------------------------------
 # Robust outlier fences (Tukey IQR) — exact linear-interpolation
 # percentiles (the q_percentiles equivalence) feed one-row broadcast
 # bounds; the flag compares against the UNROUNDED fences in both engines.
@@ -3793,6 +3833,8 @@ _TAIL_VARIANTS = [
                             # in-window (canonicalization pass)
     "q_outliers",          # data-quality: q_check_column, q_check_table
                            # in-window (robust-fence variant)
+    "q_funnel",            # events: q_events_tumbling, q_events_sessions
+                           # in-window (conversion-analytics variant)
 ]
 
 

@@ -74,3 +74,69 @@ def test_validation(spark):
         gapfill(df, 0)
     with pytest.raises(ValueError, match="avg"):
         gapfill(df, 10, agg="sum", value_scale=100)
+
+
+# ---------------------------------------------------------------------------
+# funnel (ordered conversion)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_ordering_is_enforced(spark):
+    import datetime as dt
+
+    from astro_sdk_spark.functions.timeseries import funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1 converts in order
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # user 2: purchase BEFORE click → stops at step 2
+        (2, t(0), "view"), (2, t(2), "click"), (2, t(1), "purchase"),
+        # user 3: never viewed → not a funnel entrant
+        (3, t(0), "click"), (3, t(1), "purchase"),
+        # user 4: only view
+        (4, t(5), "view"),
+    ]
+    out = {r["user_id"]: r for r in funnel(_ev(spark, rows), ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["max_step"] == 3 and out[1]["step_3_ts"] == t(2)
+    assert out[2]["max_step"] == 2 and out[2]["step_3_ts"] is None
+    assert out[4]["max_step"] == 1
+
+
+def test_funnel_strict_vs_lenient_simultaneous(spark):
+    import datetime as dt
+
+    from astro_sdk_spark.functions.timeseries import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, "view"), (1, t0, "click")]
+    strict = funnel(_ev(spark, rows), ["view", "click"]).collect()[0]
+    assert strict["max_step"] == 1  # simultaneous doesn't count strictly
+    lenient = funnel(_ev(spark, rows), ["view", "click"], strict=False).collect()[0]
+    assert lenient["max_step"] == 2
+
+
+def test_funnel_uses_earliest_completion(spark):
+    import datetime as dt
+
+    from astro_sdk_spark.functions.timeseries import funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    # click exists before the FIRST view too — only the one after counts
+    rows = [(1, t(5), "view"), (1, t(3), "click"), (1, t(8), "click")]
+    out = funnel(_ev(spark, rows), ["view", "click"]).collect()[0]
+    assert out["step_2_ts"] == t(8)
+
+
+def test_funnel_validates_steps(spark):
+    import pytest as _pytest
+
+    from astro_sdk_spark.functions.timeseries import funnel
+
+    df = _ev(spark, [])
+    with _pytest.raises(ValueError, match="at least 2"):
+        funnel(df, ["view"])
