@@ -207,3 +207,58 @@ def funnel(
         F.lit(1),
     )
     return carry.withColumn("max_step", reached)
+
+
+def retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Cohort retention: users are cohorted by the period of their FIRST
+    activity; for every (cohort, periods-since-cohort) cell, the count
+    and fraction of the cohort still active — the standard retention
+    triangle.
+
+    Returns ``(cohort, period_n, n_active, cohort_size, retention)``
+    with ``cohort`` a date (period start), ``period_n`` whole periods
+    since the cohort period, and ``retention`` pinned with the
+    engine-agnostic floor(x·10^d + ½) device.
+
+    Scale shape: distinct (user, period) pairs collapse the raw event
+    volume FIRST (one partial-aggregated dedup — at 100 TB this is the
+    only pass over events); cohorting, the triangle counts, and the
+    cohort sizes are then user- and cohort-keyed aggregates over the
+    (users × active-periods)-sized frame. No windows over raw events."""
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"period must be day/week/month, got {period!r}")
+    per = F.date_trunc(period, F.col(ts_col)).cast("date")
+    user_periods = df.select(F.col(user_col), per.alias("_p")).distinct()
+    cohorts = user_periods.groupBy(user_col).agg(F.min("_p").alias("cohort"))
+    if period == "month":
+        period_n = (
+            (F.year("_p") - F.year("cohort")) * 12
+            + (F.month("_p") - F.month("cohort"))
+        )
+    else:
+        days = 7 if period == "week" else 1
+        period_n = (F.datediff(F.col("_p"), F.col("cohort")) / days).cast("int")
+    cells = (
+        user_periods.join(cohorts, user_col)
+        .select("cohort", period_n.alias("period_n"), user_col)
+        .groupBy("cohort", "period_n")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = cohorts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    pin = float(10**round_digits)
+    return cells.join(sizes, "cohort").select(
+        "cohort",
+        "period_n",
+        "n_active",
+        "cohort_size",
+        (
+            F.floor(F.col("n_active") / F.col("cohort_size") * F.lit(pin) + F.lit(0.5))
+            / F.lit(pin)
+        ).alias("retention"),
+    )

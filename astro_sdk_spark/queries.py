@@ -3300,6 +3300,42 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cohort retention triangle — distinct (user, week) collapse first, then
+# user/cohort-keyed aggregates. Week-truncated dates make period_n an
+# exact multiple of 7 days, so the /7 division is integer-exact in both
+# engines (no cast-rounding divergence).
+
+_RETENTION_ORACLE = """
+    WITH up AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS p
+      FROM events),
+    c AS (SELECT user_id, min(p) AS cohort FROM up GROUP BY user_id),
+    cells AS (
+      SELECT c.cohort,
+             CAST(date_diff('day', c.cohort, up.p) / 7 AS INT) AS period_n,
+             count(*) AS n_active
+      FROM up JOIN c ON up.user_id = c.user_id
+      GROUP BY c.cohort, CAST(date_diff('day', c.cohort, up.p) / 7 AS INT)),
+    sz AS (SELECT cohort, count(*) AS cohort_size FROM c GROUP BY cohort)
+    SELECT cells.cohort, period_n, n_active, cohort_size,
+           floor(n_active / cohort_size * 10000.0 + 0.5) / 10000.0
+             AS retention
+    FROM cells JOIN sz ON cells.cohort = sz.cohort
+"""
+
+
+@q("q_retention", _RETENTION_ORACLE)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (functions/timeseries.py:retention):
+    users cohorted by first-activity week, per-(cohort, week-offset)
+    active counts and fractions — the raw event volume collapses to
+    distinct (user, week) pairs in the first aggregate."""
+    from astro_sdk_spark.functions.timeseries import retention
+
+    return retention(T(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
 # Robust outlier fences (Tukey IQR) — exact linear-interpolation
 # percentiles (the q_percentiles equivalence) feed one-row broadcast
 # bounds; the flag compares against the UNROUNDED fences in both engines.
@@ -3835,6 +3871,8 @@ _TAIL_VARIANTS = [
                            # in-window (robust-fence variant)
     "q_funnel",            # events: q_events_tumbling, q_events_sessions
                            # in-window (conversion-analytics variant)
+    "q_retention",         # events: q_events_tumbling in-window (cohort
+                           # retention triangle)
 ]
 
 

@@ -140,3 +140,55 @@ def test_funnel_validates_steps(spark):
     df = _ev(spark, [])
     with _pytest.raises(ValueError, match="at least 2"):
         funnel(df, ["view"])
+
+
+# ---------------------------------------------------------------------------
+# retention (cohort triangle)
+
+
+def test_retention_triangle(spark):
+    import datetime as dt
+
+    from astro_sdk_spark.functions.timeseries import retention
+
+    d = lambda day: dt.datetime(2024, 1, day)  # Jan 1 2024 is a Monday
+    rows = [
+        # cohort week 0 (Jan 1): users 1, 2; user 1 returns week 1
+        (1, d(1), "view"), (2, d(2), "view"), (1, d(8), "click"),
+        # cohort week 1 (Jan 8): user 3, never returns
+        (3, d(9), "view"),
+        # user 2 also active twice within week 0 — one cell only
+        (2, d(3), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {(str(r["cohort"]), r["period_n"]): r for r in retention(df).collect()}
+    w0, w1 = "2024-01-01", "2024-01-08"
+    assert out[(w0, 0)]["n_active"] == 2 and out[(w0, 0)]["cohort_size"] == 2
+    assert out[(w0, 0)]["retention"] == 1.0  # period 0 is always 1.0
+    assert out[(w0, 1)]["n_active"] == 1 and out[(w0, 1)]["retention"] == 0.5
+    assert out[(w1, 0)]["n_active"] == 1 and out[(w1, 0)]["cohort_size"] == 1
+    assert (w1, 1) not in out  # no week-1 activity for cohort 2
+
+
+def test_retention_monthly_period_arithmetic(spark):
+    import datetime as dt
+
+    from astro_sdk_spark.functions.timeseries import retention
+
+    rows = [
+        (1, dt.datetime(2024, 11, 15), "x"),
+        (1, dt.datetime(2025, 2, 3), "x"),  # 3 months later, across a year
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["period_n"] for r in retention(df, period="month").collect()}
+    assert out == {0, 3}
+
+
+def test_retention_validates_period(spark):
+    import pytest as _pytest
+
+    from astro_sdk_spark.functions.timeseries import retention
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
+    with _pytest.raises(ValueError, match="period"):
+        retention(df, period="quarter")

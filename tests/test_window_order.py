@@ -36,7 +36,7 @@ FAMILIES: dict[str, list[str]] = {
     "subquery": ["q_correlated_agg"],
     "events-streaming": [
         "q_events_tumbling", "q_events_sessions", "q_events_sliding",
-        "q_events_rollup", "q_events_gapfill", "q_funnel",
+        "q_events_rollup", "q_events_gapfill", "q_funnel", "q_retention",
     ],
     "merge-append": ["q_merge_update", "q_merge_ignore", "q_append_map"],
     "ctas-operator": ["q_transform_ctas", "q_compact_roundtrip"],
