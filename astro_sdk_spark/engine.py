@@ -550,3 +550,35 @@ class SparkEngine:
             if not dry_run:
                 shutil.rmtree(path, ignore_errors=True)
         return removed
+
+    def file_skip_report(
+        self, table: BaseTable, predicate: str, round_digits: int = 4
+    ) -> dict:
+        """Quantify how well the table's file layout supports a
+        predicate: of all files, how many contain ANY matching row?
+        Files with no matches are exactly what parquet min/max row-group
+        statistics let the scan skip — so ``skippable_fraction`` is the
+        I/O a well-clustered layout saves on this predicate. Run it
+        before and after :meth:`compact_table` with ``sort_by`` to
+        measure whether clustering pays (the decision you make before
+        rewriting 100 TB, on whatever sample SF you keep locally).
+
+        Returns ``{"files_total", "files_with_matches",
+        "skippable_fraction"}`` — two metadata-cheap distinct-file
+        counts, no data collected."""
+        df = self.spark.table(table.qualified_name)
+        total = df.select(F.input_file_name()).distinct().count()
+        hits = (
+            df.filter(predicate).select(F.input_file_name()).distinct().count()
+        )
+        pin = float(10**round_digits)
+        import math
+
+        frac = (
+            math.floor((1.0 - hits / total) * pin + 0.5) / pin if total else 0.0
+        )
+        return {
+            "files_total": total,
+            "files_with_matches": hits,
+            "skippable_fraction": frac,
+        }

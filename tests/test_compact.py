@@ -141,3 +141,19 @@ def test_vacuum_orphans_removes_only_unregistered_dirs(spark, engine):
     finally:
         spark.sql("DROP TABLE IF EXISTS vac_live_t")
         shutil.rmtree(orphan, ignore_errors=True)
+
+
+def test_file_skip_report_shows_clustering_payoff(spark, engine, demo_table):
+    """Unsorted fragments put every key range in every file; after a
+    sort-clustered compaction the same range predicate touches few
+    files — the report quantifies exactly that."""
+    pred = "id >= 10000 AND id < 20000"
+    before = engine.file_skip_report(demo_table, pred)
+    assert before["files_total"] == 40
+    # round-robin fragmentation: every file contains part of the range
+    assert before["skippable_fraction"] == 0.0
+    engine.compact_table(demo_table, target_file_mb=1, sort_by=["id"])
+    after = engine.file_skip_report(demo_table, pred)
+    assert after["files_total"] > 1
+    assert after["files_with_matches"] < after["files_total"]
+    assert after["skippable_fraction"] > 0.5
