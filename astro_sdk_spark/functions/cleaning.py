@@ -565,3 +565,89 @@ def normalize_text(
         F.length(out).alias("n_chars_out"),
         (out != F.col(text_col)).alias("changed"),
     )
+
+
+# HTML → text extraction. Every pattern is RE2-compatible (inline (?is)
+# flags, lazy quantifiers, NO backreferences — script and style get their
+# own literal close-tag patterns — and explicit [ \t\n\r] classes instead
+# of \s, whose ASCII set differs between Java regex and RE2 at \x0B) so
+# the correctness oracle replays the chain verbatim in an RE2 engine.
+_HTML_DROP_PATTERNS: tuple[str, ...] = (
+    r"(?is)<script[^>]*>.*?</script[ \t\n\r]*>",
+    r"(?is)<style[^>]*>.*?</style[ \t\n\r]*>",
+    r"(?s)<!--.*?-->",
+)
+_HTML_BLOCK_CLOSERS = (
+    r"(?i)</(p|div|h1|h2|h3|h4|h5|h6|li|tr|table|ul|ol|blockquote|pre)"
+    r"[ \t\n\r]*>"
+)
+_HTML_BR = r"(?i)<br[ \t\n\r]*/?[ \t\n\r]*>"
+_HTML_ANY_TAG = r"(?s)<[^>]*>"
+# Named/numeric entities decoded after tag-stripping; '&amp;' decodes LAST
+# so '&amp;lt;' yields the literal '&lt;' (single-pass decode, the HTML5
+# behavior for double-escaped text).
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def strip_html_col(text) -> Column:
+    """Plain-text Column expression for an HTML document: drop
+    script/style/comment subtrees, turn block-closing tags and ``<br>``
+    into newlines, strip every remaining tag, decode the common entities,
+    then collapse horizontal whitespace runs and 3+ newline runs.
+
+    The whole chain is ``regexp_replace``/``replace`` compositions —
+    one fused whole-stage-codegen projection, no Python, no shuffle."""
+    out: Column = text if isinstance(text, Column) else F.col(text)
+    for pat in _HTML_DROP_PATTERNS:
+        out = F.regexp_replace(out, pat, "")
+    out = F.regexp_replace(out, _HTML_BLOCK_CLOSERS, "\n")
+    out = F.regexp_replace(out, _HTML_BR, "\n")
+    out = F.regexp_replace(out, _HTML_ANY_TAG, "")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = F.regexp_replace(out, r"[ \t]+", " ")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    out = F.regexp_replace(out, r"\n{3,}", "\n\n")
+    return F.trim(out)
+
+
+def strip_html(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate extraction for web-crawl corpora: HTML markup in, plain
+    text out — the first pass of every CommonCrawl-style pipeline (C4 and
+    RefinedWeb both start from an HTML-to-text step; Raffel et al. 2020
+    §2.2, Penedo et al. 2023 §3).
+
+    Returns ``(id, plain_text, n_chars_in, n_chars_out, n_links,
+    had_script)`` — link count and script presence are the standard
+    quality signals (link-dense pages are navigation chrome, scripted
+    pages often JS-rendered shells).
+
+    Scale shape: a single whole-stage-codegen projection per row (chained
+    regexp_replace), no Python boundary, no shuffle — streaming-safe and
+    append-stable. At 100 TB this runs at scan speed; the regex cost is
+    linear in document length with RE2-safe patterns (no backtracking
+    blow-ups: every quantifier is over a single-char class or lazy with a
+    literal terminator)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        strip_html_col(t).alias("plain_text"),
+        F.length(t).alias("n_chars_in"),
+        F.length(strip_html_col(t)).alias("n_chars_out"),
+        F.regexp_count(t, F.lit(r"(?i)<a[ \t\n\r>]")).alias("n_links"),
+        (F.regexp_count(t, F.lit(r"(?i)<script[ \t\n\r>]")) > 0).alias(
+            "had_script"
+        ),
+    )

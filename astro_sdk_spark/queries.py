@@ -3796,6 +3796,105 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# HTML → text extraction (functions/cleaning.py:strip_html). Staged
+# NON-vacuously: every document is wrapped in real markup — comment,
+# style and script subtrees (the script body embeds '<p>' tags and
+# entities that MUST NOT leak), block structure, a link, and entities
+# including the '&amp;lt;' double-escape whose single-pass decode order
+# the chain pins. The oracle replays the identical RE2-safe
+# regexp_replace chain, generated from the same pattern constants.
+
+
+def _strip_html_sql(col: str) -> str:
+    """DuckDB expression mirroring strip_html_col, generated from the
+    SAME pattern/entity constants the Spark chain uses — the two sides
+    cannot drift."""
+    from astro_sdk_spark.functions.cleaning import (
+        _HTML_ANY_TAG,
+        _HTML_BLOCK_CLOSERS,
+        _HTML_BR,
+        _HTML_DROP_PATTERNS,
+        _HTML_ENTITIES,
+    )
+
+    def sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = col
+    for pat in _HTML_DROP_PATTERNS:
+        expr = f"regexp_replace({expr}, '{sq(pat)}', '', 'g')"
+    expr = f"regexp_replace({expr}, '{sq(_HTML_BLOCK_CLOSERS)}', chr(10), 'g')"
+    expr = f"regexp_replace({expr}, '{sq(_HTML_BR)}', chr(10), 'g')"
+    expr = f"regexp_replace({expr}, '{sq(_HTML_ANY_TAG)}', '', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        expr = f"replace({expr}, '{sq(ent)}', '{sq(ch)}')"
+    expr = f"regexp_replace({expr}, '[ \\t]+', ' ', 'g')"
+    expr = f"regexp_replace({expr}, ' ?\\n ?', chr(10), 'g')"
+    expr = f"regexp_replace({expr}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    return f"trim({expr})"
+
+
+_QSH_HEAD = (
+    '<html><!-- boilerplate navigation -->'
+    '<head><style type="text/css">p { color: red }</style>'
+    '<script>var s = "<p>not text</p>"; if (1 < 2) { s += "&amp;"; }'
+    "</script></head><body><h1>Doc "
+)
+_QSH_MID = "</h1><p>"
+_QSH_TAIL = (
+    "</p><ul><li>alpha</li><li>beta</li></ul>"
+    '<a href="https://example.com/x?a=1&amp;b=2">link &amp; more</a>'
+    "&nbsp;&lt;end&gt;<br/></body></html>"
+)
+
+
+def _sql_lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+_STRIP_HTML_ORACLE = f"""
+    WITH staged AS (
+      SELECT doc_id,
+             {_sql_lit(_QSH_HEAD)} || CAST(doc_id AS VARCHAR)
+               || {_sql_lit(_QSH_MID)}
+               || replace(text, chr(10), '</p><p>')
+               || {_sql_lit(_QSH_TAIL)} AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id, html, {_strip_html_sql("html")} AS pt FROM staged)
+    SELECT doc_id, pt AS plain_text,
+           length(html) AS n_chars_in, length(pt) AS n_chars_out,
+           len(regexp_extract_all(html, '(?i)<a[ \\t\\n\\r>]')) AS n_links,
+           len(regexp_extract_all(html, '(?i)<script[ \\t\\n\\r>]')) > 0
+             AS had_script
+    FROM s
+"""
+
+
+@q("q_strip_html", _STRIP_HTML_ORACLE)
+def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate extraction (functions/cleaning.py:strip_html) —
+    the first pass of every CommonCrawl-style pipeline. Each document is
+    wrapped in markup (script/style/comment subtrees, block tags, link,
+    double-escaped entities) and the chain must recover the text: one
+    whole-stage-codegen projection, no shuffle, no Python."""
+    from astro_sdk_spark.functions.cleaning import strip_html
+
+    d = T(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(_QSH_HEAD),
+            F.col("doc_id").cast("string"),
+            F.lit(_QSH_MID),
+            F.replace(F.col("text"), F.lit("\n"), F.lit("</p><p>")),
+            F.lit(_QSH_TAIL),
+        ).alias("html"),
+    )
+    return strip_html(staged, text_col="html")
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -3873,6 +3972,8 @@ _TAIL_VARIANTS = [
                            # in-window (conversion-analytics variant)
     "q_retention",         # events: q_events_tumbling in-window (cohort
                            # retention triangle)
+    "q_strip_html",        # cleaning: q_pii_redaction, q_decontaminate
+                           # in-window (HTML→text extraction pass)
 ]
 
 

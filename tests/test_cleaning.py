@@ -475,3 +475,61 @@ def test_normalize_text_rejects_bad_form(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="normal form"):
         normalize_text(df, form="NFX")
+
+
+@pytest.fixture(scope="module")
+def html_docs(spark):
+    rows = [
+        (1, '<html><head><script>var x = "<b>no</b>";</script>'
+            '<style>h1 { color: blue }</style></head>'
+            '<body><h1>Title</h1><p>first para</p><p>second &amp; third</p>'
+            '<a href="https://x.test/?a=1&amp;b=2">a link</a></body></html>'),
+        (2, "no markup at all, just text"),
+        (3, '<p>broken <unclosed and &amp;lt;escaped&amp;gt;</p><br>tail'),
+        (4, "<P>UPPER CASE TAGS</P><BR/><SCRIPT>drop()</SCRIPT>done"),
+        (5, "spaces\t\tand   runs<br><br><br>collapse"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_strip_html_drops_script_style_and_tags(html_docs):
+    from astro_sdk_spark.functions.cleaning import strip_html
+
+    out = {r.doc_id: r for r in strip_html(html_docs).collect()}
+    t1 = out[1].plain_text
+    assert "no</b>" not in t1 and "color: blue" not in t1
+    assert "Title\nfirst para\nsecond & third" in t1
+    assert "a link" in t1 and "https://x.test" not in t1
+    assert out[1].n_links == 1 and out[1].had_script
+
+
+def test_strip_html_plain_text_passthrough(html_docs):
+    from astro_sdk_spark.functions.cleaning import strip_html
+
+    out = {r.doc_id: r for r in strip_html(html_docs).collect()}
+    assert out[2].plain_text == "no markup at all, just text"
+    assert out[2].n_links == 0 and not out[2].had_script
+    assert out[2].n_chars_in == out[2].n_chars_out
+
+
+def test_strip_html_entity_decode_is_single_pass(html_docs):
+    """'&amp;lt;' must decode to the literal '&lt;', never to '<' — the
+    HTML5 single-pass rule the entity ordering pins."""
+    from astro_sdk_spark.functions.cleaning import strip_html
+
+    out = {r.doc_id: r for r in strip_html(html_docs).collect()}
+    assert "&lt;escaped&gt;" in out[3].plain_text
+    # the unclosed '<unclosed ...' tag swallows text up to the next '>'
+    assert "broken" in out[3].plain_text
+
+
+def test_strip_html_case_insensitive_and_collapse(html_docs):
+    from astro_sdk_spark.functions.cleaning import strip_html
+
+    out = {r.doc_id: r for r in strip_html(html_docs).collect()}
+    # </P> and <BR/> each emit a newline; 2 newlines = paragraph break
+    # (only runs of 3+ collapse)
+    assert out[4].plain_text == "UPPER CASE TAGS\n\ndone"
+    assert "drop()" not in out[4].plain_text
+    t5 = out[5].plain_text
+    assert "spaces and runs" in t5 and "\n\n\n" not in t5

@@ -67,7 +67,7 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "cleaning": [
         "q_pii_redaction", "q_decontaminate", "q_c4_rules",
-        "q_contamination_score", "q_unicode_normalize",
+        "q_contamination_score", "q_unicode_normalize", "q_strip_html",
     ],
     "content-dedup": ["q_line_dedup", "q_substring_dedup"],
     "sampling": [
