@@ -1,0 +1,197 @@
+"""merge_scd2 — type-2 slowly-changing-dimension merge.
+
+The reference's merge matrix (SURVEY §2.3; dispatcher
+``python-sdk/src/astro/sql/operators/merge.py:16-200``) stops at type-1
+semantics: ``update`` overwrites in place and history is lost. Warehouse
+dimension tables usually want type 2 — keep the old row, close its
+validity interval, open a new one — and every dialect the reference
+targets reaches it with the same staged full-outer-join rewrite this
+module expresses in DataFrames (Kimball & Ross, *The Data Warehouse
+Toolkit*, ch. 5).
+
+Contract (one snapshot applied to a history table):
+
+- target: ``keys + tracked + valid_from + valid_to + is_current`` —
+  ``valid_to IS NULL``/``is_current`` marks the open version.
+- source: ``keys + tracked + effective_col`` — the new snapshot. Duplicate
+  source keys keep the LATEST effective row (ties broken on tracked
+  values, deterministically).
+- matched current row, any tracked column differs (null-safe) →
+  CLOSE the old version (``valid_to = effective``, ``is_current = false``)
+  and OPEN a new one (``valid_from = effective``, open-ended).
+- matched current row, no change → untouched.
+- source key absent from target → new open version.
+- target key absent from source → untouched (``close_missing=True``
+  instead closes it at its ``effective`` — hard-delete capture).
+- history rows (``is_current = false``) pass through untouched.
+
+Scale shape: ONE shuffle — current rows FULL OUTER JOIN the key-deduped
+snapshot on the dimension key. Both output branches (target-side
+keep/close rows, source-side new versions) project the same join, so
+Spark's ReuseExchange serves them from one exchange; history rows are a
+scan-through union with no shuffle. The staged result goes live through
+the same atomic DROP+RENAME swap the type-1 update path uses
+(operators/swap.py). At 100 TB the dimension is usually the SMALL side —
+but nothing here assumes that: no broadcast, no collect, AQE free to pick
+the join strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from astro_sdk_spark.engine import SparkEngine
+from astro_sdk_spark.session import default_session
+from astro_sdk_spark.table import BaseTable, TempTable
+
+
+def scd2_plan(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    effective_col: str = "effective_ts",
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+    close_missing: bool = False,
+) -> DataFrame:
+    """The pure-DataFrame SCD2 rewrite: returns the NEW full history table.
+
+    Output schema: ``keys + tracked + valid_from + valid_to + is_current``
+    (validity columns take the effective column's type).
+    """
+    for k in keys + tracked:
+        if k not in target.columns or k not in source.columns:
+            raise ValueError(f"column {k!r} must exist in target and source")
+    for c in (valid_from_col, valid_to_col, current_col):
+        if c not in target.columns:
+            raise ValueError(f"target is missing SCD2 column {c!r}")
+    if effective_col not in source.columns:
+        raise ValueError(f"source is missing effective column {effective_col!r}")
+
+    out_cols = keys + tracked + [valid_from_col, valid_to_col, current_col]
+
+    # one deterministic source row per key: latest effective wins, ties
+    # broken on tracked values (max over the struct orders field-by-field)
+    src_one = (
+        source.groupBy(*keys)
+        .agg(F.max(F.struct(effective_col, *tracked)).alias("_v"))
+        .select(*keys, *[F.col(f"_v.{c}").alias(c) for c in [effective_col] + tracked])
+    )
+
+    cur = target.filter(F.col(current_col)).alias("t")
+    hist = target.filter(~F.col(current_col)).select(*out_cols)
+    s = src_one.alias("s")
+
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        cond = c if cond is None else cond & c
+    j = cur.join(s, cond, "full_outer")
+
+    changed = F.lit(False)
+    for c in tracked:
+        changed = changed | ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+    t_present = F.col(f"t.{keys[0]}").isNotNull()
+    s_present = F.col(f"s.{keys[0]}").isNotNull()
+    eff = F.col(f"s.{effective_col}")
+
+    # target-side rows: keep as-is, close on change (or on disappearance
+    # when close_missing) — valid_to/is_current are the only cells touched
+    close = s_present & changed
+    if close_missing:
+        # a vanished key has no source effective — close at the snapshot's
+        # max effective, carried in via a cross-joined one-row bound
+        eff_bound = src_one.agg(F.max(effective_col).alias("_eff_max"))
+        j = j.crossJoin(F.broadcast(eff_bound))
+        close_at = F.when(s_present, eff).otherwise(F.col("_eff_max"))
+        close = close | ~s_present
+    else:
+        close_at = eff
+    target_side = j.filter(t_present).select(
+        *[F.col(f"t.{k}").alias(k) for k in keys],
+        *[F.col(f"t.{c}").alias(c) for c in tracked],
+        F.col(f"t.{valid_from_col}").alias(valid_from_col),
+        F.when(close, close_at)
+        .otherwise(F.col(f"t.{valid_to_col}"))
+        .alias(valid_to_col),
+        F.when(close, F.lit(False))
+        .otherwise(F.col(f"t.{current_col}"))
+        .alias(current_col),
+    )
+
+    # source-side rows: a NEW open version for changed and brand-new keys
+    source_side = j.filter(s_present & (~t_present | changed)).select(
+        *[F.col(f"s.{k}").alias(k) for k in keys],
+        *[F.col(f"s.{c}").alias(c) for c in tracked],
+        eff.alias(valid_from_col),
+        F.lit(None).cast(src_one.schema[effective_col].dataType).alias(valid_to_col),
+        F.lit(True).alias(current_col),
+    )
+
+    return hist.unionByName(target_side).unionByName(source_side)
+
+
+def merge_scd2(
+    source_table: BaseTable | DataFrame,
+    target_table: BaseTable,
+    keys: list[str],
+    tracked: list[str],
+    effective_col: str = "effective_ts",
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+    close_missing: bool = False,
+    engine: SparkEngine | None = None,
+    spark: SparkSession | None = None,
+) -> BaseTable:
+    """Apply a snapshot to an SCD2 history table in place.
+
+    Staged rewrite + atomic swap, exactly like ``merge(...,
+    if_conflicts='update')`` (operators/merge.py:201) — Spark cannot
+    overwrite a table it is reading, so the new history stages in the
+    target's database and goes live via DROP+RENAME with post-failure
+    restore (operators/swap.py:35)."""
+    from astro_sdk_spark.operators.swap import swap_table
+
+    eng = engine or SparkEngine(spark or default_session())
+    sp = eng.spark
+    tgt = sp.table(target_table.qualified_name)
+    src = (
+        source_table
+        if isinstance(source_table, DataFrame)
+        else sp.table(source_table.qualified_name)
+    )
+
+    result = scd2_plan(
+        tgt,
+        src,
+        keys,
+        tracked,
+        effective_col=effective_col,
+        valid_from_col=valid_from_col,
+        valid_to_col=valid_to_col,
+        current_col=current_col,
+        close_missing=close_missing,
+    )
+
+    from astro_sdk_spark.lineage import _name_of, emit
+
+    emit(
+        "merge:scd2",
+        inputs=[
+            _name_of(source_table)
+            if isinstance(source_table, BaseTable)
+            else "<dataframe>"
+        ],
+        outputs=[_name_of(target_table)],
+    )
+
+    staging = TempTable(metadata=target_table.metadata)
+    result.write.mode("overwrite").format("parquet").saveAsTable(
+        staging.qualified_name
+    )
+    swap_table(sp, staging.qualified_name, target_table.qualified_name)
+    return target_table

@@ -3895,6 +3895,84 @@ def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SCD2 merge (operators/scd.py) — type-2 dimension maintenance: a
+# modified snapshot applied to a history table must close changed
+# versions, open new ones, insert new keys, and leave unchanged rows
+# untouched. The oracle replays the full-outer-join rewrite; IS DISTINCT
+# FROM mirrors the plan's null-safe change detection.
+
+_SCD2_ORACLE = """
+    WITH tgt AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice AS price,
+             DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+             true AS is_current
+      FROM orders WHERE o_orderkey % 5 <> 0),
+    src AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'R' ELSE o_orderstatus END
+               AS o_orderstatus,
+             -- +1000.0 is EXACT double addition: change detection and the
+             -- emitted value are bit-identical across engines (round(x*1.1)
+             -- would disagree on half-way cases)
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS price,
+             DATE '2021-06-15' AS effective_ts
+      FROM orders),
+    j AS (
+      SELECT t.o_orderkey AS tk, t.o_orderstatus AS tst, t.price AS tp,
+             t.valid_from, t.valid_to, t.is_current,
+             s.o_orderkey AS sk, s.o_orderstatus AS sst, s.price AS sp,
+             s.effective_ts
+      FROM tgt t FULL JOIN src s ON t.o_orderkey = s.o_orderkey),
+    chg AS (
+      SELECT *, (sk IS NOT NULL AND (sst IS DISTINCT FROM tst
+                                     OR sp IS DISTINCT FROM tp)) AS changed
+      FROM j)
+    SELECT tk AS o_orderkey, tst AS o_orderstatus, tp AS price, valid_from,
+           CASE WHEN changed THEN effective_ts ELSE valid_to END AS valid_to,
+           CASE WHEN changed THEN false ELSE is_current END AS is_current
+    FROM chg WHERE tk IS NOT NULL
+    UNION ALL
+    SELECT sk, sst, sp, effective_ts, CAST(NULL AS DATE), true
+    FROM chg WHERE sk IS NOT NULL AND (tk IS NULL OR changed)
+"""
+
+
+@q("q_scd2_merge", _SCD2_ORACLE)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD merge (operators/scd.py:scd2_plan): orders minus the
+    %5 keys seeds the dimension; a snapshot that mutates every %3 key
+    (status + exact-double price bump) and adds the %5 keys back applies
+    on top. One
+    full-outer-join shuffle, both output branches reuse the exchange."""
+    from astro_sdk_spark.operators.scd import scd2_plan
+
+    o = T(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+        F.to_date(F.lit("2020-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    is_mod = F.col("o_orderkey") % 3 == 0
+    source = o.select(
+        "o_orderkey",
+        F.when(is_mod, F.lit("R")).otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(is_mod, F.col("o_totalprice") + 1000.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.to_date(F.lit("2021-06-15")).alias("effective_ts"),
+    )
+    return scd2_plan(
+        target, source, ["o_orderkey"], ["o_orderstatus", "price"]
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -3974,6 +4052,8 @@ _TAIL_VARIANTS = [
                            # retention triangle)
     "q_strip_html",        # cleaning: q_pii_redaction, q_decontaminate
                            # in-window (HTML→text extraction pass)
+    "q_scd2_merge",        # merge: q_merge_update in-window (type-2
+                           # history variant of the same staged rewrite)
 ]
 
 

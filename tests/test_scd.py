@@ -1,0 +1,148 @@
+"""Type-2 SCD merge: change closes the old version and opens a new one,
+history rows pass through, disappeared keys close only under
+close_missing, duplicate source keys keep the latest effective row."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from astro_sdk_spark.operators.scd import merge_scd2, scd2_plan
+
+D = datetime.date
+
+TGT_SCHEMA = (
+    "id long, status string, price double, "
+    "valid_from date, valid_to date, is_current boolean"
+)
+SRC_SCHEMA = "id long, status string, price double, effective_ts date"
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    # id=1 history + current; id=2 current (will change); id=3 current
+    # (unchanged); id=4 current (absent from snapshot)
+    return spark.createDataFrame(
+        [
+            (1, "old", 10.0, D(2019, 1, 1), D(2020, 1, 1), False),
+            (1, "a", 11.0, D(2020, 1, 1), None, True),
+            (2, "b", 20.0, D(2020, 1, 1), None, True),
+            (3, "c", 30.0, D(2020, 1, 1), None, True),
+            (4, "d", 40.0, D(2020, 1, 1), None, True),
+        ],
+        TGT_SCHEMA,
+    )
+
+
+@pytest.fixture(scope="module")
+def snap(spark):
+    # id=1 unchanged, id=2 price changed, id=3 unchanged, id=5 new
+    return spark.createDataFrame(
+        [
+            (1, "a", 11.0, D(2021, 6, 1)),
+            (2, "b", 25.0, D(2021, 6, 1)),
+            (3, "c", 30.0, D(2021, 6, 1)),
+            (5, "e", 50.0, D(2021, 6, 1)),
+        ],
+        SRC_SCHEMA,
+    )
+
+
+def _rows(df):
+    return {
+        (r.id, r.valid_from): r
+        for r in df.orderBy("id", "valid_from").collect()
+    }
+
+
+def test_scd2_change_closes_and_opens(dim, snap):
+    out = scd2_plan(dim, snap, ["id"], ["status", "price"])
+    rows = _rows(out)
+    # id=2: old version closed at effective, new version open
+    closed = rows[(2, D(2020, 1, 1))]
+    assert closed.valid_to == D(2021, 6, 1) and not closed.is_current
+    assert closed.price == 20.0
+    opened = rows[(2, D(2021, 6, 1))]
+    assert opened.valid_to is None and opened.is_current
+    assert opened.price == 25.0
+
+
+def test_scd2_unchanged_and_history_pass_through(dim, snap):
+    out = scd2_plan(dim, snap, ["id"], ["status", "price"])
+    rows = _rows(out)
+    # history row untouched
+    h = rows[(1, D(2019, 1, 1))]
+    assert h.valid_to == D(2020, 1, 1) and not h.is_current
+    # unchanged current rows untouched
+    for k in ((1, D(2020, 1, 1)), (3, D(2020, 1, 1))):
+        assert rows[k].is_current and rows[k].valid_to is None
+
+
+def test_scd2_new_key_and_missing_key(dim, snap):
+    out = scd2_plan(dim, snap, ["id"], ["status", "price"])
+    rows = _rows(out)
+    # id=5 brand new: one open version
+    assert rows[(5, D(2021, 6, 1))].is_current
+    # id=4 absent from snapshot: untouched by default
+    assert rows[(4, D(2020, 1, 1))].is_current
+    assert len(rows) == 7  # 5 target rows + id=2 new version + id=5
+
+
+def test_scd2_close_missing(dim, snap):
+    out = scd2_plan(
+        dim, snap, ["id"], ["status", "price"], close_missing=True
+    )
+    rows = _rows(out)
+    gone = rows[(4, D(2020, 1, 1))]
+    assert not gone.is_current and gone.valid_to == D(2021, 6, 1)
+
+
+def test_scd2_duplicate_source_keys_latest_effective_wins(spark, dim):
+    snap = spark.createDataFrame(
+        [
+            (2, "b", 21.0, D(2021, 1, 1)),
+            (2, "b", 29.0, D(2021, 9, 1)),  # later effective wins
+        ],
+        SRC_SCHEMA,
+    )
+    out = scd2_plan(dim, snap, ["id"], ["status", "price"])
+    opened = [
+        r for r in out.collect() if r.id == 2 and r.is_current
+    ]
+    assert len(opened) == 1
+    assert opened[0].price == 29.0 and opened[0].valid_from == D(2021, 9, 1)
+
+
+def test_scd2_missing_column_raises(dim, snap):
+    with pytest.raises(ValueError, match="nope"):
+        scd2_plan(dim, snap, ["id"], ["nope"])
+
+
+def test_merge_scd2_operator_round_trip(engine, spark):
+    from astro_sdk_spark import Table
+
+    tgt = Table(name="scd_dim_tgt")
+    spark.createDataFrame(
+        [(1, "a", 1.0, D(2020, 1, 1), None, True)], TGT_SCHEMA
+    ).write.mode("overwrite").saveAsTable(tgt.name)
+    try:
+        snap = spark.createDataFrame(
+            [(1, "a", 2.0, D(2021, 1, 1)), (2, "b", 9.0, D(2021, 1, 1))],
+            SRC_SCHEMA,
+        )
+        merge_scd2(snap, tgt, ["id"], ["status", "price"], engine=engine)
+        rows = {
+            (r.id, bool(r.is_current)): r
+            for r in spark.table(tgt.name).collect()
+        }
+        assert len(rows) == 3
+        assert rows[(1, False)].valid_to == D(2021, 1, 1)
+        assert rows[(1, True)].price == 2.0
+        assert rows[(2, True)].price == 9.0
+        # applying the SAME snapshot again is a no-op (idempotent)
+        merge_scd2(snap, tgt, ["id"], ["status", "price"], engine=engine)
+        assert spark.table(tgt.name).count() == 3
+    finally:
+        engine.drop_table(tgt)

@@ -38,7 +38,9 @@ FAMILIES: dict[str, list[str]] = {
         "q_events_tumbling", "q_events_sessions", "q_events_sliding",
         "q_events_rollup", "q_events_gapfill", "q_funnel", "q_retention",
     ],
-    "merge-append": ["q_merge_update", "q_merge_ignore", "q_append_map"],
+    "merge-append": [
+        "q_merge_update", "q_merge_ignore", "q_append_map", "q_scd2_merge",
+    ],
     "ctas-operator": ["q_transform_ctas", "q_compact_roundtrip"],
     "data-quality": [
         "q_check_column", "q_check_table", "q_profile_table", "q_outliers",
