@@ -3973,6 +3973,77 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# table_diff (operators/diff.py) — CDC snapshot compare: a mutated copy
+# of orders (every %7 key dropped, %3 status changed, %4 price bumped by
+# an exact double, %11 cloned to a fresh key) diffed against the
+# original. The oracle replays the null-safe full-outer-join
+# classification; concat_ws skips NULLs identically in both engines.
+
+_TABLE_DIFF_ORACLE = """
+    WITH oldt AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    newt AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N', o_totalprice
+      FROM orders WHERE o_orderkey % 11 = 0),
+    j AS (
+      SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+             o.o_orderstatus AS os, n.o_orderstatus AS ns,
+             o.o_totalprice AS op, n.o_totalprice AS np
+      FROM oldt o FULL JOIN newt n ON o.o_orderkey = n.o_orderkey),
+    c AS (
+      SELECT coalesce(ok, nk) AS o_orderkey,
+             CASE WHEN ok IS NULL THEN 'added'
+                  WHEN nk IS NULL THEN 'removed'
+                  WHEN os IS DISTINCT FROM ns OR op IS DISTINCT FROM np
+                    THEN 'changed'
+                  ELSE 'unchanged' END AS diff,
+             CASE WHEN ok IS NOT NULL AND nk IS NOT NULL THEN
+               concat_ws(',',
+                 CASE WHEN os IS DISTINCT FROM ns THEN 'o_orderstatus' END,
+                 CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
+             ELSE '' END AS changed_cols
+      FROM j)
+    SELECT o_orderkey, diff, changed_cols FROM c WHERE diff <> 'unchanged'
+"""
+
+
+@q("q_table_diff", _TABLE_DIFF_ORACLE)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (operators/diff.py:table_diff): added /
+    removed / changed classification with per-row changed-column lists —
+    one null-safe full-outer-join shuffle, codegen classification, the
+    unchanged bulk filtered inside the join stage."""
+    from astro_sdk_spark.operators.diff import table_diff
+
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    kept = base.filter(k % 7 != 0).select(
+        "o_orderkey",
+        F.when(k % 3 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(k % 4 == 0, F.col("o_totalprice") + 1000.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    added = base.filter(k % 11 == 0).select(
+        (k + 100000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    return table_diff(base, kept.unionByName(added), ["o_orderkey"])
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -4054,6 +4125,8 @@ _TAIL_VARIANTS = [
                            # in-window (HTML→text extraction pass)
     "q_scd2_merge",        # merge: q_merge_update in-window (type-2
                            # history variant of the same staged rewrite)
+    "q_table_diff",        # data-quality: q_check_column, q_check_table
+                           # in-window (CDC snapshot-compare variant)
 ]
 
 
