@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["gapfill"]
+__all__ = ["gapfill", "rolling_stats"]
 
 
 def gapfill(
@@ -261,4 +261,94 @@ def retention(
             F.floor(F.col("n_active") / F.col("cohort_size") * F.lit(pin) + F.lit(0.5))
             / F.lit(pin)
         ).alias("retention"),
+    )
+
+
+def rolling_stats(
+    df: DataFrame,
+    ts_col: str = "ts_ns",
+    group_col: str = "user_id",
+    value_col: str = "value",
+    frame_rows: int | None = None,
+    frame_range: int | None = None,
+    stats: Sequence[str] = ("avg", "sum", "min", "max", "count"),
+    value_scale: int = 100,
+    order_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group trailing-window features: for every event, aggregates
+    over the last ``frame_rows`` observations (ROWS frame) or the last
+    ``frame_range`` time units (RANGE frame on the numeric ts) — the
+    moving-average / trailing-volume features every monitoring dashboard
+    and feature pipeline computes. Exactly one frame kind must be given.
+
+    Returns ``group, ts, value`` plus one ``rolling_<stat>`` column per
+    requested stat.
+
+    Determinism: ``sum``/``avg`` run on fixed-point integers
+    (``round(value * value_scale)`` as BIGINT — exact, order-independent;
+    see gapfill's value_scale) and scale back at the end, so sliding-sum
+    results are bit-identical across engines regardless of accumulation
+    strategy (Spark re-sums frames; other engines use segment trees —
+    double accumulation order differs at ~1 ulp, which lands on rounding
+    boundaries). ``order_keys`` extends the within-group ordering for
+    ROWS frames when timestamps can tie (frame contents would otherwise
+    be nondeterministic — pass the event id).
+
+    Scale shape: ONE shuffle on the group column; each group's window is
+    a single sorted run (Spark sorts within partitions — no global sort).
+    A hot group serializes into one task: windows cannot partially
+    aggregate, so groups are assumed bounded (per-user event counts). For
+    unbounded keys, bucket time first (gapfill) and roll over buckets."""
+    if (frame_rows is None) == (frame_range is None):
+        raise ValueError("exactly one of frame_rows / frame_range required")
+    if frame_rows is not None and frame_rows <= 0:
+        raise ValueError(f"frame_rows must be positive, got {frame_rows}")
+    if frame_range is not None and frame_range <= 0:
+        raise ValueError(f"frame_range must be positive, got {frame_range}")
+    allowed = {"avg", "sum", "min", "max", "count"}
+    bad = set(stats) - allowed
+    if bad:
+        raise ValueError(f"unsupported stats {sorted(bad)}; allowed {sorted(allowed)}")
+
+    cv = F.round(F.col(value_col) * F.lit(value_scale)).cast("bigint")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(ts_col).alias("_t"),
+        F.col(value_col).alias("_v"),
+        cv.alias("_cv"),
+        *[F.col(k) for k in order_keys],
+    )
+    if frame_rows is not None:
+        w = (
+            Window.partitionBy("_g")
+            .orderBy("_t", *order_keys)
+            .rowsBetween(-(frame_rows - 1), 0)
+        )
+    else:
+        w = (
+            Window.partitionBy("_g")
+            .orderBy("_t")
+            .rangeBetween(-frame_range, 0)
+        )
+
+    cols = []
+    for s in stats:
+        if s == "avg":
+            e = (
+                F.sum("_cv").over(w).cast("double")
+                / (F.count("_cv").over(w) * F.lit(value_scale))
+            )
+        elif s == "sum":
+            e = F.sum("_cv").over(w).cast("double") / F.lit(value_scale)
+        elif s == "count":
+            e = F.count("_cv").over(w)
+        else:
+            e = getattr(F, s)("_v").over(w)
+        cols.append(e.alias(f"rolling_{s}"))
+
+    return base.select(
+        F.col("_g").alias(group_col),
+        F.col("_t").alias(ts_col),
+        F.col("_v").alias(value_col),
+        *cols,
     )

@@ -4044,6 +4044,51 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Rolling trailing-window features (functions/timeseries.py:rolling_stats)
+# — per-user moving avg/sum/min/max/count over the last 3 purchases.
+# sum/avg run on fixed-point integers (value has 2 decimals), so sliding
+# sums are exact and engine-independent regardless of accumulation
+# strategy (Spark re-sums frames; DuckDB uses segment trees — double
+# accumulation would differ at ~1 ulp on rounding boundaries).
+
+_ROLLING_ORACLE = """
+    WITH p AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(round(value * 100) AS BIGINT) AS cv
+      FROM events WHERE event_type = 'purchase')
+    SELECT user_id, ts, value,
+           CAST(sum(cv) OVER f AS DOUBLE) / (count(cv) OVER f * 100)
+             AS rolling_avg,
+           CAST(sum(cv) OVER f AS DOUBLE) / 100 AS rolling_sum,
+           min(value) OVER f AS rolling_min,
+           max(value) OVER f AS rolling_max,
+           count(cv) OVER f AS rolling_count
+    FROM p
+    WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+@q("q_rolling", _ROLLING_ORACLE)
+def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-purchase rolling features per user
+    (functions/timeseries.py:rolling_stats): one shuffle on user_id,
+    exact fixed-point sliding sums, event_id tiebreak pins frame
+    contents when timestamps collide."""
+    from astro_sdk_spark.functions.timeseries import rolling_stats
+
+    e = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return rolling_stats(
+        e,
+        ts_col="ts",
+        group_col="user_id",
+        value_col="value",
+        frame_rows=3,
+        order_keys=("event_id",),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -4127,6 +4172,8 @@ _TAIL_VARIANTS = [
                            # history variant of the same staged rewrite)
     "q_table_diff",        # data-quality: q_check_column, q_check_table
                            # in-window (CDC snapshot-compare variant)
+    "q_rolling",           # events: q_events_tumbling in-window
+                           # (trailing-window feature variant)
 ]
 
 

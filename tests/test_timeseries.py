@@ -192,3 +192,80 @@ def test_retention_validates_period(spark):
     df = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
     with _pytest.raises(ValueError, match="period"):
         retention(df, period="quarter")
+
+
+# ---------------------------------------------------------------- rolling
+
+
+def _rolling_df(spark):
+    rows = [
+        (1, 100, 10, 1.0),
+        (1, 200, 11, 2.0),
+        (1, 300, 12, 3.0),
+        (1, 400, 13, 4.0),
+        (2, 100, 14, 10.0),
+        (2, 500, 15, 20.0),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts_ns long, event_id long, value double"
+    )
+
+
+def test_rolling_rows_frame(spark):
+    from astro_sdk_spark.functions.timeseries import rolling_stats
+
+    out = rolling_stats(
+        _rolling_df(spark), frame_rows=3, order_keys=("event_id",)
+    )
+    rows = {(r.user_id, r.ts_ns): r for r in out.collect()}
+    # 4th event of user 1: frame = values 2,3,4
+    r = rows[(1, 400)]
+    assert r.rolling_count == 3 and r.rolling_sum == 9.0
+    assert r.rolling_avg == 3.0 and r.rolling_min == 2.0 and r.rolling_max == 4.0
+    # leading rows see short frames
+    assert rows[(1, 100)].rolling_count == 1
+    assert rows[(2, 500)].rolling_count == 2
+
+
+def test_rolling_range_frame(spark):
+    from astro_sdk_spark.functions.timeseries import rolling_stats
+
+    out = rolling_stats(_rolling_df(spark), frame_range=150)
+    rows = {(r.user_id, r.ts_ns): r for r in out.collect()}
+    # user 1 ts=300: frame covers ts in [150, 300] → values 2, 3
+    assert rows[(1, 300)].rolling_count == 2
+    assert rows[(1, 300)].rolling_sum == 5.0
+    # user 2 ts=500: gap of 400 > 150 → frame is just itself
+    assert rows[(2, 500)].rolling_count == 1
+
+
+def test_rolling_tie_determinism(spark):
+    """Two events at the SAME ts: the event_id tiebreak makes frame
+    contents deterministic across partitionings."""
+    from astro_sdk_spark.functions.timeseries import rolling_stats
+
+    rows = [(1, 100, 1, 5.0), (1, 100, 2, 7.0), (1, 200, 3, 9.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_ns long, event_id long, value double"
+    )
+    out = rolling_stats(
+        df.repartition(4), frame_rows=2, order_keys=("event_id",)
+    ).collect()
+    by_val = {r.value: r for r in out}
+    assert by_val[5.0].rolling_count == 1
+    assert by_val[7.0].rolling_sum == 12.0  # 5 then 7
+    assert by_val[9.0].rolling_sum == 16.0  # 7 then 9
+
+
+def test_rolling_validates_args(spark):
+    import pytest as _pytest
+
+    from astro_sdk_spark.functions.timeseries import rolling_stats
+
+    df = _rolling_df(spark)
+    with _pytest.raises(ValueError, match="exactly one"):
+        rolling_stats(df)
+    with _pytest.raises(ValueError, match="exactly one"):
+        rolling_stats(df, frame_rows=3, frame_range=100)
+    with _pytest.raises(ValueError, match="unsupported stats"):
+        rolling_stats(df, frame_rows=3, stats=("median",))
