@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["gapfill", "rolling_stats"]
+__all__ = ["gapfill", "rolling_stats", "rolling_anomalies"]
 
 
 def gapfill(
@@ -305,7 +305,7 @@ def rolling_stats(
         raise ValueError(f"frame_rows must be positive, got {frame_rows}")
     if frame_range is not None and frame_range <= 0:
         raise ValueError(f"frame_range must be positive, got {frame_range}")
-    allowed = {"avg", "sum", "min", "max", "count"}
+    allowed = {"avg", "sum", "min", "max", "count", "std"}
     bad = set(stats) - allowed
     if bad:
         raise ValueError(f"unsupported stats {sorted(bad)}; allowed {sorted(allowed)}")
@@ -316,6 +316,7 @@ def rolling_stats(
         F.col(ts_col).alias("_t"),
         F.col(value_col).alias("_v"),
         cv.alias("_cv"),
+        (cv * cv).alias("_cq"),
         *[F.col(k) for k in order_keys],
     )
     if frame_rows is not None:
@@ -342,6 +343,19 @@ def rolling_stats(
             e = F.sum("_cv").over(w).cast("double") / F.lit(value_scale)
         elif s == "count":
             e = F.count("_cv").over(w)
+        elif s == "std":
+            # population std from exact integer sums: σ = √(n·Σx² − (Σx)²)
+            # / (n·scale). The radicand is an exact BIGINT, so the sqrt
+            # input — and therefore the double result — is bit-identical
+            # in every engine. Bounds: |cv| ≤ scale·max|v|; the radicand
+            # needs n·Σcv² < 2⁶³ — fine for bounded frames (document:
+            # ~1e6-row frames of 2-decimal values up to 1e4).
+            n = F.count("_cv").over(w)
+            ssum = F.sum("_cv").over(w)
+            ssq = F.sum("_cq").over(w)
+            e = F.sqrt((n * ssq - ssum * ssum).cast("double")) / (
+                n * F.lit(value_scale)
+            )
         else:
             e = getattr(F, s)("_v").over(w)
         cols.append(e.alias(f"rolling_{s}"))
@@ -351,4 +365,55 @@ def rolling_stats(
         F.col("_t").alias(ts_col),
         F.col("_v").alias(value_col),
         *cols,
+    )
+
+
+def rolling_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts_ns",
+    group_col: str = "user_id",
+    value_col: str = "value",
+    frame_rows: int = 20,
+    k: float = 2.0,
+    min_count: int = 3,
+    value_scale: int = 100,
+    order_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Rolling z-score anomaly flags: an observation is anomalous when it
+    sits more than ``k`` trailing-window standard deviations from the
+    trailing-window mean (and the window holds at least ``min_count``
+    points — early rows can't establish a baseline). The monitoring
+    primitive for metric streams: load spikes, price glitches, sensor
+    faults.
+
+    Returns ``group, ts, value, rolling_avg, rolling_std, is_anomaly``.
+
+    Determinism: mean and std come from rolling_stats' exact-integer
+    sums, so the flag threshold compares bit-identical doubles in every
+    engine — no tolerance needed. Same scale shape as rolling_stats: one
+    shuffle on the group, windows sorted within partitions."""
+    stats = rolling_stats(
+        df,
+        ts_col=ts_col,
+        group_col=group_col,
+        value_col=value_col,
+        frame_rows=frame_rows,
+        stats=("avg", "std", "count"),
+        value_scale=value_scale,
+        order_keys=order_keys,
+    )
+    flag = (
+        (F.col("rolling_count") >= min_count)
+        & (
+            F.abs(F.col(value_col) - F.col("rolling_avg"))
+            > F.lit(k) * F.col("rolling_std")
+        )
+    )
+    return stats.select(
+        group_col,
+        ts_col,
+        value_col,
+        "rolling_avg",
+        "rolling_std",
+        flag.alias("is_anomaly"),
     )

@@ -4089,6 +4089,56 @@ def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Rolling z-score anomaly flags (timeseries.py:rolling_anomalies) — the
+# metric-stream monitoring primitive. Mean AND std come from exact
+# integer sums (σ = √(n·Σx² − (Σx)²)/(n·scale); the radicand is an exact
+# integer, so the sqrt input is bit-identical in both engines) and the
+# k·σ threshold therefore compares identical doubles — a boolean under
+# the hash gate with zero tolerance.
+
+_ANOMALY_ORACLE = """
+    WITH p AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(round(value * 100) AS BIGINT) AS cv
+      FROM events WHERE event_type = 'error'),
+    w AS (
+      SELECT user_id, ts, value,
+             CAST(sum(cv) OVER f AS DOUBLE) / (count(cv) OVER f * 100)
+               AS rolling_avg,
+             sqrt(CAST(count(cv) OVER f * sum(cv * cv) OVER f
+                       - sum(cv) OVER f * sum(cv) OVER f AS DOUBLE))
+               / (count(cv) OVER f * 100) AS rolling_std,
+             count(cv) OVER f AS n
+      FROM p
+      WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT user_id, ts, value, rolling_avg, rolling_std,
+           (n >= 3 AND abs(value - rolling_avg) > 2.0 * rolling_std)
+             AS is_anomaly
+    FROM w
+"""
+
+
+@q("q_anomaly", _ANOMALY_ORACLE)
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over each user's error-event
+    values (timeseries.py:rolling_anomalies): trailing-10 window, k=2σ,
+    3-point minimum baseline. One shuffle on user_id; the flag compares
+    bit-identical doubles (exact-integer mean/std)."""
+    from astro_sdk_spark.functions.timeseries import rolling_anomalies
+
+    e = T(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return rolling_anomalies(
+        e,
+        ts_col="ts",
+        frame_rows=10,
+        k=2.0,
+        min_count=3,
+        order_keys=("event_id",),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -4174,6 +4224,8 @@ _TAIL_VARIANTS = [
                            # in-window (CDC snapshot-compare variant)
     "q_rolling",           # events: q_events_tumbling in-window
                            # (trailing-window feature variant)
+    "q_anomaly",           # events: q_events_tumbling in-window
+                           # (rolling z-score monitoring variant)
 ]
 
 

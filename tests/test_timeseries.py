@@ -269,3 +269,49 @@ def test_rolling_validates_args(spark):
         rolling_stats(df, frame_rows=3, frame_range=100)
     with _pytest.raises(ValueError, match="unsupported stats"):
         rolling_stats(df, frame_rows=3, stats=("median",))
+
+
+def test_rolling_std_exact(spark):
+    from astro_sdk_spark.functions.timeseries import rolling_stats
+
+    # values 1,2,3 → pop std of frame {1,2,3} = sqrt(2/3)
+    out = rolling_stats(
+        _rolling_df(spark),
+        frame_rows=3,
+        stats=("std", "count"),
+        order_keys=("event_id",),
+    )
+    rows = {(r.user_id, r.ts_ns): r for r in out.collect()}
+    import math
+
+    assert abs(rows[(1, 300)].rolling_std - math.sqrt(2.0 / 3.0)) < 1e-12
+    # single-point frame: zero variance
+    assert rows[(1, 100)].rolling_std == 0.0
+    assert rows[(2, 100)].rolling_std == 0.0
+
+
+def test_rolling_anomalies_flags_spike(spark):
+    from astro_sdk_spark.functions.timeseries import rolling_anomalies
+
+    rows = [(1, i * 100, i, 10.0 + (0.1 if i % 2 else -0.1)) for i in range(10)]
+    rows.append((1, 2000, 99, 500.0))  # spike
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_ns long, event_id long, value double"
+    )
+    out = rolling_anomalies(
+        df, frame_rows=10, k=2.0, min_count=3, order_keys=("event_id",)
+    )
+    flagged = [r.ts_ns for r in out.collect() if r.is_anomaly]
+    assert flagged == [2000]
+
+
+def test_rolling_anomalies_min_count_guard(spark):
+    """Early rows can't be anomalous — no baseline yet."""
+    from astro_sdk_spark.functions.timeseries import rolling_anomalies
+
+    rows = [(1, 100, 1, 1.0), (1, 200, 2, 100.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_ns long, event_id long, value double"
+    )
+    out = rolling_anomalies(df, frame_rows=5, min_count=3).collect()
+    assert not any(r.is_anomaly for r in out)
