@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["gapfill", "rolling_stats", "rolling_anomalies"]
+__all__ = ["gapfill", "rolling_stats", "rolling_anomalies", "sessionize"]
 
 
 def gapfill(
@@ -416,4 +416,62 @@ def rolling_anomalies(
         "rolling_avg",
         "rolling_std",
         flag.alias("is_anomaly"),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    group_col: str = "user_id",
+    order_keys: Sequence[str] = (),
+    epoch_col: str | None = None,
+    epoch_units_per_second: int = 1_000_000_000,
+) -> DataFrame:
+    """Per-EVENT session labeling: assign every event its user's running
+    session number (1-based), where a gap of more than ``gap_seconds``
+    since the previous event opens a new session — the batch counterpart
+    of streaming/ops.py:session_window_agg, which emits per-session
+    AGGREGATES; this keeps the raw events so downstream features can
+    join on (user, session).
+
+    Returns the group/order columns plus ``ts, is_session_start,
+    session_n``.
+
+    Boundary determinism: when ``epoch_col`` names an integer epoch
+    column (e.g. the events reader's ``ts_ns`` with the default
+    nanosecond ``epoch_units_per_second``), gaps are exact integer
+    differences — engine- and timezone-independent. Without it, gaps
+    fall back to ``unix_micros`` of the timestamp (NTZ values go through
+    the session-timezone cast; gap DIFFERENCES cancel the zone offset,
+    so only a DST transition inside a gap could shift a boundary).
+    ``order_keys`` breaks timestamp ties deterministically.
+
+    Scale shape: one shuffle on the group column; boundary detection is
+    a lag + running-sum pair over the SAME window sort, so Spark
+    evaluates both in one WindowExec pass. Per-user event counts bound
+    the per-task work."""
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
+    if epoch_col is not None:
+        tick = F.col(epoch_col)
+        threshold = gap_seconds * epoch_units_per_second
+    else:
+        t = F.col(ts_col)
+        if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+            t = t.cast("timestamp_ltz")
+        tick = F.unix_micros(t)
+        threshold = gap_seconds * 1_000_000
+    w = Window.partitionBy(group_col).orderBy(ts_col, *order_keys)
+    prev = F.lag(tick).over(w)
+    is_start = prev.isNull() | (tick - prev > F.lit(threshold))
+    run = Window.partitionBy(group_col).orderBy(ts_col, *order_keys).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.select(
+        group_col,
+        *[k for k in order_keys],
+        ts_col,
+        is_start.alias("is_session_start"),
+        F.sum(is_start.cast("int")).over(run).alias("session_n"),
     )

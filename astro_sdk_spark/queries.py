@@ -4139,6 +4139,46 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Per-event sessionization (timeseries.py:sessionize) — every event gets
+# its user's running session number; boundaries on exact integer
+# microseconds (unix_micros ≡ epoch_us), 30-minute gap.
+
+_SESSIONIZE_ORACLE = """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             epoch_ns(ts) - lag(epoch_ns(ts)) OVER w AS gap_ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id, ts,
+             (gap_ns IS NULL OR gap_ns > 1800 * CAST(1000000000 AS BIGINT))
+               AS is_session_start
+      FROM g)
+    SELECT user_id, event_id, ts, is_session_start,
+           sum(CASE WHEN is_session_start THEN 1 ELSE 0 END) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+    FROM s
+"""
+
+
+@q("q_sessionize", _SESSIONIZE_ORACLE)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization of the events table
+    (timeseries.py:sessionize): per-event session numbers under the hash
+    gate — one shuffle on user_id, lag + running-sum in a single window
+    pass."""
+    from astro_sdk_spark.functions.timeseries import sessionize
+
+    return sessionize(
+        T(spark, sf_dir, "events"),
+        gap_seconds=1800,
+        order_keys=("event_id",),
+        epoch_col="ts_ns",
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -4226,6 +4266,8 @@ _TAIL_VARIANTS = [
                            # (trailing-window feature variant)
     "q_anomaly",           # events: q_events_tumbling in-window
                            # (rolling z-score monitoring variant)
+    "q_sessionize",        # events: q_events_sessions in-window
+                           # (per-event labeling variant)
 ]
 
 

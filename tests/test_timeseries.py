@@ -315,3 +315,50 @@ def test_rolling_anomalies_min_count_guard(spark):
     )
     out = rolling_anomalies(df, frame_rows=5, min_count=3).collect()
     assert not any(r.is_anomaly for r in out)
+
+
+def test_sessionize_gap_boundaries(spark):
+    from astro_sdk_spark.functions.timeseries import sessionize
+
+    rows = [
+        (1, 0, 1),
+        (1, 1800 * 10**9, 2),        # exactly the gap → SAME session
+        (1, 3600 * 10**9 + 1, 3),    # 1800s + 1ns later → new session
+        (2, 0, 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long")
+    out = sessionize(
+        df, gap_seconds=1800, ts_col="ts", order_keys=("event_id",),
+        epoch_col="ts", epoch_units_per_second=10**9,
+    )
+    rows_ = {r.event_id: r for r in out.collect()}
+    assert rows_[1].session_n == 1 and rows_[1].is_session_start
+    assert rows_[2].session_n == 1 and not rows_[2].is_session_start
+    assert rows_[3].session_n == 2 and rows_[3].is_session_start
+    assert rows_[4].session_n == 1  # per-user numbering
+
+
+def test_sessionize_timestamp_fallback(spark):
+    import datetime as _dt
+
+    from astro_sdk_spark.functions.timeseries import sessionize
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1),
+        (1, base + _dt.timedelta(minutes=10), 2),
+        (1, base + _dt.timedelta(minutes=50), 3),  # 40-min gap → new
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = {r.event_id: r for r in sessionize(df, order_keys=("event_id",)).collect()}
+    assert out[2].session_n == 1 and out[3].session_n == 2
+
+
+def test_sessionize_validates_gap(spark):
+    import pytest as _pytest
+
+    from astro_sdk_spark.functions.timeseries import sessionize
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp")
+    with _pytest.raises(ValueError, match="gap_seconds"):
+        sessionize(df, gap_seconds=0)

@@ -37,7 +37,7 @@ FAMILIES: dict[str, list[str]] = {
     "events-streaming": [
         "q_events_tumbling", "q_events_sessions", "q_events_sliding",
         "q_events_rollup", "q_events_gapfill", "q_funnel", "q_retention",
-        "q_rolling", "q_anomaly",
+        "q_rolling", "q_anomaly", "q_sessionize",
     ],
     "merge-append": [
         "q_merge_update", "q_merge_ignore", "q_append_map", "q_scd2_merge",
