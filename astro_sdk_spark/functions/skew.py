@@ -102,3 +102,59 @@ def salted_agg(
     salted = df.withColumn("_salt", _hash_salt(df.columns, salt, seed))
     partial = salted.groupBy(*gcols, "_salt").agg(*partial_aggs)
     return partial.groupBy(*gcols).agg(*final_aggs)
+
+
+def skew_report(
+    df: DataFrame,
+    keys: list[str],
+    top_k: int = 10,
+    target_rows_per_task: int = 5_000_000,
+) -> DataFrame:
+    """Key-distribution diagnostic: the ``top_k`` hottest join/group keys
+    with their row counts, corpus fraction, and a per-key salt suggestion
+    (``ceil(n / target_rows_per_task)`` — the fan-out salted_join/
+    salted_agg would need to split that key's partition down to the
+    target). Run this BEFORE committing a join strategy: a top-1
+    fraction in the tens of percent means AQE's skew split will carry
+    the stage, and anything hotter wants an explicit salt or a broadcast
+    rethink.
+
+    Returns ``rank, <keys...>, n, frac, salt_suggest``.
+
+    Scale shape: one partial-aggregatable groupBy(keys).count() — the
+    count collapses map-side, so the shuffle moves one row per distinct
+    key — then a distributed TakeOrdered (orderBy+limit: per-partition
+    top-k, driver merge of k-row heads — NOT a single-partition window
+    over the full count table, which billions of distinct keys would
+    serialize) with a count-desc, key-value-tiebreak sort; ranking runs
+    over only the k survivors. One one-row broadcast carries the total.
+    Safe on any cardinality: the report is bounded by top_k."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if top_k <= 0 or target_rows_per_task <= 0:
+        raise ValueError("top_k and target_rows_per_task must be positive")
+
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
+    order = [F.col("n").desc(), *[F.col(k) for k in keys]]
+    topk = counts.orderBy(*order).limit(top_k)
+    ranked = (
+        topk.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .crossJoin(F.broadcast(total))
+    )
+    # floor-pin the fraction (engine-agnostic rounding; see gapfill._pin)
+    frac = F.floor(
+        F.col("n") / F.col("_total").cast("double") * F.lit(1000000.0)
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    return ranked.select(
+        "rank",
+        *keys,
+        "n",
+        frac.alias("frac"),
+        F.ceil(F.col("n") / F.lit(float(target_rows_per_task)))
+        .cast("bigint")
+        .alias("salt_suggest"),
+    )

@@ -4179,6 +4179,44 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Hot-key diagnostic (functions/skew.py:skew_report) — the measurement
+# behind every salting decision: top-k hottest keys, corpus fraction
+# (floor-pinned), per-key salt suggestion. TakeOrdered top-k, not a
+# global window.
+
+_SKEW_REPORT_ORACLE = """
+    WITH c AS (
+      SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+    r AS (
+      SELECT o_custkey, n,
+             row_number() OVER (ORDER BY n DESC, o_custkey) AS rank
+      FROM c)
+    SELECT rank, o_custkey, n,
+           floor(n / total * 1000000.0 + 0.5) / 1000000.0 AS frac,
+           CAST(ceil(n / 10.0) AS BIGINT) AS salt_suggest
+    FROM r CROSS JOIN t
+    WHERE rank <= 10
+"""
+
+
+@q("q_skew_report", _SKEW_REPORT_ORACLE)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hottest order keys by customer
+    (functions/skew.py:skew_report): partial-agg count, distributed
+    TakeOrdered, one-row total broadcast — the pre-join skew
+    measurement, under the hash gate."""
+    from astro_sdk_spark.functions.skew import skew_report
+
+    return skew_report(
+        T(spark, sf_dir, "orders"),
+        keys=["o_custkey"],
+        top_k=10,
+        target_rows_per_task=10,
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -4268,6 +4306,8 @@ _TAIL_VARIANTS = [
                            # (rolling z-score monitoring variant)
     "q_sessionize",        # events: q_events_sessions in-window
                            # (per-event labeling variant)
+    "q_skew_report",       # data-quality: q_check_column, q_check_table
+                           # in-window (hot-key distribution diagnostic)
 ]
 
 

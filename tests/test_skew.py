@@ -91,3 +91,39 @@ def test_salt_is_deterministic_and_spreads_hot_key(skewed):
     assert pa == pb
     hot_buckets = {s for (k, _), s in pa.items() if k == 0}
     assert hot_buckets == set(range(8))
+
+
+def test_skew_report_ranks_and_salt(spark):
+    from astro_sdk_spark.functions.skew import skew_report
+
+    rows = [(1, i) for i in range(50)] + [(2, i) for i in range(10)] + [(3, 0)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = skew_report(df, ["k"], top_k=2, target_rows_per_task=20).collect()
+    assert [r.rank for r in out] == [1, 2]
+    top = out[0]
+    assert top.k == 1 and top.n == 50
+    assert abs(top.frac - round(50 / 61, 6)) < 1e-9
+    assert top.salt_suggest == 3  # ceil(50/20)
+    assert out[1].k == 2 and out[1].salt_suggest == 1
+
+
+def test_skew_report_tiebreak_deterministic(spark):
+    from astro_sdk_spark.functions.skew import skew_report
+
+    rows = [(5, 0), (4, 0), (3, 0)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = skew_report(df.repartition(4), ["k"], top_k=3).collect()
+    # equal counts → key-value order
+    assert [r.k for r in out] == [3, 4, 5]
+
+
+def test_skew_report_validates(spark):
+    import pytest as _pytest
+
+    from astro_sdk_spark.functions.skew import skew_report
+
+    df = spark.createDataFrame([(1, 1)], "k long, v long")
+    with _pytest.raises(ValueError, match="non-empty"):
+        skew_report(df, [])
+    with _pytest.raises(ValueError, match="positive"):
+        skew_report(df, ["k"], top_k=0)

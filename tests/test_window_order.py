@@ -45,7 +45,7 @@ FAMILIES: dict[str, list[str]] = {
     "ctas-operator": ["q_transform_ctas", "q_compact_roundtrip"],
     "data-quality": [
         "q_check_column", "q_check_table", "q_profile_table", "q_outliers",
-        "q_table_diff",
+        "q_table_diff", "q_skew_report",
     ],
     "pipeline": ["q_training_pipeline"],
     "exact-dedup": ["q_dedup_exact", "q_bloom_dedup"],
