@@ -31,6 +31,8 @@ from astro_sdk_spark.operators.raw_sql import run_raw_sql
 from astro_sdk_spark.operators.dataframe import dataframe
 from astro_sdk_spark.operators.append import append
 from astro_sdk_spark.operators.merge import merge
+from astro_sdk_spark.operators.scd import merge_scd2
+from astro_sdk_spark.operators.diff import diff_summary, table_diff
 from astro_sdk_spark.operators.export import export_to_file
 from astro_sdk_spark.operators.drop import drop_table
 from astro_sdk_spark.operators.cleanup import cleanup
@@ -87,6 +89,9 @@ __all__ = [
     "dataframe",
     "append",
     "merge",
+    "merge_scd2",
+    "table_diff",
+    "diff_summary",
     "export_to_file",
     "drop_table",
     "cleanup",
