@@ -103,11 +103,13 @@ def scd2_plan(
     close = s_present & changed
     if close_missing:
         # a vanished key has no source effective — close at the snapshot's
-        # max effective, carried in via a cross-joined one-row bound
+        # max effective, carried in via a cross-joined one-row bound. An
+        # EMPTY snapshot has no effective at all (_eff_max NULL): nothing
+        # closes, rather than closing the whole dimension at NULL.
         eff_bound = src_one.agg(F.max(effective_col).alias("_eff_max"))
         j = j.crossJoin(F.broadcast(eff_bound))
         close_at = F.when(s_present, eff).otherwise(F.col("_eff_max"))
-        close = close | ~s_present
+        close = close | (~s_present & F.col("_eff_max").isNotNull())
     else:
         close_at = eff
     target_side = j.filter(t_present).select(

@@ -49,6 +49,8 @@ NESTED_LOOP_WHITELIST = {
                              # q_lm_score device, bigram variant)
     "q_outliers": 1,         # one-row fence-bounds broadcast (tf_idf
                              # normalizer device)
+    "q_skew_report": 1,      # one-row corpus-total broadcast (tf_idf
+                             # normalizer device)
 }
 
 # query → max allowed Python/Arrow boundary nodes (MapInPandas etc.).

@@ -146,3 +146,14 @@ def test_merge_scd2_operator_round_trip(engine, spark):
         assert spark.table(tgt.name).count() == 3
     finally:
         engine.drop_table(tgt)
+
+
+def test_scd2_close_missing_empty_snapshot_is_noop(spark, dim):
+    """An empty snapshot must not close the whole dimension at NULL."""
+    snap = spark.createDataFrame([], SRC_SCHEMA)
+    out = scd2_plan(
+        dim, snap, ["id"], ["status", "price"], close_missing=True
+    )
+    rows = _rows(out)
+    assert len(rows) == 5
+    assert rows[(4, D(2020, 1, 1))].is_current  # untouched
