@@ -651,3 +651,51 @@ def strip_html(
             "had_script"
         ),
     )
+
+
+def dedup_lines_in_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """WITHIN-document line dedup: remove repeated occurrences of a line
+    inside each document, keeping the first (template pages repeat nav
+    blocks and footers many times per page; corpus-wide ``line_dedup``
+    handles cross-document boilerplate, this handles intra-document).
+    Lines shorter than ``min_chars`` are always kept.
+
+    Returns ``(id, text, n_lines, n_kept)``.
+
+    Scale shape: ZERO shuffles — split + one higher-order array filter
+    per row (keep line i iff its FIRST occurrence index is i), entirely
+    JVM-side and append/streaming-safe. Per-doc cost is O(lines²) string
+    compares in the worst case, bounded by document size — the same
+    bound as the split itself at web-page line counts."""
+    # Stage the split array as a NAMED column and give every projection
+    # slot its own fresh lambda. Two HOF lambdas that both capture the
+    # same inlined split(...) subtree miscompile in Spark 4.1 (lambda
+    # variable binding collides across slots and size() of the second
+    # filter evaluates wrong — cousin of the sq_code_col captured-subtree
+    # pitfall); referencing the staged attribute keeps each lambda's
+    # captured tree a plain column reference.
+    base = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), F.lit(delimiter)).alias("_lines"),
+    )
+    l = F.col("_lines")
+
+    def kept():
+        return F.filter(
+            l,
+            lambda x, i: (F.length(x) < F.lit(min_chars))
+            | (F.array_position(l, x) == i + F.lit(1)),
+        )
+
+    return base.select(
+        F.col(id_col),
+        F.array_join(kept(), delimiter).alias(text_col),
+        F.size(l).alias("n_lines"),
+        F.size(kept()).alias("n_kept"),
+    )

@@ -4217,6 +4217,44 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Within-document line dedup (cleaning.py:dedup_lines_in_doc) — staged
+# non-vacuously: every document is DOUBLED line-for-line, so the filter
+# must drop the entire second copy (except always-kept short lines) and
+# reassemble the first in order. Shuffle-free higher-order array filter;
+# the oracle replays it with DuckDB's indexed list lambda.
+
+_DOC_LINE_DEDUP_ORACLE = """
+    WITH staged AS (
+      SELECT doc_id, text || chr(10) || text || chr(10) || 'end' AS text
+      FROM documents),
+    s AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM staged),
+    k AS (
+      SELECT doc_id, l,
+             list_filter(l, (x, i) -> length(x) < 1
+                                      OR list_position(l, x) = i) AS kept
+      FROM s)
+    SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+           len(l) AS n_lines, len(kept) AS n_kept
+    FROM k
+"""
+
+
+@q("q_doc_line_dedup", _DOC_LINE_DEDUP_ORACLE)
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line removal
+    (cleaning.py:dedup_lines_in_doc) on line-doubled documents: zero
+    shuffles, one JVM array filter per row."""
+    from astro_sdk_spark.functions.cleaning import dedup_lines_in_doc
+
+    t = F.col("text")
+    staged = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(t, F.lit("\n"), t, F.lit("\n"), F.lit("end")).alias("text"),
+    )
+    return dedup_lines_in_doc(staged)
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -4308,6 +4346,8 @@ _TAIL_VARIANTS = [
                            # (per-event labeling variant)
     "q_skew_report",       # data-quality: q_check_column, q_check_table
                            # in-window (hot-key distribution diagnostic)
+    "q_doc_line_dedup",    # content-dedup: q_line_dedup in-window
+                           # (intra-document variant, shuffle-free)
 ]
 
 

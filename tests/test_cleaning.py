@@ -533,3 +533,41 @@ def test_strip_html_case_insensitive_and_collapse(html_docs):
     assert "drop()" not in out[4].plain_text
     t5 = out[5].plain_text
     assert "spaces and runs" in t5 and "\n\n\n" not in t5
+
+
+def test_dedup_lines_in_doc(spark):
+    from astro_sdk_spark.functions.cleaning import dedup_lines_in_doc
+
+    rows = [
+        (1, "nav\nbody one\nnav\nbody two\nnav"),
+        (2, "a\n\nb\n\na"),  # empty lines always kept; dup 'a' dropped
+        (3, "unique only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_lines_in_doc(df).collect()}
+    assert out[1].text == "nav\nbody one\nbody two"
+    assert out[1].n_lines == 5 and out[1].n_kept == 3
+    assert out[2].text == "a\n\nb\n"
+    assert out[2].n_kept == 4
+    assert out[3].text == "unique only" and out[3].n_kept == 1
+
+
+def test_dedup_lines_in_doc_min_chars_exempts_short(spark):
+    from astro_sdk_spark.functions.cleaning import dedup_lines_in_doc
+
+    df = spark.createDataFrame([(1, "ab\nab\nx\nx")], "doc_id long, text string")
+    out = dedup_lines_in_doc(df, min_chars=3).collect()[0]
+    # every line is under 3 chars -> all kept
+    assert out.n_kept == 4 and out.text == "ab\nab\nx\nx"
+
+
+def test_dedup_lines_in_doc_is_per_document(spark):
+    """The same line in two DIFFERENT docs survives in both (corpus-wide
+    removal is line_dedup's job)."""
+    from astro_sdk_spark.functions.cleaning import dedup_lines_in_doc
+
+    df = spark.createDataFrame(
+        [(1, "shared\nown1"), (2, "shared\nown2")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.text for r in dedup_lines_in_doc(df).collect()}
+    assert out[1] == "shared\nown1" and out[2] == "shared\nown2"

@@ -73,7 +73,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_pii_redaction", "q_decontaminate", "q_c4_rules",
         "q_contamination_score", "q_unicode_normalize", "q_strip_html",
     ],
-    "content-dedup": ["q_line_dedup", "q_substring_dedup"],
+    "content-dedup": ["q_line_dedup", "q_substring_dedup", "q_doc_line_dedup"],
     "sampling": [
         "q_train_split", "q_stratified_sample", "q_seq_packing", "q_domain_mix",
         "q_dsir_weights", "q_doc_chunks", "q_unimax", "q_weighted_sample",
