@@ -680,9 +680,13 @@ def dedup_lines_in_doc(
     # filter evaluates wrong — cousin of the sq_code_col captured-subtree
     # pitfall); referencing the staged attribute keeps each lambda's
     # captured tree a plain column reference.
+    import re as _re
+
+    # split takes a REGEX; the delimiter is a literal (same convention as
+    # line_dedup) — escape it, but join with the raw literal
     base = df.select(
         F.col(id_col),
-        F.split(F.col(text_col), F.lit(delimiter)).alias("_lines"),
+        F.split(F.col(text_col), F.lit(_re.escape(delimiter))).alias("_lines"),
     )
     l = F.col("_lines")
 

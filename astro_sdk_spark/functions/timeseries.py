@@ -305,10 +305,15 @@ def rolling_stats(
         raise ValueError(f"frame_rows must be positive, got {frame_rows}")
     if frame_range is not None and frame_range <= 0:
         raise ValueError(f"frame_range must be positive, got {frame_range}")
+    if value_scale <= 0:
+        # non-ANSI division by 0 would silently NULL every sum/avg/std
+        raise ValueError(f"value_scale must be positive, got {value_scale}")
     allowed = {"avg", "sum", "min", "max", "count", "std"}
     bad = set(stats) - allowed
     if bad:
         raise ValueError(f"unsupported stats {sorted(bad)}; allowed {sorted(allowed)}")
+    if len(set(stats)) != len(tuple(stats)):
+        raise ValueError(f"duplicate stats in {tuple(stats)}")
 
     cv = F.round(F.col(value_col) * F.lit(value_scale)).cast("bigint")
     base = df.select(

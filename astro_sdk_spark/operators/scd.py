@@ -81,9 +81,12 @@ def scd2_plan(
         .select(*keys, *[F.col(f"_v.{c}").alias(c) for c in [effective_col] + tracked])
     )
 
-    cur = target.filter(F.col(current_col)).alias("t")
+    # presence markers survive NULL key values (the null-safe join below
+    # matches them, so keys[0] IS NOT NULL would misclassify such rows —
+    # the same device as operators/diff.py)
+    cur = target.filter(F.col(current_col)).withColumn("_tm", F.lit(1)).alias("t")
     hist = target.filter(~F.col(current_col)).select(*out_cols)
-    s = src_one.alias("s")
+    s = src_one.withColumn("_sm", F.lit(1)).alias("s")
 
     cond = None
     for k in keys:
@@ -94,8 +97,8 @@ def scd2_plan(
     changed = F.lit(False)
     for c in tracked:
         changed = changed | ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
-    t_present = F.col(f"t.{keys[0]}").isNotNull()
-    s_present = F.col(f"s.{keys[0]}").isNotNull()
+    t_present = F.col("t._tm").isNotNull()
+    s_present = F.col("s._sm").isNotNull()
     eff = F.col(f"s.{effective_col}")
 
     # target-side rows: keep as-is, close on change (or on disappearance
@@ -155,11 +158,29 @@ def merge_scd2(
     if_conflicts='update')`` (operators/merge.py:201) — Spark cannot
     overwrite a table it is reading, so the new history stages in the
     target's database and goes live via DROP+RENAME with post-failure
-    restore (operators/swap.py:35)."""
+    restore (operators/swap.py:35).
+
+    Transaction-log targets (Delta/Iceberg/Hudi) are refused rather than
+    silently rewritten: the parquet staged swap would REPLACE the table
+    with a plain parquet one, destroying the transaction log. (The
+    type-1 path routes those providers to a native single-statement
+    MERGE INTO, merge.py:174; SCD2 needs a multi-action MERGE + INSERT
+    transaction, which plain Spark SQL cannot express atomically —
+    drive the provider's own API with scd2_plan's output instead.)"""
+    from astro_sdk_spark.operators.merge import table_provider
     from astro_sdk_spark.operators.swap import swap_table
 
     eng = engine or SparkEngine(spark or default_session())
     sp = eng.spark
+    provider = table_provider(sp, target_table.qualified_name)
+    if provider in ("delta", "iceberg", "hudi"):
+        raise NotImplementedError(
+            f"merge_scd2 would replace the {provider} table "
+            f"{target_table.qualified_name} with plain parquet via the "
+            "staged swap. Use scd2_plan() to compute the new history and "
+            f"write it through the {provider} API (e.g. MERGE INTO plus "
+            "an INSERT for new versions) to keep the transaction log."
+        )
     tgt = sp.table(target_table.qualified_name)
     src = (
         source_table

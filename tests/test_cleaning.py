@@ -571,3 +571,12 @@ def test_dedup_lines_in_doc_is_per_document(spark):
     )
     out = {r.doc_id: r.text for r in dedup_lines_in_doc(df).collect()}
     assert out[1] == "shared\nown1" and out[2] == "shared\nown2"
+
+
+def test_dedup_lines_in_doc_regex_metachar_delimiter(spark):
+    """The delimiter is a LITERAL: '|' must not become regex alternation."""
+    from astro_sdk_spark.functions.cleaning import dedup_lines_in_doc
+
+    df = spark.createDataFrame([(1, "nav|body|nav")], "doc_id long, text string")
+    out = dedup_lines_in_doc(df, delimiter="|").collect()[0]
+    assert out.text == "nav|body" and out.n_lines == 3 and out.n_kept == 2

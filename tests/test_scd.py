@@ -157,3 +157,39 @@ def test_scd2_close_missing_empty_snapshot_is_noop(spark, dim):
     rows = _rows(out)
     assert len(rows) == 5
     assert rows[(4, D(2020, 1, 1))].is_current  # untouched
+
+
+def test_scd2_null_key_rows_survive(spark):
+    """NULL-key rows match via the null-safe join and must neither vanish
+    nor be spuriously re-versioned (presence markers, not keys[0] IS NOT
+    NULL, decide row presence)."""
+    dim = spark.createDataFrame(
+        [
+            (None, "n", 1.0, D(2020, 1, 1), None, True),
+            (1, "a", 1.0, D(2020, 1, 1), None, True),
+        ],
+        TGT_SCHEMA,
+    )
+    # case 1: NULL key absent from snapshot -> row must survive untouched
+    snap1 = spark.createDataFrame([(1, "a", 1.0, D(2021, 1, 1))], SRC_SCHEMA)
+    out1 = scd2_plan(dim, snap1, ["id"], ["status", "price"]).collect()
+    nulls1 = [r for r in out1 if r.id is None]
+    assert len(nulls1) == 1 and nulls1[0].is_current
+    # case 2: NULL key present and UNCHANGED -> no new version
+    snap2 = spark.createDataFrame(
+        [(None, "n", 1.0, D(2021, 1, 1))], SRC_SCHEMA
+    )
+    out2 = scd2_plan(dim, snap2, ["id"], ["status", "price"]).collect()
+    nulls2 = [r for r in out2 if r.id is None]
+    assert len(nulls2) == 1 and nulls2[0].valid_from == D(2020, 1, 1)
+    # case 3: NULL key present and CHANGED -> close + open like any key
+    snap3 = spark.createDataFrame(
+        [(None, "n", 9.0, D(2021, 1, 1))], SRC_SCHEMA
+    )
+    out3 = scd2_plan(dim, snap3, ["id"], ["status", "price"]).collect()
+    nulls3 = sorted(
+        (r for r in out3 if r.id is None), key=lambda r: r.valid_from
+    )
+    assert len(nulls3) == 2
+    assert not nulls3[0].is_current and nulls3[0].valid_to == D(2021, 1, 1)
+    assert nulls3[1].is_current and nulls3[1].price == 9.0

@@ -362,3 +362,15 @@ def test_sessionize_validates_gap(spark):
     df = spark.createDataFrame([], "user_id long, ts timestamp")
     with _pytest.raises(ValueError, match="gap_seconds"):
         sessionize(df, gap_seconds=0)
+
+
+def test_rolling_validates_scale_and_duplicates(spark):
+    import pytest as _pytest
+
+    from astro_sdk_spark.functions.timeseries import rolling_stats
+
+    df = _rolling_df(spark)
+    with _pytest.raises(ValueError, match="value_scale"):
+        rolling_stats(df, frame_rows=3, value_scale=0)
+    with _pytest.raises(ValueError, match="duplicate"):
+        rolling_stats(df, frame_rows=3, stats=("avg", "avg"))
