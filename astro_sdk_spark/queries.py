@@ -501,17 +501,24 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_events_tumbling",
     """
     SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
-           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+           event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point sum (value has 2 decimals): the integer total is exact
+    and order-independent, where round(sum(double), 2) carries the
+    parallel-accumulation ulp onto the rounding boundary (the divergence
+    the sf0.1 sweep caught on the sliding twin)."""
     e = T(spark, sf_dir, "events")
+    cv = F.round(F.col("value") * 100).cast("bigint")
     return (
         e.groupBy(F.window("ts", "10 minutes").start.alias("window_start"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.sum(cv).cast("double") / 100).alias("total_value"),
         )
     )
 
@@ -879,10 +886,12 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
                      time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
                AS window_start,
-             event_type, value
+             event_type,
+             CAST(round(value * 100) AS BIGINT) AS cv
       FROM events)
     SELECT window_start, event_type, count(*) AS n,
-           round(avg(value), 4) AS avg_value
+           floor(CAST(sum(cv) AS DOUBLE) / (count(*) * 100) * 10000.0 + 0.5)
+             / 10000.0 AS avg_value
     FROM w GROUP BY window_start, event_type
     """,
 )
@@ -890,8 +899,16 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (10 min / 5 min slide) — the batch shape of
     streaming/ops.sliding_window_agg. Each event lands in exactly two
     windows (starts at its 5-min bucket and the one before), which is how
-    the DuckDB oracle states it."""
+    the DuckDB oracle states it.
+
+    avg runs on exact fixed-point integers (value has 2 decimals) with a
+    floor-pin — round(avg(double), 4) flipped on ~0.2% of sf0.1 groups
+    because parallel double accumulation lands on rounding boundaries
+    (caught by the full sf0.1 sweep; the gapfill/rolling_stats
+    value_scale device, applied here)."""
     e = T(spark, sf_dir, "events")
+    cv = F.round(F.col("value") * 100).cast("bigint")
+    avg_exact = F.sum(cv).cast("double") / (F.count(F.lit(1)) * 100)
     return (
         e.groupBy(
             F.window("ts", "10 minutes", "5 minutes").start.alias("window_start"),
@@ -899,7 +916,9 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (F.floor(avg_exact * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+                "avg_value"
+            ),
         )
     )
 
