@@ -33,6 +33,7 @@ from astro_sdk_spark.operators.append import append
 from astro_sdk_spark.operators.merge import merge
 from astro_sdk_spark.operators.scd import merge_scd2
 from astro_sdk_spark.operators.diff import diff_summary, table_diff
+from astro_sdk_spark.operators.incremental import high_water_mark, incremental_append
 from astro_sdk_spark.operators.export import export_to_file
 from astro_sdk_spark.operators.drop import drop_table
 from astro_sdk_spark.operators.cleanup import cleanup
@@ -92,6 +93,8 @@ __all__ = [
     "merge_scd2",
     "table_diff",
     "diff_summary",
+    "incremental_append",
+    "high_water_mark",
     "export_to_file",
     "drop_table",
     "cleanup",
