@@ -96,21 +96,59 @@ def oracle_queries() -> dict[str, str]:
     return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
 
 
+# Exact money aggregation — the device the sf0.1 sweep forced on the
+# events queries, applied to every single-factor 2-decimal sum/avg:
+# parallel double accumulation differs at ~1 ulp between engines and
+# round() lands it on half boundaries. Centi-unit BIGINT sums are exact
+# and order-independent (safe to ±9.2e16 cents); averages floor-pin the
+# identical double. Multi-factor products (price·(1−disc)·(1+tax)) keep
+# round(sum(double)) — their fixed-point scale would overflow at extreme
+# SFs, and DECIMAL is the principled cluster-side fix (see SURVEY).
+def _cents(col: str):
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+def CS(col: str):
+    """Exact sum of a 2-decimal column (Spark side)."""
+    return F.sum(_cents(col)).cast("double") / 100
+
+
+def CAVG(col: str, digits: int):
+    """Exact-sum average of a 2-decimal column, floor-pinned (Spark)."""
+    s = float(10**digits)
+    raw = F.sum(_cents(col)).cast("double") / (F.count(_cents(col)) * 100)
+    return F.floor(raw * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
+def _SQL_CS(col: str) -> str:
+    """The same exact sum as engine-neutral SQL text."""
+    return f"CAST(sum(CAST(round({col} * 100) AS BIGINT)) AS DOUBLE) / 100"
+
+
+def _SQL_CAVG(col: str, digits: int) -> str:
+    s = float(10**digits)
+    inner = (
+        f"CAST(sum(CAST(round({col} * 100) AS BIGINT)) AS DOUBLE)"
+        f" / (count({col}) * 100)"
+    )
+    return f"floor({inner} * {s} + 0.5) / {s}"
+
+
 # --------------------------------------------------------------------------
 # 1. Aggregation — flagship: TPC-H Q1-style pricing summary
 
 
 @q(
     "q_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)       AS sum_qty,
-           round(sum(l_extendedprice), 2)  AS sum_base_price,
+           {_SQL_CS("l_extendedprice")}    AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)       AS avg_qty,
-           round(avg(l_extendedprice), 4)  AS avg_price,
-           round(avg(l_discount), 4)       AS avg_disc,
+           {_SQL_CAVG("l_quantity", 4)}    AS avg_qty,
+           {_SQL_CAVG("l_extendedprice", 4)} AS avg_price,
+           {_SQL_CAVG("l_discount", 4)}    AS avg_disc,
            count(*)                        AS count_order
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -118,6 +156,11 @@ def oracle_queries() -> dict[str, str]:
     """,
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money aggregation on the single-factor columns (see CS/CAVG
+    above): sum_qty is already exact (integer-valued doubles), the
+    multi-factor disc_price/charge sums keep round(sum) — their
+    product-rounding is documented, and they survived the full sf0.1
+    sweep."""
     li = T(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -126,12 +169,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            CS("l_extendedprice").alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            CAVG("l_quantity", 4).alias("avg_qty"),
+            CAVG("l_extendedprice", 4).alias("avg_price"),
+            CAVG("l_discount", 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -178,8 +221,8 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q_group_having",
-    """
-    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    f"""
+    SELECT o_custkey, count(*) AS n_orders, {_SQL_CS("o_totalprice")} AS spend
     FROM orders GROUP BY o_custkey HAVING count(*) >= 12
     """,
 )
@@ -189,7 +232,7 @@ def q_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            CS("o_totalprice").alias("spend"),
         )
         .filter(F.col("n_orders") >= 12)
     )
@@ -212,15 +255,15 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q_cube",
-    """
-    SELECT l_returnflag, l_linestatus, round(avg(l_discount), 4) AS avg_disc
+    f"""
+    SELECT l_returnflag, l_linestatus, {_SQL_CAVG("l_discount", 4)} AS avg_disc
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.avg("l_discount"), 4).alias("avg_disc")
+        CAVG("l_discount", 4).alias("avg_disc")
     )
 
 
@@ -230,9 +273,9 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q_join_agg",
-    """
+    f"""
     SELECT c_mktsegment, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           {_SQL_CS("o_totalprice")} AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
     GROUP BY c_mktsegment
@@ -247,7 +290,7 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            CS("o_totalprice").alias("revenue"),
         )
     )
 
@@ -340,10 +383,11 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_running",
     """
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey
              ORDER BY CAST(o_orderdate AS DATE), o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 100 AS running_spend,
            lag(o_orderkey) OVER (
              PARTITION BY o_custkey
              ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_orderkey
@@ -358,7 +402,9 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(wsum), 2).alias("running_spend"),
+        (F.sum(_cents("o_totalprice")).over(wsum).cast("double") / 100).alias(
+            "running_spend"
+        ),
         F.lag("o_orderkey").over(w).alias("prev_orderkey"),
     )
 
@@ -458,9 +504,9 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q_date_funcs",
-    """
+    f"""
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n, {_SQL_CS("o_totalprice")} AS total
     FROM orders GROUP BY 1
     """,
 )
@@ -479,17 +525,31 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_extract",
     """
     SELECT event_type,
-           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           floor(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                      AS DOUBLE)
+                 / count(json_extract_string(props, '$.k'))
+                 * 10000.0 + 0.5) / 10000.0 AS avg_k,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
 )
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg of exact integer sums, floor-pinned: the sums are identical in
+    both engines, and the pin removes the engines' divergent round()
+    half-handling on the identical quotient (the quotient-vs-sum rule:
+    fixed-point SUMS snap to their grid under round(), QUOTIENTS sit
+    arbitrarily close to half boundaries)."""
     e = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    raw = F.sum(k).cast("double") / F.count(k)
     return (
-        e.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
-        .groupBy("event_type")
-        .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.count(F.lit(1)).alias("n"))
+        e.groupBy("event_type")
+        .agg(
+            (F.floor(raw * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+                "avg_k"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
 
 
@@ -710,11 +770,11 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q_range_join",
-    """
+    f"""
     WITH bands(band, lo, hi) AS (
       VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
              ('high', 150000.0, 1000000000.0))
-    SELECT band, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+    SELECT band, count(*) AS n, {_SQL_CAVG("o_totalprice", 2)} AS avg_price
     FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
     GROUP BY band
     """,
@@ -736,7 +796,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            CAVG("o_totalprice", 2).alias("avg_price"),
         )
     )
 
@@ -745,18 +805,22 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_grouping_sets",
     """
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           round(sum(l_extendedprice), 2) AS total
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS total
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact centi-unit sum device is engine-neutral SQL text — the
+    Spark side runs the SAME statement."""
     li = T(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("_qgs_lineitem")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus, count(*) AS n,
-               round(sum(l_extendedprice), 2) AS total
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100 AS total
         FROM _qgs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -2952,7 +3016,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRANSFORM_CTAS_ORACLE = """
     SELECT o_orderstatus, o_orderpriority,
-           round(sum(o_totalprice), 2) AS total_price,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_price,
            count(*) AS n_orders
     FROM orders
     GROUP BY o_orderstatus, o_orderpriority
@@ -2996,7 +3060,7 @@ def q_transform_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_file(File(f"{sf_dir}/orders.parquet"), src, engine=eng)
     out = run_transform(
         "SELECT o_orderstatus, o_orderpriority, "
-        "round(sum(o_totalprice), 2) AS total_price, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_price, "
         "count(*) AS n_orders "
         "FROM {{ src }} GROUP BY o_orderstatus, o_orderpriority",
         parameters={"src": src},
@@ -3481,7 +3545,7 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_compact_roundtrip",
     """
     SELECT o_orderstatus,
-           round(sum(o_totalprice), 2) AS total_price,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_price,
            count(*) AS n_orders
     FROM orders WHERE o_orderkey % 5 = 0
     GROUP BY o_orderstatus
@@ -3510,7 +3574,7 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % 5 == 0)
         .groupBy("o_orderstatus")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            CS("o_totalprice").alias("total_price"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
