@@ -4338,6 +4338,39 @@ def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental-load freshness semantics (operators/incremental.py):
+# the high-water mark derives from the already-loaded subset and the
+# strictly-greater filter selects exactly the unloaded suffix. Exact
+# integer nanosecond comparison (ts_ns ≡ epoch_ns) — a microsecond-
+# truncated timestamp mark would wrongly re-include the max row.
+
+_INCR_CUTOFF_NS = 1705276800 * 1_000_000_000  # 2024-01-15T00:00:00Z
+
+_INCREMENTAL_ORACLE = f"""
+    WITH tgt AS (
+      SELECT epoch_ns(ts) AS ns FROM events
+      WHERE epoch_ns(ts) < {_INCR_CUTOFF_NS}),
+    h AS (SELECT max(ns) AS m FROM tgt)
+    SELECT event_id, epoch_ns(ts) AS ts_ns
+    FROM events CROSS JOIN h
+    WHERE epoch_ns(ts) > m
+"""
+
+
+@q("q_incremental_fresh", _INCREMENTAL_ORACLE)
+def q_incremental_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental_append's freshness selection: events before Jan 15
+    are 'already loaded'; the query returns exactly the rows strictly
+    past that subset's max(ts_ns). The one-row mark is the operator's
+    documented driver-side collect (high_water_mark); the filter itself
+    pushes down into the scan."""
+    e = T(spark, sf_dir, "events")
+    tgt = e.filter(F.col("ts_ns") < F.lit(_INCR_CUTOFF_NS))
+    hwm = tgt.agg(F.max("ts_ns").alias("m")).collect()[0].m
+    return e.filter(F.col("ts_ns") > F.lit(hwm)).select("event_id", "ts_ns")
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -4431,6 +4464,8 @@ _TAIL_VARIANTS = [
                            # in-window (hot-key distribution diagnostic)
     "q_doc_line_dedup",    # content-dedup: q_line_dedup in-window
                            # (intra-document variant, shuffle-free)
+    "q_incremental_fresh",  # ctas/operator layer: q_transform_ctas
+                            # in-window (incremental-load freshness)
 ]
 
 

@@ -42,7 +42,9 @@ FAMILIES: dict[str, list[str]] = {
     "merge-append": [
         "q_merge_update", "q_merge_ignore", "q_append_map", "q_scd2_merge",
     ],
-    "ctas-operator": ["q_transform_ctas", "q_compact_roundtrip"],
+    "ctas-operator": [
+        "q_transform_ctas", "q_compact_roundtrip", "q_incremental_fresh",
+    ],
     "data-quality": [
         "q_check_column", "q_check_table", "q_profile_table", "q_outliers",
         "q_table_diff", "q_skew_report",
