@@ -1,0 +1,108 @@
+"""Count-min sketch — mergeable frequency estimation (Cormode &
+Muthukrishnan, J. Algorithms 2005).
+
+Completes the sketch family (HLL → distinct counts, Bloom → membership,
+CMS → frequencies): a ``depth × width`` counter grid where every key
+increments one counter per row (an md5-derived hash) and a key's
+estimate is the MIN of its ``depth`` counters — an overestimate by at
+most ``εN`` with ε = e/width at confidence 1 − e^−depth. The use at
+100 TB: per-key frequencies (hot terms, hot join keys, heavy-hitter
+users) in O(depth·width) memory INDEPENDENT of key cardinality, and
+sketches of different partitions/days MERGE by cell-wise addition —
+the same reason the engine's HLL path exists.
+
+Determinism: the hash is the repo-standard md5 device
+(``CAST('0x' || substr(md5(i || ':' || key), 1, 15) AS BIGINT)``),
+identical in Spark and any SQL engine — so building, querying, and
+merging are all hash-gate-verifiable bit-for-bit, unlike
+randomly-seeded sketch libraries.
+
+Scale shape: building explodes each row into ``depth`` (row, cell)
+pairs and partially aggregates — the shuffle moves at most
+``depth × width`` rows per partition regardless of input size.
+Querying joins the keys' cells against the sketch (broadcast: the
+sketch is ≤ depth·width rows by construction) and takes the per-key
+min. Merging is a cell-keyed sum — partial-agg again.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cell(key: Column, i: int, width: int) -> Column:
+    """Row-``i`` counter index for a key — the md5 device both engines
+    compute identically."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Sketch a column: returns ``(d, cell, n)`` — at most depth×width
+    rows. Missing cells are implicitly zero."""
+    if width <= 0 or depth <= 0:
+        raise ValueError("width and depth must be positive")
+    k = F.col(key_col)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("d"), _cell(k, i, width).alias("cell"))
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of same-shape sketches (different partitions, days,
+    corpora) — the mergeability that makes the sketch a distributed
+    aggregate rather than a single-pass artifact."""
+    if not sketches:
+        raise ValueError("at least one sketch required")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "cell").agg(F.sum("n").alias("n"))
+
+
+def cms_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Estimate each key's frequency: min over its ``depth`` counters
+    (0 when a cell is absent). Returns ``(key_col, est)``. The sketch
+    side is broadcast — it is ≤ depth×width rows by construction."""
+    k = F.col(key_col)
+    cells = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"), _cell(k, i, width).alias("cell")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
+    joined = cells.join(F.broadcast(sketch), ["d", "cell"], "left").select(
+        key_col, F.coalesce(F.col("n"), F.lit(0)).alias("_n")
+    )
+    return joined.groupBy(key_col).agg(F.min("_n").alias("est"))

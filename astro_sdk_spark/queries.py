@@ -4371,6 +4371,47 @@ def q_incremental_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Count-min sketch (functions/cms.py) — build over lineitem suppliers,
+# query the low-key estimates. The md5 cell hash is the repo-standard
+# engine-neutral device, so build + query replay bit-for-bit in SQL.
+
+_CMS_ORACLE = """
+    WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (
+      SELECT ds.d,
+             CAST('0x' || substr(md5(ds.d || ':' ||
+                                     CAST(l_suppkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 1024 AS cell
+      FROM lineitem CROSS JOIN ds),
+    sk AS (SELECT d, cell, count(*) AS n FROM cells GROUP BY d, cell),
+    qk AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_suppkey <= 20),
+    qc AS (
+      SELECT l_suppkey, ds.d,
+             CAST('0x' || substr(md5(ds.d || ':' ||
+                                     CAST(l_suppkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 1024 AS cell
+      FROM qk CROSS JOIN ds)
+    SELECT l_suppkey, min(coalesce(n, 0)) AS est
+    FROM qc LEFT JOIN sk USING (d, cell)
+    GROUP BY l_suppkey
+"""
+
+
+@q("q_cms_counts", _CMS_ORACLE)
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequencies (functions/cms.py): depth-4 ×
+    width-1024 counter grid over lineitem suppliers, low-key estimates
+    via the broadcast sketch join — sketch size is independent of input
+    cardinality, the 100 TB frequency primitive."""
+    from astro_sdk_spark.functions.cms import cms_build, cms_query
+
+    li = T(spark, sf_dir, "lineitem")
+    sketch = cms_build(li, "l_suppkey", width=1024, depth=4)
+    keys = li.filter(F.col("l_suppkey") <= 20).select("l_suppkey").distinct()
+    return cms_query(sketch, keys, "l_suppkey", width=1024, depth=4)
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -4466,6 +4507,8 @@ _TAIL_VARIANTS = [
                            # (intra-document variant, shuffle-free)
     "q_incremental_fresh",  # ctas/operator layer: q_transform_ctas
                             # in-window (incremental-load freshness)
+    "q_cms_counts",        # aggregation/sketches: q_pricing_summary,
+                           # q_distinct_counts family in-window
 ]
 
 
