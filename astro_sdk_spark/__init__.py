@@ -31,7 +31,7 @@ from astro_sdk_spark.operators.raw_sql import run_raw_sql
 from astro_sdk_spark.operators.dataframe import dataframe
 from astro_sdk_spark.operators.append import append
 from astro_sdk_spark.operators.merge import merge
-from astro_sdk_spark.operators.scd import merge_scd2
+from astro_sdk_spark.operators.scd import merge_scd2, scd2_lookup, scd2_plan
 from astro_sdk_spark.operators.diff import diff_summary, table_diff
 from astro_sdk_spark.operators.incremental import high_water_mark, incremental_append
 from astro_sdk_spark.operators.export import export_to_file
@@ -91,6 +91,8 @@ __all__ = [
     "append",
     "merge",
     "merge_scd2",
+    "scd2_plan",
+    "scd2_lookup",
     "table_diff",
     "diff_summary",
     "incremental_append",

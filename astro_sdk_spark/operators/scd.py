@@ -218,3 +218,49 @@ def merge_scd2(
     )
     swap_table(sp, staging.qualified_name, target_table.qualified_name)
     return target_table
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join: enrich each fact row with the dimension
+    VERSION that was valid at the fact's timestamp — the query every
+    SCD2 table exists to answer (facts join ``keys`` equal AND
+    ``valid_from <= ts < valid_to``, open-ended current versions
+    matching everything from their start).
+
+    Returns all fact columns plus the dimension's non-key columns.
+    Version intervals are disjoint per key by SCD2 construction, so at
+    most one dimension row matches each fact.
+
+    Scale shape: ONE equi-join shuffle on the dimension key — the
+    validity-interval predicate rides along as a join residual, not a
+    range-join explosion, because the equality on ``keys`` is what
+    drives the exchange (Spark extracts the equi-part; AQE can still
+    broadcast the dimension when small). Fact tables dwarf dimensions
+    at 100 TB; this is the join the key-partitioned layout serves."""
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner, got {how!r}")
+    f = facts.alias("f")
+    d = dim.alias("d")
+    cond = None
+    for k in keys:
+        c = F.col(f"f.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = c if cond is None else cond & c
+    ts = F.col(f"f.{ts_col}")
+    cond = (
+        cond
+        & (ts >= F.col(f"d.{valid_from_col}"))
+        & (F.col(f"d.{valid_to_col}").isNull() | (ts < F.col(f"d.{valid_to_col}")))
+    )
+    dim_cols = [c for c in dim.columns if c not in keys]
+    return f.join(d, cond, how).select(
+        *[F.col(f"f.{c}") for c in facts.columns],
+        *[F.col(f"d.{c}").alias(c) for c in dim_cols],
+    )

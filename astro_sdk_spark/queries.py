@@ -4412,6 +4412,104 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Point-in-time SCD2 lookup (operators/scd.py:scd2_lookup) — the query
+# an SCD2 dimension exists to answer: each lineitem joins the order
+# version valid AT its ship date. The dimension is built by scd2_plan
+# (1990 seed, 1995-06-15 snapshot), so ship dates straddle the version
+# boundary and both versions get traffic; the oracle replays the
+# rewrite AND the interval join.
+
+_SCD2_LOOKUP_ORACLE = """
+    WITH tgt AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice AS price,
+             DATE '1990-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+             true AS is_current
+      FROM orders WHERE o_orderkey % 5 <> 0),
+    src AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'R' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS price,
+             DATE '1995-06-15' AS effective_ts
+      FROM orders),
+    j AS (
+      SELECT t.o_orderkey AS tk, t.o_orderstatus AS tst, t.price AS tp,
+             t.valid_from, t.valid_to, t.is_current,
+             s.o_orderkey AS sk, s.o_orderstatus AS sst, s.price AS sp,
+             s.effective_ts
+      FROM tgt t FULL JOIN src s ON t.o_orderkey = s.o_orderkey),
+    chg AS (
+      SELECT *, (sk IS NOT NULL AND (sst IS DISTINCT FROM tst
+                                     OR sp IS DISTINCT FROM tp)) AS changed
+      FROM j),
+    dim AS (
+      SELECT tk AS o_orderkey, tst AS o_orderstatus, tp AS price,
+             valid_from,
+             CASE WHEN changed THEN effective_ts ELSE valid_to END AS valid_to
+      FROM chg WHERE tk IS NOT NULL
+      UNION ALL
+      SELECT sk, sst, sp, effective_ts, CAST(NULL AS DATE)
+      FROM chg WHERE sk IS NOT NULL AND (tk IS NULL OR changed)),
+    f AS (
+      SELECT l_orderkey AS o_orderkey, l_linenumber,
+             CAST(l_shipdate AS DATE) AS ship_date
+      FROM lineitem)
+    SELECT f.o_orderkey, f.l_linenumber, f.ship_date,
+           d.o_orderstatus, d.price, d.valid_from
+    FROM f LEFT JOIN dim d
+      ON f.o_orderkey = d.o_orderkey
+     AND f.ship_date >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ship_date < d.valid_to)
+"""
+
+
+@q("q_scd2_lookup", _SCD2_LOOKUP_ORACLE)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment over a freshly-built SCD2 dimension:
+    one equi-join shuffle on the order key with the validity interval
+    as a join residual (not a range-join explosion)."""
+    from astro_sdk_spark.operators.scd import scd2_lookup, scd2_plan
+
+    o = T(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+        F.to_date(F.lit("1990-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    is_mod = F.col("o_orderkey") % 3 == 0
+    source = o.select(
+        "o_orderkey",
+        F.when(is_mod, F.lit("R")).otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(is_mod, F.col("o_totalprice") + 1000.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.to_date(F.lit("1995-06-15")).alias("effective_ts"),
+    )
+    dim = scd2_plan(
+        target, source, ["o_orderkey"], ["o_orderstatus", "price"]
+    ).drop("is_current")
+    facts = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+    return scd2_lookup(facts, dim, ["o_orderkey"], "ship_date").select(
+        "o_orderkey",
+        "l_linenumber",
+        "ship_date",
+        "o_orderstatus",
+        "price",
+        "valid_from",
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -4509,6 +4607,8 @@ _TAIL_VARIANTS = [
                             # in-window (incremental-load freshness)
     "q_cms_counts",        # aggregation/sketches: q_pricing_summary,
                            # q_distinct_counts family in-window
+    "q_scd2_lookup",       # merge: q_merge_update in-window (the
+                           # point-in-time read side of SCD2)
 ]
 
 

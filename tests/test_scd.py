@@ -193,3 +193,44 @@ def test_scd2_null_key_rows_survive(spark):
     assert len(nulls3) == 2
     assert not nulls3[0].is_current and nulls3[0].valid_to == D(2021, 1, 1)
     assert nulls3[1].is_current and nulls3[1].price == 9.0
+
+
+def test_scd2_lookup_point_in_time(spark, dim, snap):
+    """Facts pick the version valid at their timestamp; boundary date
+    belongs to the NEW version (valid_from inclusive, valid_to
+    exclusive)."""
+    from astro_sdk_spark.operators.scd import scd2_lookup, scd2_plan
+
+    history = scd2_plan(dim, snap, ["id"], ["status", "price"])
+    facts = spark.createDataFrame(
+        [
+            (1, D(2019, 6, 1), "old-era"),     # id=1 history version
+            (1, D(2020, 6, 1), "mid-era"),     # id=1 second version
+            (2, D(2021, 5, 31), "pre-change"),  # day before the change
+            (2, D(2021, 6, 1), "on-change"),    # boundary -> new version
+            (9, D(2021, 1, 1), "no-dim"),       # key not in dim
+        ],
+        "id long, ts date, tag string",
+    )
+    out = {r.tag: r for r in scd2_lookup(facts, history, ["id"], "ts").collect()}
+    assert out["old-era"].price == 10.0
+    assert out["mid-era"].price == 11.0
+    assert out["pre-change"].price == 20.0
+    assert out["on-change"].price == 25.0
+    assert out["no-dim"].price is None
+    assert len(out) == 5  # at most one version matches per fact
+
+
+def test_scd2_lookup_inner_drops_unmatched(spark, dim, snap):
+    from astro_sdk_spark.operators.scd import scd2_lookup, scd2_plan
+
+    history = scd2_plan(dim, snap, ["id"], ["status", "price"])
+    facts = spark.createDataFrame(
+        [(9, D(2021, 1, 1)), (1, D(2020, 6, 1))], "id long, ts date"
+    )
+    out = scd2_lookup(facts, history, ["id"], "ts", how="inner").collect()
+    assert len(out) == 1 and out[0].id == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="left.inner"):
+        scd2_lookup(facts, history, ["id"], "ts", how="outer")

@@ -42,6 +42,7 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "merge-append": [
         "q_merge_update", "q_merge_ignore", "q_append_map", "q_scd2_merge",
+        "q_scd2_lookup",
     ],
     "ctas-operator": [
         "q_transform_ctas", "q_compact_roundtrip", "q_incremental_fresh",
