@@ -1209,14 +1209,23 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_lang_distribution",
     """
-    SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+    SELECT lang, source, count(*) AS n_docs,
+           floor(CAST(sum(n_chars) AS DOUBLE) / count(n_chars)
+                 * 10000.0 + 0.5) / 10000.0 AS avg_chars
     FROM documents GROUP BY lang, source
     """,
 )
 def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer sums are exact in both engines; the floor-pin removes the
+    engines' divergent round() half-handling on the identical quotient
+    (the quotient-vs-sum rule)."""
     d = T(spark, sf_dir, "documents")
+    raw = F.sum("n_chars").cast("double") / F.count("n_chars")
     return d.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("n_chars"), 4).alias("avg_chars")
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.floor(raw * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "avg_chars"
+        ),
     )
 
 
@@ -4510,6 +4519,58 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep; e.g. DPR,
+# Karpukhin et al. 2020 §3.2): for each query, the most-similar
+# candidates from OTHER classes — composed entirely from the existing
+# cosine_topk API by partitioning on label and unioning the per-label
+# calls. Exact-cosine oracle with a label-inequality join.
+
+_HARD_NEG_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, embedding, vec_id % 4 AS label FROM embeddings),
+    qs AS (SELECT * FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round(list_cosine_similarity(
+               CAST(q.embedding AS DOUBLE[]),
+               CAST(c.embedding AS DOUBLE[])), 4) AS cosine
+      FROM qs q JOIN e c ON q.label <> c.label),
+    ranked AS (
+      SELECT query_id, cand_id, cosine,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@q("q_hard_negatives", _HARD_NEG_ORACLE)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query top-5 cross-label nearest neighbors: one cosine_topk
+    call per label partition (queries of label l vs candidates of every
+    other label), unioned — each call is the broadcast-query Arrow
+    matmul scan the ANN family already uses."""
+    from functools import reduce
+
+    from astro_sdk_spark.functions.similarity import cosine_topk
+
+    emb = T(spark, sf_dir, "embeddings").withColumn(
+        "label", F.pmod(F.col("vec_id"), F.lit(4))
+    )
+    qs = emb.filter(F.col("vec_id") < 8)
+    parts = [
+        cosine_topk(
+            qs.filter(F.col("label") == lbl).drop("label"),
+            emb.filter(F.col("label") != lbl).drop("label"),
+            k=5,
+            round_digits=4,
+        )
+        for lbl in range(4)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -4609,6 +4670,8 @@ _TAIL_VARIANTS = [
                            # q_distinct_counts family in-window
     "q_scd2_lookup",       # merge: q_merge_update in-window (the
                            # point-in-time read side of SCD2)
+    "q_hard_negatives",    # ann: q_embedding_topk, q_ivf_topk in-window
+                           # (cross-label mining composition)
 ]
 
 

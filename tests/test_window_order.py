@@ -58,7 +58,10 @@ FAMILIES: dict[str, list[str]] = {
     "incremental-neardup": ["q_incremental_neardup"],
     "dedup-clusters": ["q_dedup_clusters", "q_dedup_keeplist"],
     "embedding-dedup": ["q_embedding_neardup", "q_semantic_dedup"],
-    "ann": ["q_embedding_topk", "q_ann_recall", "q_ann_lsh", "q_sq8_topk"],
+    "ann": [
+        "q_embedding_topk", "q_ann_recall", "q_ann_lsh", "q_sq8_topk",
+        "q_hard_negatives",
+    ],
     "file-formats": ["q_load_avro"],
     "ivf-pq": [
         "q_ivf_topk", "q_ivf_trained", "q_ivfpq_topk", "q_pq_topk",
