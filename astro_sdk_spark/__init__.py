@@ -42,6 +42,7 @@ from astro_sdk_spark.operators.data_validation import (
     check_table,
     detect_outliers,
     profile_table,
+    schema_drift,
 )
 from astro_sdk_spark.operators.values import get_value_list
 from astro_sdk_spark.operators.files import get_file_list
@@ -103,6 +104,7 @@ __all__ = [
     "check_column",
     "check_table",
     "profile_table",
+    "schema_drift",
     "detect_outliers",
     "get_value_list",
     "get_file_list",

@@ -26,6 +26,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from astro_sdk_spark.engine import SparkEngine
 from astro_sdk_spark.session import default_session
@@ -342,3 +343,45 @@ def detect_outliers(
         (F.floor(F.col("_hi") * F.lit(pin) + F.lit(0.5)) / F.lit(pin)).alias("hi"),
         ((v < F.col("_lo")) | (v > F.col("_hi"))).alias("is_outlier"),
     ).drop("_lo", "_hi")
+
+
+# Safe type widenings for append compatibility: writing the NEW type into
+# a column read back as the OLD type loses nothing when old ⊆ new. The
+# inverse direction (narrowing) and any other pair is breaking.
+_SAFE_WIDENINGS = {  # simpleString names
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("date", "timestamp"), ("date", "timestamp_ntz"),
+}
+
+
+def schema_drift(old: StructType, new: StructType) -> dict:
+    """Compare two schemas the way an append pipeline must: which
+    columns appeared, which vanished, which changed type — and whether
+    the drift is append-compatible (new data can land in the old table
+    without loss: additions are nullable-fillable, type changes must be
+    safe widenings, removals are always breaking because historic
+    readers lose the column).
+
+    Returns ``{added, removed, changed, compatible}`` where ``changed``
+    maps column → (old_type, new_type, safe). Purely metadata — no jobs
+    run; usable as a pre-flight gate before ``load_file(...,
+    if_exists='append')`` or ``incremental_append``."""
+    o = {f.name: f.dataType.simpleString() for f in old.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.fields}
+    added = sorted(set(n) - set(o))
+    removed = sorted(set(o) - set(n))
+    changed = {
+        c: (o[c], n[c], (o[c], n[c]) in _SAFE_WIDENINGS)
+        for c in sorted(set(o) & set(n))
+        if o[c] != n[c]
+    }
+    compatible = not removed and all(safe for _, _, safe in changed.values())
+    return {
+        "added": added,
+        "removed": removed,
+        "changed": changed,
+        "compatible": compatible,
+    }

@@ -82,3 +82,45 @@ def test_detect_outliers_validates_method(spark):
     df = spark.createDataFrame([(1, 1.0)], "id long, v double")
     with _pytest.raises(ValueError, match="method"):
         detect_outliers(df, "v", method="zscore")
+
+
+# ---------------------------------------------------------------- drift
+
+
+def test_schema_drift_detects_and_judges(spark):
+    from pyspark.sql.types import StructType
+
+    from astro_sdk_spark.operators.data_validation import schema_drift
+
+    old = StructType.fromDDL("id int, price float, tag string")
+    new = StructType.fromDDL("id long, price double, note string")
+    d = schema_drift(old, new)
+    assert d["added"] == ["note"] and d["removed"] == ["tag"]
+    assert d["changed"]["id"] == ("int", "bigint", True)
+    assert d["changed"]["price"] == ("float", "double", True)
+    assert not d["compatible"]  # the removal breaks it
+
+
+def test_schema_drift_safe_widening_is_compatible(spark):
+    from pyspark.sql.types import StructType
+
+    from astro_sdk_spark.operators.data_validation import schema_drift
+
+    old = StructType.fromDDL("id int, ts date")
+    new = StructType.fromDDL("id long, ts timestamp, extra string")
+    d = schema_drift(old, new)
+    assert d["compatible"]
+    # narrowing is breaking
+    d2 = schema_drift(new, old)
+    assert not d2["compatible"]
+    assert d2["changed"]["id"] == ("bigint", "int", False)
+
+
+def test_schema_drift_identical(spark):
+    from pyspark.sql.types import StructType
+
+    from astro_sdk_spark.operators.data_validation import schema_drift
+
+    s = StructType.fromDDL("a int, b string")
+    d = schema_drift(s, s)
+    assert d == {"added": [], "removed": [], "changed": {}, "compatible": True}
