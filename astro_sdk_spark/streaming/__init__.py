@@ -18,6 +18,7 @@ from astro_sdk_spark.streaming.ops import (
     read_events_stream,
     session_window_agg,
     sliding_window_agg,
+    stateful_anomalies,
     stateful_user_stats,
     stream_dedup,
     stream_to_table,
@@ -32,6 +33,7 @@ __all__ = [
     "session_window_agg",
     "stream_dedup",
     "stream_to_table",
+    "stateful_anomalies",
     "stateful_user_stats",
     "admit_batch",
     "clean_batch",

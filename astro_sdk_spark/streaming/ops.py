@@ -274,3 +274,124 @@ def stream_to_table(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.toTable(table_name)
+
+
+def stateful_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    k: float = 3.0,
+    min_count: int = 5,
+    idle_gap: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming z-score anomaly detection with per-key Welford state
+    (n, mean, M2 — the numerically-stable running-variance recurrence):
+    each event is judged against the key's statistics BEFORE it (a spike
+    must not dilute its own baseline), then folded in. The streaming
+    counterpart of timeseries.rolling_anomalies, holding O(1) state per
+    key instead of a window of rows.
+
+    Emits one row per event: ``key, ts, value, n_prior, zscore,
+    is_anomaly``. ``zscore`` is NULL while the baseline has no variance;
+    a deviation from a zero-variance baseline with enough history still
+    flags (the constant-then-spike case). Append-mode safe: every output
+    row is final when emitted.
+
+    Scale design: state is one (n, mean, M2) triple per key, partitioned
+    by key hash across the state store — size tracks the live-key set
+    (event-time timeout GCs keys idle past ``idle_gap``), never the
+    event history. On a static frame this degrades to an expanding
+    window (stats over PRECEDING rows only) with the same semantics, so
+    backfills reuse the operator."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    out_schema = (
+        f"{key_col} long, {ts_col} timestamp, {value_col} double, "
+        "n_prior long, zscore double, is_anomaly boolean"
+    )
+
+    if not events.isStreaming:
+        from pyspark.sql.window import Window
+
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        n = F.count(value_col).over(w)
+        mean = F.avg(value_col).over(w)
+        var = F.var_pop(value_col).over(w)
+        std = F.sqrt(var)
+        dev = F.abs(F.col(value_col) - mean)
+        flag = (n >= min_count) & (
+            F.when(std > 0, dev > F.lit(k) * std).otherwise(
+                F.col(value_col) != mean
+            )
+        )
+        return events.select(
+            key_col,
+            ts_col,
+            value_col,
+            n.alias("n_prior"),
+            F.when(std > 0, dev / std).alias("zscore"),
+            F.coalesce(flag, F.lit(False)).alias("is_anomaly"),
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = _duration_to_ms(idle_gap)
+    state_schema = "n long, mean double, m2 double, last_us long"
+
+    def update_fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, mean, m2, last_us = (
+            state.get if state.exists else (0, 0.0, 0.0, 0)
+        )
+        rows = {
+            key_col: [], ts_col: [], value_col: [],
+            "n_prior": [], "zscore": [], "is_anomaly": [],
+        }
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            for ts, x in zip(pdf[ts_col], pdf[value_col]):
+                x = float(x)
+                std = (m2 / n) ** 0.5 if n > 0 else 0.0
+                dev = abs(x - mean)
+                z = dev / std if std > 0 else None
+                flag = bool(
+                    n >= min_count
+                    and (dev > k * std if std > 0 else x != mean)
+                )
+                rows[key_col].append(key[0])
+                rows[ts_col].append(ts)
+                rows[value_col].append(x)
+                rows["n_prior"].append(n)
+                rows["zscore"].append(z)
+                rows["is_anomaly"].append(flag)
+                # Welford fold
+                n += 1
+                d = x - mean
+                mean += d / n
+                m2 += d * (x - mean)
+                last_us = max(last_us, int(pd.Timestamp(ts).value // 1_000))
+        state.update((n, mean, m2, last_us))
+        state.setTimeoutTimestamp(
+            max(last_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(rows)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

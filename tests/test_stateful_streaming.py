@@ -102,3 +102,55 @@ def test_stateful_user_stats_batch_mode(events_df):
     )
     assert row[0].n_events == direct.n
     assert abs(row[0].total_value - direct.tv) < 1e-6
+
+
+def test_stateful_anomalies_stream_equals_batch(
+    spark, events_df, staged_events_dir, tmp_path
+):
+    """Streaming Welford state judges each event against its key's PRIOR
+    stats; the static expanding-window path must agree event-for-event."""
+    from astro_sdk_spark.streaming.ops import stateful_anomalies
+
+    stream = read_events_stream(
+        spark, staged_events_dir, schema=SCHEMA, max_files_per_trigger=1
+    )
+    out = stateful_anomalies(stream, k=2.0, min_count=3)
+    spark.sql("DROP TABLE IF EXISTS stateful_anom_out")
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/stateful_anom_out", ignore_errors=True)
+    q = stream_to_table(
+        out, "stateful_anom_out", str(tmp_path / "ckpt_anom"), trigger_once=True
+    )
+    q.awaitTermination(180)
+    got = spark.table("stateful_anom_out").filter(
+        F.col("user_id") != SENTINEL_USER
+    )
+
+    batch = stateful_anomalies(events_df, k=2.0, min_count=3)
+    key = lambda r: (r.user_id, r.ts, round(r.value, 4))  # noqa: E731
+    expect = {key(r): (r.n_prior, r.is_anomaly) for r in batch.collect()}
+    actual = {key(r): (r.n_prior, r.is_anomaly) for r in got.collect()}
+    assert actual == expect
+    assert len(actual) == events_df.count()
+    spark.sql("DROP TABLE IF EXISTS stateful_anom_out")
+
+
+def test_stateful_anomalies_batch_semantics(spark):
+    """Constant baseline then spike: prior-stats judgment flags the spike
+    (zero-variance branch) but not the early rows (min_count guard)."""
+    import datetime as dt
+
+    from astro_sdk_spark.streaming.ops import stateful_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(minutes=i), 10.0) for i in range(5)]
+    rows.append((1, base + dt.timedelta(minutes=9), 99.0))  # spike
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r.ts: r for r in stateful_anomalies(df, k=2.0, min_count=3).collect()}
+    spike = out[base + dt.timedelta(minutes=9)]
+    assert spike.is_anomaly and spike.zscore is None  # zero-variance branch
+    assert spike.n_prior == 5
+    early = out[base + dt.timedelta(minutes=1)]
+    assert not early.is_anomaly  # only 1 prior point
