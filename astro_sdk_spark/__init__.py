@@ -34,6 +34,7 @@ from astro_sdk_spark.operators.merge import merge
 from astro_sdk_spark.operators.scd import merge_scd2, scd2_lookup, scd2_plan
 from astro_sdk_spark.operators.diff import diff_summary, table_diff
 from astro_sdk_spark.operators.incremental import high_water_mark, incremental_append
+from astro_sdk_spark.plan_audit import assert_scale_shape, audit_plan
 from astro_sdk_spark.operators.export import export_to_file
 from astro_sdk_spark.operators.drop import drop_table
 from astro_sdk_spark.operators.cleanup import cleanup
@@ -98,6 +99,8 @@ __all__ = [
     "diff_summary",
     "incremental_append",
     "high_water_mark",
+    "audit_plan",
+    "assert_scale_shape",
     "export_to_file",
     "drop_table",
     "cleanup",
