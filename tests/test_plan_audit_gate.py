@@ -51,6 +51,10 @@ NESTED_LOOP_WHITELIST = {
                              # normalizer device)
     "q_skew_report": 1,      # one-row corpus-total broadcast (tf_idf
                              # normalizer device)
+    "q_hard_negatives": 4,   # one query-set cross per label partition —
+                             # 4 cosine_topk calls, each the
+                             # q_embedding_topk broadcast shape over ≤8
+                             # query rows
 }
 
 # query → max allowed Python/Arrow boundary nodes (MapInPandas etc.).
