@@ -569,3 +569,62 @@ def leakage_safe_split(
         )
         .drop("_leak")
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    budget: float,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    size_col: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Temperature-based mixture sampling (the mT5/mBERT rule: sample
+    probability ∝ n^α, Xue et al. 2021 §3.1): upweight low-resource
+    groups relative to their corpus share. α=1 is proportional, α→0 is
+    uniform; UniMax (:func:`unimax_rates`) replaces this heuristic with
+    an explicit epoch cap — both are offered because the α-temperature
+    rule is what most existing multilingual recipes specify.
+
+    Returns ``(group, corpus_size, weight, rate, alloc)`` where
+    ``weight = floor(n^α · 10^6)`` as an exact BIGINT, ``rate`` the
+    pinned share, ``alloc = floor(budget·rate' + ½)`` samples.
+
+    Determinism: weights are floored to integer micro-units so the total
+    is an exact integer sum (order-independent); with the default
+    ``alpha=0.5`` the power is IEEE ``sqrt`` — bit-identical in every
+    engine — making the whole allocation hash-gate verifiable. Other
+    alphas go through ``pow``, which may differ by 1 ulp between libm
+    implementations (a ±1 difference in a single weight's last
+    micro-unit); document accordingly if gating on them.
+
+    Scale shape: one partial-aggregated groupBy over the corpus, then a
+    one-row total broadcast onto the ≤|groups|-row table (the tf_idf
+    normalizer device)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    size_expr = F.count(F.lit(1)) if size_col is None else F.sum(size_col)
+    sizes = df.groupBy(group_col).agg(
+        size_expr.cast("bigint").alias("corpus_size")
+    )
+    n = F.col("corpus_size").cast("double")
+    powed = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(alpha))
+    weights = sizes.select(
+        group_col,
+        "corpus_size",
+        F.floor(powed * F.lit(1000000.0)).cast("bigint").alias("weight"),
+    )
+    tot = weights.agg(F.sum("weight").alias("_tot"))
+    pin = F.lit(float(10**round_digits))
+    share = F.col("weight").cast("double") / F.col("_tot")
+    return weights.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "corpus_size",
+        "weight",
+        (F.floor(share * pin + F.lit(0.5)) / pin).alias("rate"),
+        F.floor(F.lit(float(budget)) * share + F.lit(0.5))
+        .cast("bigint")
+        .alias("alloc"),
+    )

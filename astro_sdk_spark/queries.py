@@ -4571,6 +4571,43 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Temperature mixture sampling (sampling.py:temperature_rates) — the
+# mT5 n^α rule at α=0.5: IEEE sqrt is bit-identical everywhere, the
+# floored micro-unit weights make the total an exact integer sum, and
+# rate/alloc floor-pin from identical doubles.
+
+_TEMP_MIX_ORACLE = """
+    WITH s AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS corpus_size
+      FROM documents GROUP BY lang),
+    w AS (
+      SELECT lang, corpus_size,
+             CAST(floor(sqrt(CAST(corpus_size AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS weight
+      FROM s),
+    t AS (SELECT sum(weight) AS tot FROM w)
+    SELECT lang, corpus_size, weight,
+           floor(CAST(weight AS DOUBLE) / tot * 1000000.0 + 0.5)
+             / 1000000.0 AS rate,
+           CAST(floor(1000000.0 * (CAST(weight AS DOUBLE) / tot) + 0.5)
+                AS BIGINT) AS alloc
+    FROM w CROSS JOIN t
+"""
+
+
+@q("q_temperature_mix", _TEMP_MIX_ORACLE)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature allocation of a 1M-sample budget across
+    document languages — exact-integer weights, one-row total broadcast
+    (whitelisted tf_idf normalizer shape)."""
+    from astro_sdk_spark.functions.sampling import temperature_rates
+
+    return temperature_rates(
+        T(spark, sf_dir, "documents"), budget=1_000_000, alpha=0.5
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -4672,6 +4709,8 @@ _TAIL_VARIANTS = [
                            # point-in-time read side of SCD2)
     "q_hard_negatives",    # ann: q_embedding_topk, q_ivf_topk in-window
                            # (cross-label mining composition)
+    "q_temperature_mix",   # sampling/mixture: q_train_split, q_domain_mix
+                           # in-window (mT5 n^α rule; UniMax's precursor)
 ]
 
 

@@ -55,6 +55,8 @@ NESTED_LOOP_WHITELIST = {
                              # 4 cosine_topk calls, each the
                              # q_embedding_topk broadcast shape over ≤8
                              # query rows
+    "q_temperature_mix": 1,  # one-row weight-total broadcast (tf_idf
+                             # normalizer device)
 }
 
 # query → max allowed Python/Arrow boundary nodes (MapInPandas etc.).

@@ -523,3 +523,29 @@ def test_leakage_safe_split_append_stable_membership(spark):
     l2 = {r["doc_id"]: r["split"] for r in leakage_safe_split(df2, salt="s2").collect()}
     for k in l1:
         assert l1[k] == l2[k]
+
+
+def test_temperature_rates_upweights_low_resource(spark):
+    from astro_sdk_spark.functions.sampling import temperature_rates
+
+    rows = [("big",)] * 900 + [("small",)] * 100
+    df = spark.createDataFrame(rows, "lang string")
+    out = {r.lang: r for r in temperature_rates(df, budget=1000, alpha=0.5).collect()}
+    # sqrt flattening: small gets sqrt(100)/(sqrt(900)+sqrt(100)) = 25%
+    assert out["small"].rate == 0.25 and out["big"].rate == 0.75
+    assert out["small"].alloc == 250 and out["big"].alloc == 750
+    # proportional baseline for contrast (alpha=1 via pow path)
+    prop = {r.lang: r for r in temperature_rates(df, budget=1000, alpha=1.0).collect()}
+    assert prop["small"].alloc == 100
+
+
+def test_temperature_rates_validates(spark):
+    import pytest as _pytest
+
+    from astro_sdk_spark.functions.sampling import temperature_rates
+
+    df = spark.createDataFrame([("x",)], "lang string")
+    with _pytest.raises(ValueError, match="budget"):
+        temperature_rates(df, budget=0)
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_rates(df, budget=10, alpha=1.5)

@@ -84,7 +84,7 @@ FAMILIES: dict[str, list[str]] = {
     "sampling": [
         "q_train_split", "q_stratified_sample", "q_seq_packing", "q_domain_mix",
         "q_dsir_weights", "q_doc_chunks", "q_unimax", "q_weighted_sample",
-        "q_leakage_split",
+        "q_leakage_split", "q_temperature_mix",
     ],
 }
 
