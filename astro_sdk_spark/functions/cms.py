@@ -87,7 +87,14 @@ def cms_query(
 ) -> DataFrame:
     """Estimate each key's frequency: min over its ``depth`` counters
     (0 when a cell is absent). Returns ``(key_col, est)``. The sketch
-    side is broadcast — it is ≤ depth×width rows by construction."""
+    side is broadcast — it is ≤ depth×width rows by construction.
+
+    ``width``/``depth`` MUST match the values the sketch was built with
+    — cell indices are recomputed mod ``width``, so a mismatch silently
+    returns near-zero estimates. Keep the parameters next to the stored
+    sketch (they are part of its identity, like an HLL's precision)."""
+    if width <= 0 or depth <= 0:
+        raise ValueError("width and depth must be positive")
     k = F.col(key_col)
     cells = keys.select(
         key_col,

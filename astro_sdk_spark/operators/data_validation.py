@@ -345,9 +345,9 @@ def detect_outliers(
     ).drop("_lo", "_hi")
 
 
-# Safe type widenings for append compatibility: writing the NEW type into
-# a column read back as the OLD type loses nothing when old ⊆ new. The
-# inverse direction (narrowing) and any other pair is breaking.
+# (narrow, wide) pairs — writing NARROW-typed data into a WIDE column is
+# a lossless upcast the store-assignment rules accept; the reverse (and
+# any other pair) is rejected or lossy.
 _SAFE_WIDENINGS = {  # simpleString names
     ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
     ("smallint", "int"), ("smallint", "bigint"),
@@ -358,27 +358,37 @@ _SAFE_WIDENINGS = {  # simpleString names
 
 
 def schema_drift(old: StructType, new: StructType) -> dict:
-    """Compare two schemas the way an append pipeline must: which
-    columns appeared, which vanished, which changed type — and whether
-    the drift is append-compatible (new data can land in the old table
-    without loss: additions are nullable-fillable, type changes must be
-    safe widenings, removals are always breaking because historic
-    readers lose the column).
+    """Compare an incoming batch's schema (``new``) against the existing
+    table's (``old``) the way an append pipeline must: which columns
+    appeared, which vanished, which changed type — and whether a plain
+    append of the new data into the old table succeeds losslessly.
+
+    ``compatible`` requires: identical column sets (a missing column
+    fails the write outright; an extra column needs schema evolution the
+    plain parquet writers don't do) and every type change a safe upcast
+    INTO the stored column — i.e. ``(new_type, old_type)`` is a
+    narrowing-into-wider pair (``int`` data lands in a ``bigint`` column;
+    ``bigint`` data into an ``int`` column is rejected by
+    store-assignment).
 
     Returns ``{added, removed, changed, compatible}`` where ``changed``
     maps column → (old_type, new_type, safe). Purely metadata — no jobs
-    run; usable as a pre-flight gate before ``load_file(...,
+    run; the pre-flight gate before ``load_file(...,
     if_exists='append')`` or ``incremental_append``."""
     o = {f.name: f.dataType.simpleString() for f in old.fields}
     n = {f.name: f.dataType.simpleString() for f in new.fields}
     added = sorted(set(n) - set(o))
     removed = sorted(set(o) - set(n))
     changed = {
-        c: (o[c], n[c], (o[c], n[c]) in _SAFE_WIDENINGS)
+        c: (o[c], n[c], (n[c], o[c]) in _SAFE_WIDENINGS)
         for c in sorted(set(o) & set(n))
         if o[c] != n[c]
     }
-    compatible = not removed and all(safe for _, _, safe in changed.values())
+    compatible = (
+        not added
+        and not removed
+        and all(safe for _, _, safe in changed.values())
+    )
     return {
         "added": added,
         "removed": removed,

@@ -64,7 +64,21 @@ def incremental_append(
     if watermark_col not in src.columns:
         raise ValueError(f"watermark column {watermark_col!r} not in source")
 
+    # NULL watermarks break the contract in both directions: on the
+    # source side a NULL row can never satisfy `> mark` later (silently
+    # dropped forever), and on the target side an all-NULL mark would
+    # make every rerun a full reload (duplicates). Exclude NULL source
+    # rows ALWAYS — including the initial load, so the first and the
+    # n-th run apply the same rule — and refuse a non-empty target whose
+    # mark is NULL.
+    src = src.filter(F.col(watermark_col).isNotNull())
     hwm = high_water_mark(eng, target_table, watermark_col)
+    if hwm is None and eng.table_exists(target_table) and eng.row_count(target_table) > 0:
+        raise ValueError(
+            f"target {target_table.qualified_name} is non-empty but "
+            f"max({watermark_col}) is NULL — the watermark column must be "
+            "populated for incremental loading"
+        )
     fresh = src if hwm is None else src.filter(F.col(watermark_col) > F.lit(hwm))
 
     from astro_sdk_spark.lineage import _name_of, emit

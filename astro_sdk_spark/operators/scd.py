@@ -247,6 +247,14 @@ def scd2_lookup(
     at 100 TB; this is the join the key-partitioned layout serves."""
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left|inner, got {how!r}")
+    clash = sorted(
+        (set(facts.columns) - set(keys)) & (set(dim.columns) - set(keys))
+    )
+    if clash:
+        raise ValueError(
+            f"fact and dimension share non-key column(s) {clash} — the "
+            "output would carry ambiguous duplicate names; rename one side"
+        )
     f = facts.alias("f")
     d = dim.alias("d")
     cond = None

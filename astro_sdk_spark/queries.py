@@ -516,7 +516,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            CS("o_totalprice").alias("total"),
         )
     )
 

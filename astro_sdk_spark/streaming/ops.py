@@ -307,9 +307,14 @@ def stateful_anomalies(
     backfills reuse the operator."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
+    # derive key/ts/value types from the input (a hardcoded `long` key
+    # would crash streaming for string ids while batch worked — the
+    # ivfpq_topk schema lesson)
+    dtypes = dict(events.dtypes)
     out_schema = (
-        f"{key_col} long, {ts_col} timestamp, {value_col} double, "
-        "n_prior long, zscore double, is_anomaly boolean"
+        f"{key_col} {dtypes[key_col]}, {ts_col} {dtypes[ts_col]}, "
+        f"{value_col} double, n_prior long, zscore double, "
+        "is_anomaly boolean"
     )
 
     if not events.isStreaming:
@@ -333,7 +338,7 @@ def stateful_anomalies(
         return events.select(
             key_col,
             ts_col,
-            value_col,
+            F.col(value_col).cast("double").alias(value_col),
             n.alias("n_prior"),
             F.when(std > 0, dev / std).alias("zscore"),
             F.coalesce(flag, F.lit(False)).alias("is_anomaly"),
@@ -358,6 +363,18 @@ def stateful_anomalies(
         for pdf in pdf_iter:
             pdf = pdf.sort_values(ts_col)
             for ts, x in zip(pdf[ts_col], pdf[value_col]):
+                last_us = max(last_us, int(pd.Timestamp(ts).value // 1_000))
+                # NULL values: emit an unflagged row and do NOT fold —
+                # one NaN would permanently poison the key's mean/M2,
+                # while the batch path's avg/var_pop skip nulls
+                if pd.isna(x):
+                    rows[key_col].append(key[0])
+                    rows[ts_col].append(ts)
+                    rows[value_col].append(None)
+                    rows["n_prior"].append(n)
+                    rows["zscore"].append(None)
+                    rows["is_anomaly"].append(False)
+                    continue
                 x = float(x)
                 std = (m2 / n) ** 0.5 if n > 0 else 0.0
                 dev = abs(x - mean)
@@ -377,7 +394,6 @@ def stateful_anomalies(
                 d = x - mean
                 mean += d / n
                 m2 += d * (x - mean)
-                last_us = max(last_us, int(pd.Timestamp(ts).value // 1_000))
         state.update((n, mean, m2, last_us))
         state.setTimeoutTimestamp(
             max(last_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)

@@ -96,24 +96,29 @@ def test_schema_drift_detects_and_judges(spark):
     new = StructType.fromDDL("id long, price double, note string")
     d = schema_drift(old, new)
     assert d["added"] == ["note"] and d["removed"] == ["tag"]
-    assert d["changed"]["id"] == ("int", "bigint", True)
-    assert d["changed"]["price"] == ("float", "double", True)
-    assert not d["compatible"]  # the removal breaks it
+    # bigint DATA into an int column is rejected by store-assignment
+    assert d["changed"]["id"] == ("int", "bigint", False)
+    assert d["changed"]["price"] == ("float", "double", False)
+    assert not d["compatible"]
 
 
-def test_schema_drift_safe_widening_is_compatible(spark):
+def test_schema_drift_upcast_into_wider_column_is_compatible(spark):
     from pyspark.sql.types import StructType
 
     from astro_sdk_spark.operators.data_validation import schema_drift
 
-    old = StructType.fromDDL("id int, ts date")
-    new = StructType.fromDDL("id long, ts timestamp, extra string")
+    # table is WIDE, batch is NARROW -> lossless upcast on write
+    old = StructType.fromDDL("id long, ts timestamp")
+    new = StructType.fromDDL("id int, ts date")
     d = schema_drift(old, new)
     assert d["compatible"]
-    # narrowing is breaking
+    assert d["changed"]["id"] == ("bigint", "int", True)
+    # the reverse direction (wide data into narrow column) is breaking
     d2 = schema_drift(new, old)
     assert not d2["compatible"]
-    assert d2["changed"]["id"] == ("bigint", "int", False)
+    # an extra batch column also breaks a plain append
+    d3 = schema_drift(old, StructType.fromDDL("id long, ts timestamp, x int"))
+    assert d3["added"] == ["x"] and not d3["compatible"]
 
 
 def test_schema_drift_identical(spark):

@@ -58,3 +58,10 @@ def test_cms_validates(spark, stream):
         cms_build(stream, "key", width=0)
     with pytest.raises(ValueError, match="at least one"):
         cms_merge()
+
+
+def test_cms_query_validates(spark, stream):
+    sketch = cms_build(stream, "key", width=64, depth=3)
+    keys = stream.select("key").distinct()
+    with pytest.raises(ValueError, match="positive"):
+        cms_query(sketch, keys, "key", width=0, depth=3)

@@ -51,3 +51,21 @@ def test_missing_watermark_column_raises(engine, spark, tgt):
 
 def test_high_water_mark_missing_table(engine):
     assert high_water_mark(engine, Table(name="incr_never_made"), "ts") is None
+
+
+def test_null_watermarks_excluded_and_guarded(engine, spark, tgt):
+    batch = spark.createDataFrame(
+        [(1, 100, "a"), (2, None, "null-ts")], SCHEMA
+    )
+    # NULL-watermark rows never load (same rule on first and n-th run)
+    assert incremental_append(batch, tgt, "ts", engine=engine) == 1
+    assert {r.id for r in spark.table(tgt.name).collect()} == {1}
+    # rerun: idempotent
+    assert incremental_append(batch, tgt, "ts", engine=engine) == 0
+
+
+def test_all_null_watermark_target_refused(engine, spark, tgt):
+    spark.createDataFrame([(1, None, "x")], SCHEMA).write.saveAsTable(tgt.name)
+    batch = spark.createDataFrame([(2, 100, "y")], SCHEMA)
+    with pytest.raises(ValueError, match="NULL"):
+        incremental_append(batch, tgt, "ts", engine=engine)

@@ -234,3 +234,14 @@ def test_scd2_lookup_inner_drops_unmatched(spark, dim, snap):
 
     with _pytest.raises(ValueError, match="left.inner"):
         scd2_lookup(facts, history, ["id"], "ts", how="outer")
+
+
+def test_scd2_lookup_rejects_column_clash(spark, dim, snap):
+    from astro_sdk_spark.operators.scd import scd2_lookup, scd2_plan
+
+    history = scd2_plan(dim, snap, ["id"], ["status", "price"])
+    facts = spark.createDataFrame(
+        [(1, D(2020, 6, 1), 5.0)], "id long, ts date, price double"
+    )
+    with pytest.raises(ValueError, match="price"):
+        scd2_lookup(facts, history, ["id"], "ts")

@@ -154,3 +154,23 @@ def test_stateful_anomalies_batch_semantics(spark):
     assert spike.n_prior == 5
     early = out[base + dt.timedelta(minutes=1)]
     assert not early.is_anomaly  # only 1 prior point
+
+
+def test_stateful_anomalies_null_values_do_not_poison(spark):
+    """A NULL value must not fold into the baseline (batch path; the
+    streaming Welford fold skips NaN the same way)."""
+    import datetime as dt
+
+    from astro_sdk_spark.streaming.ops import stateful_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(minutes=i), 10.0) for i in range(4)]
+    rows.append((1, base + dt.timedelta(minutes=4), None))
+    rows.append((1, base + dt.timedelta(minutes=5), 99.0))  # spike
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r.ts: r for r in stateful_anomalies(df, k=2.0, min_count=3).collect()}
+    null_row = out[base + dt.timedelta(minutes=4)]
+    assert not null_row.is_anomaly and null_row.zscore is None
+    spike = out[base + dt.timedelta(minutes=5)]
+    assert spike.is_anomaly  # baseline still the clean constant 10.0
+    assert spike.n_prior == 4  # nulls not counted
