@@ -174,3 +174,48 @@ def test_stateful_anomalies_null_values_do_not_poison(spark):
     spike = out[base + dt.timedelta(minutes=5)]
     assert spike.is_anomaly  # baseline still the clean constant 10.0
     assert spike.n_prior == 4  # nulls not counted
+
+
+def test_stateful_anomalies_string_keys_stream(spark, tmp_path):
+    """Schemas derive from input dtypes: string keys must work in the
+    STREAMING branch (a hardcoded long key would crash at Arrow
+    conversion), and the output must match the batch path."""
+    import datetime as dt
+
+    from astro_sdk_spark.streaming.ops import stateful_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("alpha", base + dt.timedelta(minutes=i), 10.0 + (i % 2) * 0.2)
+        for i in range(6)
+    ]
+    rows.append(("alpha", base + dt.timedelta(minutes=7), 500.0))  # spike
+    rows.append(("beta", base + dt.timedelta(minutes=1), 1.0))
+    # far-future sentinel advances the watermark so nothing lingers
+    rows.append(("zz-sentinel", base + dt.timedelta(days=10), 0.0))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    d = str(tmp_path / "skey_events")
+    df.coalesce(1).write.parquet(d)
+
+    stream = spark.readStream.schema("k string, ts timestamp, value double").parquet(d)
+    out = stateful_anomalies(
+        stream, ts_col="ts", key_col="k", k=2.0, min_count=3
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("skey_anoms")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.k, r.ts): r for r in spark.sql("SELECT * FROM skey_anoms").collect()}
+    batch = stateful_anomalies(
+        df, ts_col="ts", key_col="k", k=2.0, min_count=3
+    )
+    expect = {(r.k, r.ts): r for r in batch.collect()}
+    assert set(got) == set(expect)
+    for key in expect:
+        assert got[key].is_anomaly == expect[key].is_anomaly, key
+        assert got[key].n_prior == expect[key].n_prior, key
+    assert got[("alpha", base + dt.timedelta(minutes=7))].is_anomaly
