@@ -4608,6 +4608,129 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Classic TPC-H report shapes (Q3 shipping priority, Q10 returned-item
+# reporting). Revenue = Σ price·(1−disc) is a TWO-FACTOR product — the
+# exact device extends: cents(price) · (100 − cents(disc)) is an exact
+# BIGINT at 1e-4-dollar scale, so the top-k CUT ranks on exact values
+# (a round(sum(double)) rank could flip set membership at a boundary,
+# which mere output rounding tolerates but LIMIT does not).
+
+_REV_EXACT_SQL = (
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)"
+    " / 10000"
+)
+
+
+def _rev_exact():
+    return (
+        F.sum(
+            _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+        ).cast("double")
+        / 10000
+    )
+
+
+_TPCH_Q3_ORACLE = f"""
+    SELECT o.o_orderkey,
+           {_REV_EXACT_SQL} AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+"""
+
+
+@q("q_tpch_q3", _TPCH_Q3_ORACLE)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): top-10 unshipped BUILDING orders by
+    revenue. Customer side broadcast, one shuffle on the order key, the
+    top-10 via distributed TakeOrdered on the EXACT revenue."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    li = T(spark, sf_dir, "lineitem")
+    cut = F.lit("1995-03-15").cast("date")
+    return (
+        li.filter(F.col("l_shipdate").cast("date") > cut)
+        .join(
+            o.filter(F.col("o_orderdate").cast("date") < cut),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(_rev_exact().alias("revenue"))
+        .select("o_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+_TPCH_Q10_ORACLE = f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {_REV_EXACT_SQL} AS revenue,
+           round(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1994-10-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1995-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, round(c.c_acctbal, 2)
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+"""
+
+
+@q("q_tpch_q10", _TPCH_Q10_ORACLE)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by lost
+    revenue from returns in a quarter. Nation and the filtered customer
+    dim broadcast; exact-rank top-k."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    li = T(spark, sf_dir, "lineitem")
+    od = F.col("o_orderdate").cast("date")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (od >= F.lit("1994-10-01").cast("date"))
+                & (od < F.lit("1995-01-01").cast("date"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .agg(_rev_exact().alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue", "acctbal")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -4711,6 +4834,10 @@ _TAIL_VARIANTS = [
                            # (cross-label mining composition)
     "q_temperature_mix",   # sampling/mixture: q_train_split, q_domain_mix
                            # in-window (mT5 n^α rule; UniMax's precursor)
+    "q_tpch_q3",           # joins: q_join_agg, q_region_revenue in-window
+                           # (classic 3-table report shape)
+    "q_tpch_q10",          # joins: q_join_agg, q_region_revenue in-window
+                           # (classic 4-table report shape)
 ]
 
 

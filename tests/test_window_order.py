@@ -21,7 +21,10 @@ FAMILIES: dict[str, list[str]] = {
     "scan-filter-project": ["q_filter_project"],
     "sort-topk": ["q_topk_order"],
     "set-ops": ["q_set_ops"],
-    "joins": ["q_join_agg", "q_region_revenue", "q_semi_anti_join", "q_fuzzy_join"],
+    "joins": [
+        "q_join_agg", "q_region_revenue", "q_semi_anti_join", "q_fuzzy_join",
+        "q_tpch_q3", "q_tpch_q10",
+    ],
     "range-join": ["q_range_join"],
     "asof-join": ["q_asof_join"],
     "aggregation": [
