@@ -125,6 +125,25 @@ def _SQL_CS(col: str) -> str:
     return f"CAST(sum(CAST(round({col} * 100) AS BIGINT)) AS DOUBLE) / 100"
 
 
+# Two-factor extension: cents(price)·(100−cents(disc)) is an exact
+# BIGINT at 1e-4-dollar scale — revenue sums rank exactly (overflow
+# bound: ~9.2e9 rows per group).
+_REV_EXACT_SQL = (
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)"
+    " / 10000"
+)
+
+
+def _rev_exact():
+    return (
+        F.sum(
+            _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+        ).cast("double")
+        / 10000
+    )
+
+
 def _SQL_CAVG(col: str, digits: int) -> str:
     s = float(10**digits)
     inner = (
@@ -144,7 +163,7 @@ def _SQL_CAVG(col: str, digits: int) -> str:
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)       AS sum_qty,
            {_SQL_CS("l_extendedprice")}    AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           {_REV_EXACT_SQL} AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
            {_SQL_CAVG("l_quantity", 4)}    AS avg_qty,
            {_SQL_CAVG("l_extendedprice", 4)} AS avg_price,
@@ -170,7 +189,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             CS("l_extendedprice").alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            _rev_exact().alias("sum_disc_price"),
             F.round(F.sum(charge), 2).alias("sum_charge"),
             CAVG("l_quantity", 4).alias("avg_qty"),
             CAVG("l_extendedprice", 4).alias("avg_price"),
@@ -297,8 +316,8 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q_region_revenue",
-    """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    f"""
+    SELECT n_name, {_REV_EXACT_SQL} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -324,11 +343,7 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r.filter(F.col("r_name").isin("ASIA", "EUROPE"))),
               n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_rev_exact().alias("revenue"))
     )
 
 
@@ -4614,22 +4629,6 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BIGINT at 1e-4-dollar scale, so the top-k CUT ranks on exact values
 # (a round(sum(double)) rank could flip set membership at a boundary,
 # which mere output rounding tolerates but LIMIT does not).
-
-_REV_EXACT_SQL = (
-    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
-    " * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)"
-    " / 10000"
-)
-
-
-def _rev_exact():
-    return (
-        F.sum(
-            _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
-        ).cast("double")
-        / 10000
-    )
-
 
 _TPCH_Q3_ORACLE = f"""
     SELECT o.o_orderkey,
