@@ -4730,6 +4730,48 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Null imputation (functions/impute.py) — every %7 event's value is
+# nulled out, then repaired with its event type's exact fixed-point
+# mean; the flag column marks repaired rows. One partial-agg per type +
+# a broadcast join back.
+
+_IMPUTE_ORACLE = """
+    WITH staged AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+      FROM events),
+    f AS (
+      SELECT event_type,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / (count(value) * 100) AS fill
+      FROM staged GROUP BY event_type)
+    SELECT s.event_id, s.event_type,
+           coalesce(s.value, f.fill) AS value,
+           (s.value IS NULL AND f.fill IS NOT NULL) AS _imputed_value
+    FROM staged s JOIN f USING (event_type)
+"""
+
+
+@q("q_impute", _IMPUTE_ORACLE)
+def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mean imputation (functions/impute.py:impute_nulls) with
+    the value_scale exact-integer mean — repair values are bit-identical
+    in both engines, so the filled column sits under the hash gate."""
+    from astro_sdk_spark.functions.impute import impute_nulls
+
+    staged = T(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value"),
+    )
+    return impute_nulls(
+        staged, ["value"], "mean", group_by="event_type", value_scale=100
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -4837,6 +4879,8 @@ _TAIL_VARIANTS = [
                            # (classic 3-table report shape)
     "q_tpch_q10",          # joins: q_join_agg, q_region_revenue in-window
                            # (classic 4-table report shape)
+    "q_impute",            # data-quality: q_check_column, q_check_table
+                           # in-window (null-repair transform)
 ]
 
 
