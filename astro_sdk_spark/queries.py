@@ -4772,6 +4772,58 @@ def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Z-order clustering values (functions/zorder.py) — pure integer math
+# (min/max-linear bucket + Morton bit interleave), so the layout key is
+# hash-gate exact. The interleave SQL is GENERATED from the same bit
+# layout zorder_col uses (output bit = b·n_cols + i).
+
+
+def _z_interleave_sql(bucket_cols: list[str], bits: int) -> str:
+    n = len(bucket_cols)
+    terms = [
+        f"((({c} >> {b}) & 1) << {b * n + i})"
+        for b in range(bits)
+        for i, c in enumerate(bucket_cols)
+    ]
+    return " | ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+    WITH bounds AS (
+      SELECT CAST(min(o_custkey) AS DOUBLE) AS mn0,
+             CAST(max(o_custkey) AS DOUBLE) AS mx0,
+             CAST(min(o_totalprice) AS DOUBLE) AS mn1,
+             CAST(max(o_totalprice) AS DOUBLE) AS mx1
+      FROM orders),
+    buckets AS (
+      SELECT o_orderkey,
+             LEAST(255, CAST(floor((CAST(o_custkey AS DOUBLE) - mn0)
+                                   / (mx0 - mn0) * 256.0) AS BIGINT)) AS b0,
+             LEAST(255, CAST(floor((CAST(o_totalprice AS DOUBLE) - mn1)
+                                   / (mx1 - mn1) * 256.0) AS BIGINT)) AS b1
+      FROM orders CROSS JOIN bounds)
+    SELECT o_orderkey, {_z_interleave_sql(["b0", "b1"], 8)} AS _zorder
+    FROM buckets
+"""
+
+
+@q("q_zorder", _ZORDER_ORACLE)
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values over (o_custkey, o_totalprice) at 8 bits
+    (functions/zorder.py:add_zorder): the multi-dimensional clustering
+    key compact_table sorts by so parquet stats prune BOTH columns'
+    predicates. One one-row bounds broadcast + codegen interleave."""
+    from astro_sdk_spark.functions.zorder import add_zorder
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return add_zorder(o, ["o_custkey", "o_totalprice"], bits=8).select(
+        "o_orderkey", "_zorder"
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -4881,6 +4933,8 @@ _TAIL_VARIANTS = [
                            # (classic 4-table report shape)
     "q_impute",            # data-quality: q_check_column, q_check_table
                            # in-window (null-repair transform)
+    "q_zorder",            # ctas/operator-layout: q_transform_ctas,
+                           # q_compact_roundtrip in-window
 ]
 
 

@@ -49,6 +49,7 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "ctas-operator": [
         "q_transform_ctas", "q_compact_roundtrip", "q_incremental_fresh",
+        "q_zorder",
     ],
     "data-quality": [
         "q_check_column", "q_check_table", "q_profile_table", "q_outliers",
