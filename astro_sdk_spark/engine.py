@@ -413,6 +413,7 @@ class SparkEngine:
         table: BaseTable,
         target_file_mb: int = 128,
         sort_by: Sequence[str] | None = None,
+        zorder_by: Sequence[str] | None = None,
         partitions: dict[str, Any] | None = None,
     ) -> dict:
         """Rewrite a managed table into right-sized files — the small-files
@@ -426,7 +427,11 @@ class SparkEngine:
         ``sort_by`` the rewrite range-partitions on those columns and
         sorts within each file — parquet min/max stats then prune file
         ranges on those predicates (ZORDER-lite clustering for the 1-D
-        case).
+        case). ``zorder_by`` clusters on the MORTON curve over several
+        columns instead (functions/zorder.py — the Delta ``OPTIMIZE
+        ZORDER BY`` capability): every listed column gets partial
+        locality, so predicates on EACH of them skip files. Mutually
+        exclusive with ``sort_by``.
 
         Unpartitioned tables rewrite whole: stage into a temp table, go
         live via the merge machinery's atomic DROP+RENAME swap — readers
@@ -469,12 +474,24 @@ class SparkEngine:
         def _file_count(frame: DataFrame) -> int:
             return frame.select(F.input_file_name()).distinct().count()
 
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by OR zorder_by, not both")
         files_before = _file_count(df)
         size = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
         n = max(1, -(-size // (target_file_mb * 1024 * 1024)))
-        if sort_by:
+        if zorder_by:
+            from astro_sdk_spark.functions.zorder import add_zorder
+
+            zc = "_compact_zorder"
+            zdf = add_zorder(df, list(zorder_by), out_col=zc)
+            compacted = (
+                zdf.repartitionByRange(n, F.col(zc))
+                .sortWithinPartitions(zc)
+                .drop(zc)
+            )
+        elif sort_by:
             cols = [F.col(c) for c in sort_by]
             compacted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
         else:

@@ -157,3 +157,49 @@ def test_file_skip_report_shows_clustering_payoff(spark, engine, demo_table):
     assert after["files_total"] > 1
     assert after["files_with_matches"] < after["files_total"]
     assert after["skippable_fraction"] > 0.5
+
+
+def test_compact_zorder_by_skips_both_dims(engine, spark):
+    """compact_table(zorder_by=[x, y]) clusters the Morton curve: range
+    predicates on EITHER column skip files after the rewrite."""
+    from pyspark.sql import functions as F
+
+    from astro_sdk_spark.table import Table
+
+    name = "zorder_compact_t"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    df = spark.range(20000).select(
+        (F.col("id") % 141).alias("x"),
+        ((F.col("id") * 7919) % 149).alias("y"),
+    )
+    df.repartition(16).write.saveAsTable(name)
+
+    try:
+        stats = engine.compact_table(
+            Table(name=name), target_file_mb=1, zorder_by=["x", "y"]
+        )
+        assert "_compact_zorder" not in spark.table(name).columns
+
+        def skip_frac(col):
+            d = spark.table(name)
+            total = d.select(F.input_file_name()).distinct().count()
+            hit = (
+                d.filter(F.col(col) < 15)
+                .select(F.input_file_name())
+                .distinct()
+                .count()
+            )
+            return 1.0 - hit / total if total else 0.0
+
+        if stats["files_after"] >= 4:  # skipping needs multiple files
+            assert skip_frac("x") > 0.2
+            assert skip_frac("y") > 0.2
+        # content integrity
+        assert spark.table(name).count() == 20000
+        engine.compact_table(Table(name=name), sort_by=["x"])  # still works
+        with __import__("pytest").raises(ValueError, match="not both"):
+            engine.compact_table(
+                Table(name=name), sort_by=["x"], zorder_by=["y"]
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
