@@ -83,7 +83,7 @@ def impute_nulls(
             # max_by tiebreak would break on string columns)
             maxn = counts.groupBy(*keys).agg(F.max("_n").alias("_m"))
             best = (
-                counts.join(F.broadcast(maxn), on=keys)
+                counts.join(maxn, on=keys)
                 if keys
                 else counts.crossJoin(F.broadcast(maxn))
             )
@@ -92,8 +92,13 @@ def impute_nulls(
                 .groupBy(*keys)
                 .agg(F.min("_v").alias(f"_fill_{c}"))
             )
+            # LEFT join: rows with NULL group keys and groups whose best
+            # table has no row (all-NULL columns) must SURVIVE with the
+            # value unfilled — an inner join would delete data. The
+            # per-group table is unhinted so AQE picks broadcast vs
+            # shuffle by its real size (group cardinality is unbounded).
             joined = (
-                out.join(F.broadcast(best), on=keys) if keys
+                out.join(best, on=keys, how="left") if keys
                 else out.crossJoin(F.broadcast(best))
             )
             out = joined.withColumn(
@@ -107,8 +112,10 @@ def impute_nulls(
         _fill_expr(c, strategy, value_scale).alias(f"_fill_{c}") for c in cols
     ]
     if group_by:
+        # LEFT join (NULL-keyed rows survive unfilled); unhinted — AQE
+        # broadcasts the per-group fill table only when it is small
         fills = df.groupBy(group_by).agg(*aggs)
-        out = df.join(F.broadcast(fills), on=group_by)
+        out = df.join(fills, on=group_by, how="left")
     else:
         fills = df.agg(*aggs)
         out = df.crossJoin(F.broadcast(fills))

@@ -28,15 +28,21 @@ from pyspark.sql import functions as F
 
 def zorder_col(scaled: list[Column], bits: int) -> Column:
     """Interleave pre-bucketed integer columns (each in [0, 2^bits)) —
-    column i contributes bit b to output bit ``b·n + i``."""
+    column i contributes bit b to output bit ``b·n + i``.
+
+    The bucket is cast to BIGINT BEFORE shifting: Spark's shiftleft on
+    an IntegerType does 32-bit Java shifts (distance masked mod 32, bit
+    31 is the sign), which silently corrupts any interleave wider than
+    31 bits — casting the already-shifted int is too late."""
     n = len(scaled)
     z = F.lit(0).cast("bigint")
     for i, c in enumerate(scaled):
+        c64 = c.cast("bigint")
         for b in range(bits):
             z = z.bitwiseOR(
                 F.shiftleft(
-                    F.shiftright(c, b).bitwiseAND(F.lit(1)), b * n + i
-                ).cast("bigint")
+                    F.shiftright(c64, b).bitwiseAND(F.lit(1)), b * n + i
+                )
             )
     return z
 
@@ -60,6 +66,16 @@ def add_zorder(
     for c in cols:
         if c not in df.columns:
             raise ValueError(f"column {c!r} not in frame")
+    taken = set(df.columns)
+    clashes = sorted(
+        {out_col, *(f"_mn_{c}" for c in cols), *(f"_mx_{c}" for c in cols)}
+        & taken
+    )
+    if clashes:
+        raise ValueError(
+            f"frame already has column(s) {clashes} — withColumn would "
+            "silently overwrite them; rename or pass a different out_col"
+        )
 
     aggs = []
     for c in cols:

@@ -4698,8 +4698,9 @@ _TPCH_Q10_ORACLE = f"""
 @q("q_tpch_q10", _TPCH_Q10_ORACLE)
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (returned-item reporting): top-20 customers by lost
-    revenue from returns in a quarter. Nation and the filtered customer
-    dim broadcast; exact-rank top-k."""
+    revenue from returns in a quarter. The tiny nation dim broadcast;
+    customer joins UNHINTED (it grows with SF — AQE picks broadcast vs
+    shuffle by its real size); exact-rank top-k."""
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     n = T(spark, sf_dir, "nation")
@@ -4714,7 +4715,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(
             "c_custkey",

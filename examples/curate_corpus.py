@@ -79,9 +79,12 @@ def curate(
     counts["after_quality_gate"] = kept.count()
 
     # 3. exact + near-duplicate removal: dedup_corpus returns the
-    # canonical KEEP-list of ids; semi-join selects the survivors
+    # canonical KEEP-list of ids; semi-join selects the survivors.
+    # persist(): every stage below (and both output writes) would
+    # otherwise replay the MinHash banding from the raw scan — the
+    # classic multi-action lineage trap
     keep_ids = dedup_corpus(kept)
-    deduped = kept.join(keep_ids, "doc_id", "left_semi")
+    deduped = kept.join(keep_ids, "doc_id", "left_semi").persist()
     counts["after_dedup"] = deduped.count()
 
     # 4. benchmark decontamination (broadcast n-gram set)
@@ -97,8 +100,9 @@ def curate(
     split = leakage_safe_split(redacted).select("doc_id", "split")
     final = redacted.join(split, "doc_id").filter(
         F.col("split") != "dropped"
-    )
+    ).persist()
     counts["after_split"] = final.count()
+    deduped.unpersist()
 
     # 7. pack the train side into fixed-length sequences
     train = final.filter(F.col("split") == "train").withColumn(

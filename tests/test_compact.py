@@ -168,9 +168,17 @@ def test_compact_zorder_by_skips_both_dims(engine, spark):
 
     name = "zorder_compact_t"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    df = spark.range(20000).select(
+    # pad rows with INCOMPRESSIBLE bytes (sizeInBytes reflects the
+    # compressed parquet size — a constant pad deflates to nothing) so
+    # target_file_mb=1 yields >=4 files and the skipping assertions
+    # below actually run
+    pad = F.concat(
+        *[F.md5((F.col("id") + F.lit(i)).cast("string")) for i in range(10)]
+    )
+    df = spark.range(80000).select(
         (F.col("id") % 141).alias("x"),
         ((F.col("id") * 7919) % 149).alias("y"),
+        pad.alias("pad"),
     )
     df.repartition(16).write.saveAsTable(name)
 
@@ -191,11 +199,11 @@ def test_compact_zorder_by_skips_both_dims(engine, spark):
             )
             return 1.0 - hit / total if total else 0.0
 
-        if stats["files_after"] >= 4:  # skipping needs multiple files
-            assert skip_frac("x") > 0.2
-            assert skip_frac("y") > 0.2
+        assert stats["files_after"] >= 4, stats
+        assert skip_frac("x") > 0.2
+        assert skip_frac("y") > 0.2
         # content integrity
-        assert spark.table(name).count() == 20000
+        assert spark.table(name).count() == 80000
         engine.compact_table(Table(name=name), sort_by=["x"])  # still works
         with __import__("pytest").raises(ValueError, match="not both"):
             engine.compact_table(

@@ -58,3 +58,25 @@ def test_validates(df):
         impute_nulls(df, ["nope"])
     with pytest.raises(ValueError, match="fill_value"):
         impute_nulls(df, ["x"], "constant")
+
+
+def test_grouped_impute_preserves_null_key_rows(spark):
+    """Rows whose GROUP KEY is NULL must survive (unfilled) — an inner
+    fill join would delete data."""
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", None), (3, None, 99.0), (4, None, None)],
+        "id long, grp string, x double",
+    )
+    for strat in ("mean", "mode"):
+        out = {r.id: r for r in impute_nulls(df, ["x"], strat, group_by="grp").collect()}
+        assert set(out) == {1, 2, 3, 4}, strat
+        assert out[3].x == 99.0 and not out[3]._imputed_x
+        assert out[4].x is None and not out[4]._imputed_x
+        assert out[2].x == 10.0 and out[2]._imputed_x
+
+
+def test_grouped_mode_all_null_group_survives(df):
+    out = {r.id: r for r in impute_nulls(df, ["x"], "mode", group_by="grp").collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert out[6].x is None and not out[6]._imputed_x  # all-NULL group c
+    assert out[3].x == 10.0  # group-a mode (tie 10/20 -> lowest)

@@ -66,7 +66,7 @@ def test_zorder_skips_on_both_dimensions(spark, tmp_path):
 
     linear = str(tmp_path / "linear")
     zord = str(tmp_path / "zord")
-    df.orderBy("x").coalesce(16).write.parquet(linear)  # 1 file after coalesce? keep 16
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(linear)
     z.repartitionByRange(16, "_zorder").sortWithinPartitions("_zorder").drop(
         "_zorder"
     ).write.parquet(zord)
@@ -86,3 +86,26 @@ def test_zorder_skips_on_both_dimensions(spark, tmp_path):
     # z-order: BOTH dimensions skip a meaningful fraction of files
     assert skip_frac(zord, "x") > 0.3
     assert skip_frac(zord, "y") > 0.3
+    # the contrast the test is named for: a LINEAR x-sort serves x but
+    # leaves y scattered across every file
+    assert skip_frac(linear, "x") > 0.5
+    assert skip_frac(linear, "y") < 0.1
+
+
+def test_zorder_wide_interleave_no_sign_corruption(spark):
+    """bits*cols > 31 must produce correct POSITIVE 64-bit values —
+    IntegerType shifts wrap at 32 bits (sign bit) unless the bucket is
+    widened first."""
+    df = spark.createDataFrame([(65535, 65535), (0, 0)], "a int, b int")
+    out = {r.a: r.z for r in df.select(
+        F.col("a"),
+        zorder_col([F.col("a"), F.col("b")], bits=16).alias("z"),
+    ).collect()}
+    assert out[65535] == (1 << 32) - 1  # all 32 low bits set, positive
+    assert out[0] == 0
+
+
+def test_add_zorder_rejects_column_collision(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "a int, b int, _zorder int")
+    with pytest.raises(ValueError, match="_zorder"):
+        add_zorder(df, ["a", "b"])
