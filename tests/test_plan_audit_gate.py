@@ -57,6 +57,8 @@ NESTED_LOOP_WHITELIST = {
                              # query rows
     "q_temperature_mix": 1,  # one-row weight-total broadcast (tf_idf
                              # normalizer device)
+    "q_zorder": 1,           # one-row min/max bounds broadcast (tf_idf
+                             # normalizer device)
 }
 
 # query → max allowed Python/Arrow boundary nodes (MapInPandas etc.).
