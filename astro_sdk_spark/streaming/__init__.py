@@ -19,6 +19,7 @@ from astro_sdk_spark.streaming.ops import (
     session_window_agg,
     sliding_window_agg,
     stateful_anomalies,
+    stream_sketch_ingest,
     stateful_user_stats,
     stream_dedup,
     stream_to_table,
@@ -34,6 +35,7 @@ __all__ = [
     "stream_dedup",
     "stream_to_table",
     "stateful_anomalies",
+    "stream_sketch_ingest",
     "stateful_user_stats",
     "admit_batch",
     "clean_batch",

@@ -411,3 +411,69 @@ def stateful_anomalies(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_sketch_ingest(
+    stream: DataFrame,
+    key_col: str,
+    sketch_table: str,
+    checkpoint_dir: str,
+    width: int = 1024,
+    depth: int = 4,
+    trigger_once: bool = True,
+):
+    """Maintain a count-min sketch over an unbounded stream: every
+    micro-batch is sketched (functions/cms.py:cms_build) and cell-wise
+    MERGED into ``sketch_table`` — approximate per-key frequencies over
+    the whole stream history in ``depth × width`` rows of state, however
+    many events flow through. Query any time with
+    ``cms_query(spark.table(sketch_table).drop('_batch_id'), keys, ...)``.
+
+    This is the streaming face of the sketch family's mergeability (the
+    same property that lets per-partition/per-day sketches combine):
+    frequency analytics whose memory does NOT grow with key cardinality
+    or stream length, where exact streaming counts would hold one state
+    row per key forever.
+
+    Exactly-once: foreachBatch only guarantees a replayed batch carries
+    the SAME batch_id — idempotence is the sink's job. The sketch table
+    carries the last merged ``_batch_id``; a replayed batch sees its own
+    id already recorded and skips the merge instead of double-counting.
+    The rewrite itself is metadata-sized (the table is ≤ depth×width
+    rows by construction)."""
+    from astro_sdk_spark.functions.cms import cms_build, cms_merge
+
+    spark = stream.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        exists = spark.catalog.tableExists(sketch_table)
+        if exists:
+            last = (
+                spark.table(sketch_table)
+                .agg(F.max("_batch_id"))
+                .collect()[0][0]
+            )
+            if last is not None and batch_id <= last:
+                return  # replayed batch — already merged
+        batch_sketch = cms_build(batch_df, key_col, width=width, depth=depth)
+        if exists:
+            merged = cms_merge(
+                spark.table(sketch_table).drop("_batch_id"), batch_sketch
+            )
+        else:
+            merged = batch_sketch
+        # materialize BEFORE overwriting: the merge plan reads the table
+        # it is about to replace
+        rows = [(r.d, r.cell, r.n) for r in merged.collect()]
+        spark.createDataFrame(
+            rows, "d int, cell bigint, n bigint"
+        ).withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).format("parquet").saveAsTable(sketch_table)
+
+    writer = stream.writeStream.option(
+        "checkpointLocation", checkpoint_dir
+    ).foreachBatch(merge_batch)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -342,3 +342,46 @@ def test_stream_clean_ingest_with_classifier(spark, docs, tmp_path):
     got = {r.doc_id for r in spark.table("accepted_clf").select("doc_id").collect()}
     assert got == {2000}
     _drop_stores(spark, "accepted_clf")
+
+
+def test_stream_sketch_ingest_matches_batch_sketch(spark, tmp_path):
+    """Per-batch CMS merges over the stream must equal sketching the
+    whole corpus at once (the mergeability contract, exercised through
+    foreachBatch), and the estimates must bound the true counts."""
+    from pyspark.sql import functions as F
+
+    from astro_sdk_spark.functions.cms import cms_build, cms_query
+    from astro_sdk_spark.streaming.ops import stream_sketch_ingest
+
+    rows = [(f"k{i % 20}",) for i in range(3000)] + [("hot",)] * 400
+    df = spark.createDataFrame(rows, "key string")
+    d = str(tmp_path / "sketch_events")
+    # several files -> several micro-batches with maxFilesPerTrigger=1
+    df.repartition(4).write.parquet(d)
+
+    spark.sql("DROP TABLE IF EXISTS cms_stream_t")
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = stream_sketch_ingest(
+        stream, "key", "cms_stream_t", str(tmp_path / "ckpt"),
+        width=256, depth=4,
+    )
+    q.awaitTermination(120)
+    try:
+        streamed = spark.table("cms_stream_t").drop("_batch_id")
+        whole = cms_build(df, "key", width=256, depth=4)
+        sm = {(r.d, r.cell): r.n for r in streamed.collect()}
+        wm = {(r.d, r.cell): r.n for r in whole.collect()}
+        assert sm == wm
+        est = {
+            r.key: r.est
+            for r in cms_query(
+                streamed, df.select("key").distinct(), "key", 256, 4
+            ).collect()
+        }
+        assert est["hot"] >= 400
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cms_stream_t")
