@@ -292,6 +292,7 @@ def detect_outliers(
     method: str = "iqr",
     k: float = 1.5,
     round_digits: int = 4,
+    clip: bool = False,
 ) -> DataFrame:
     """Robust outlier fences for a numeric column — the data-quality op
     that catches corrupted loads (unit mix-ups, sentinel values, decimal
@@ -304,6 +305,9 @@ def detect_outliers(
 
     Returns every row with ``(…, lo, hi, is_outlier)`` where lo/hi are
     rounded for display but the flag compares against the exact fences.
+    ``clip=True`` additionally WINSORIZES: the value column is clamped
+    to the exact fences (repair instead of report) — flagged rows keep
+    ``is_outlier=True`` so the repair stays visible.
 
     Scale shape: one exact-percentile aggregate (two for MAD — the
     second pass computes |x − median| deviations; both are single
@@ -337,12 +341,19 @@ def detect_outliers(
             (F.col("_med") + spread).alias("_hi"),
         )
     pin = float(10**round_digits)
-    return df.crossJoin(F.broadcast(b)).select(
+    out = df.crossJoin(F.broadcast(b)).select(
         "*",
         (F.floor(F.col("_lo") * F.lit(pin) + F.lit(0.5)) / F.lit(pin)).alias("lo"),
         (F.floor(F.col("_hi") * F.lit(pin) + F.lit(0.5)) / F.lit(pin)).alias("hi"),
         ((v < F.col("_lo")) | (v > F.col("_hi"))).alias("is_outlier"),
-    ).drop("_lo", "_hi")
+    )
+    if clip:
+        # winsorize: clamp to the EXACT fences (same values the flag
+        # compares against) — repair instead of report
+        out = out.withColumn(
+            value_col, F.least(F.col("_hi"), F.greatest(F.col("_lo"), v))
+        )
+    return out.drop("_lo", "_hi")
 
 
 # (narrow, wide) pairs — writing NARROW-typed data into a WIDE column is
