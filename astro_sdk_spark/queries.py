@@ -4825,6 +4825,39 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Winsorization (detect_outliers clip=True) — values clamped to the
+# EXACT Tukey fences (identical doubles in both engines: exact
+# percentiles → identical fence arithmetic → least/greatest of
+# identical operands), flags preserved.
+
+_WINSORIZE_ORACLE = """
+    WITH q AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders),
+    b AS (
+      SELECT q1 - 1.5 * (q3 - q1) AS lo_x, q3 + 1.5 * (q3 - q1) AS hi_x
+      FROM q)
+    SELECT o_orderkey,
+           LEAST(hi_x, GREATEST(lo_x, o_totalprice)) AS o_totalprice,
+           floor(lo_x * 10000.0 + 0.5) / 10000.0 AS lo,
+           floor(hi_x * 10000.0 + 0.5) / 10000.0 AS hi,
+           (o_totalprice < lo_x OR o_totalprice > hi_x) AS is_outlier
+    FROM orders CROSS JOIN b
+"""
+
+
+@q("q_winsorize", _WINSORIZE_ORACLE)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized order prices (detect_outliers clip=True): repair
+    instead of report — clamped values under the hash gate."""
+    from astro_sdk_spark.operators.data_validation import detect_outliers
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return detect_outliers(o, "o_totalprice", method="iqr", k=1.5, clip=True)
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -4936,6 +4969,8 @@ _TAIL_VARIANTS = [
                            # in-window (null-repair transform)
     "q_zorder",            # ctas/operator-layout: q_transform_ctas,
                            # q_compact_roundtrip in-window
+    "q_winsorize",         # data-quality: q_check_column, q_outliers'
+                           # family in-window (clip variant)
 ]
 
 

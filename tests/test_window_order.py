@@ -53,7 +53,7 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "data-quality": [
         "q_check_column", "q_check_table", "q_profile_table", "q_outliers",
-        "q_table_diff", "q_skew_report", "q_impute",
+        "q_table_diff", "q_skew_report", "q_impute", "q_winsorize",
     ],
     "pipeline": ["q_training_pipeline"],
     "exact-dedup": ["q_dedup_exact", "q_bloom_dedup"],
