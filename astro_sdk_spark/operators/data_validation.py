@@ -349,9 +349,14 @@ def detect_outliers(
     )
     if clip:
         # winsorize: clamp to the EXACT fences (same values the flag
-        # compares against) — repair instead of report
+        # compares against) — repair instead of report. NULLs stay NULL:
+        # Spark's least/greatest SKIP nulls, so the naive clamp would
+        # fabricate the low fence for missing measurements.
         out = out.withColumn(
-            value_col, F.least(F.col("_hi"), F.greatest(F.col("_lo"), v))
+            value_col,
+            F.when(
+                v.isNull(), v
+            ).otherwise(F.least(F.col("_hi"), F.greatest(F.col("_lo"), v))),
         )
     return out.drop("_lo", "_hi")
 

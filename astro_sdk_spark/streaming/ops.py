@@ -427,7 +427,7 @@ def stream_sketch_ingest(
     MERGED into ``sketch_table`` — approximate per-key frequencies over
     the whole stream history in ``depth × width`` rows of state, however
     many events flow through. Query any time with
-    ``cms_query(spark.table(sketch_table).drop('_batch_id'), keys, ...)``.
+    ``cms_query(spark.table(t).select('d', 'cell', 'n'), keys, ...)``.
 
     This is the streaming face of the sketch family's mergeability (the
     same property that lets per-partition/per-day sketches combine):
@@ -435,41 +435,73 @@ def stream_sketch_ingest(
     or stream length, where exact streaming counts would hold one state
     row per key forever.
 
-    Exactly-once: foreachBatch only guarantees a replayed batch carries
-    the SAME batch_id — idempotence is the sink's job. The sketch table
-    carries the last merged ``_batch_id``; a replayed batch sees its own
-    id already recorded and skips the merge instead of double-counting.
-    The rewrite itself is metadata-sized (the table is ≤ depth×width
-    rows by construction)."""
+    Durability contract:
+    - **Replay idempotence**: foreachBatch only guarantees a replayed
+      batch carries the same batch_id — the table stores the last
+      merged ``(_run_id, _batch_id)`` where the run id derives from the
+      checkpoint dir; a replay (same run, seen id) skips the merge
+      instead of double-counting. A FRESH checkpoint is a new run, so
+      its batch ids (restarting at 0) keep merging ONTO the accumulated
+      table rather than being swallowed as replays.
+    - **Atomic go-live**: the merged sketch stages into a side table and
+      swaps in via DROP+RENAME (operators/swap.py — the merge
+      machinery's device), so a crash mid-write leaves the previous
+      sketch intact instead of losing the accumulated history.
+    - **Parameter identity**: ``width``/``depth`` are stored with the
+      sketch and asserted on merge — merging into a table built with
+      different parameters would silently sum incompatible hash spaces.
+    """
+    import hashlib
+
     from astro_sdk_spark.functions.cms import cms_build, cms_merge
 
     spark = stream.sparkSession
+    run_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:16]
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         exists = spark.catalog.tableExists(sketch_table)
         if exists:
-            last = (
+            meta = (
                 spark.table(sketch_table)
-                .agg(F.max("_batch_id"))
-                .collect()[0][0]
+                .select("_run_id", "_batch_id", "_width", "_depth")
+                .limit(1)
+                .collect()[0]
             )
-            if last is not None and batch_id <= last:
-                return  # replayed batch — already merged
+            if (meta._width, meta._depth) != (width, depth):
+                raise ValueError(
+                    f"{sketch_table} was built with width={meta._width}, "
+                    f"depth={meta._depth}; merging width={width}, "
+                    f"depth={depth} would sum incompatible hash spaces"
+                )
+            if meta._run_id == run_id and batch_id <= meta._batch_id:
+                return  # replayed batch of THIS run — already merged
         batch_sketch = cms_build(batch_df, key_col, width=width, depth=depth)
         if exists:
             merged = cms_merge(
-                spark.table(sketch_table).drop("_batch_id"), batch_sketch
+                spark.table(sketch_table).select("d", "cell", "n"),
+                batch_sketch,
             )
         else:
             merged = batch_sketch
-        # materialize BEFORE overwriting: the merge plan reads the table
-        # it is about to replace
+        # materialize BEFORE writing: the merge plan reads the table the
+        # swap is about to replace
         rows = [(r.d, r.cell, r.n) for r in merged.collect()]
-        spark.createDataFrame(
-            rows, "d int, cell bigint, n bigint"
-        ).withColumn("_batch_id", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).format("parquet").saveAsTable(sketch_table)
+        out = (
+            spark.createDataFrame(rows, "d int, cell bigint, n bigint")
+            .withColumn("_run_id", F.lit(run_id))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .withColumn("_width", F.lit(width))
+            .withColumn("_depth", F.lit(depth))
+        )
+        if exists:
+            from astro_sdk_spark.operators.swap import swap_table
+
+            staging = f"{sketch_table}__sketch_staging"
+            spark.sql(f"DROP TABLE IF EXISTS {staging}")
+            out.write.format("parquet").saveAsTable(staging)
+            swap_table(spark, staging, sketch_table)
+        else:
+            out.write.format("parquet").saveAsTable(sketch_table)
 
     writer = stream.writeStream.option(
         "checkpointLocation", checkpoint_dir

@@ -134,15 +134,16 @@ def test_schema_drift_identical(spark):
 def test_detect_outliers_clip_winsorizes(spark):
     from astro_sdk_spark.operators.data_validation import detect_outliers
 
-    rows = [(float(i),) for i in range(1, 21)] + [(1000.0,), (-500.0,)]
+    rows = [(float(i),) for i in range(1, 21)] + [(1000.0,), (-500.0,), (None,)]
     df = spark.createDataFrame(rows, "x double")
-    out = {r.x is not None and r.is_outlier: r for r in []}
     res = detect_outliers(df, "x", method="iqr", k=1.5, clip=True).collect()
-    vals = sorted(r.x for r in res)
+    # NULL stays NULL — least/greatest would otherwise fabricate the fence
+    assert any(r.x is None for r in res)
+    vals = sorted(r.x for r in res if r.x is not None)
     hi = max(r.hi for r in res)
     lo = min(r.lo for r in res)
     # extremes clamped INTO the fences
     assert vals[-1] <= hi + 1e-6 and vals[0] >= lo - 1e-6
-    assert sum(r.is_outlier for r in res) == 2  # flags preserved
+    assert sum(bool(r.is_outlier) for r in res) == 2  # flags preserved
     # inliers untouched
     assert 10.0 in vals

@@ -218,8 +218,9 @@ def test_csv_malformed_row_modes(engine, spark, tmp_path):
         spark.read.options(mode="FAILFAST").schema(schema).csv(
             str(p), header=True
         ).collect()
-    # typed reader under Spark 4: BOTH '3' (short row) and 'x,y' (cast
-    # failure) null-fill rather than count as malformed — only
-    # structurally unparseable records drop; FAILFAST (above) is the
-    # mode that actually surfaces cast failures
-    assert dropped.count() == 4
+    # typed reader: short rows AND cast failures both DROP under
+    # DROPMALFORMED — but only when the rows are actually parsed.
+    # count() would report 4: column pruning parses no columns, so no
+    # record is ever classified malformed — assert on collect(), which
+    # materializes the parse
+    assert len(dropped.collect()) == 2

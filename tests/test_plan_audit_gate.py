@@ -59,6 +59,8 @@ NESTED_LOOP_WHITELIST = {
                              # normalizer device)
     "q_zorder": 1,           # one-row min/max bounds broadcast (tf_idf
                              # normalizer device)
+    "q_winsorize": 1,        # one-row fence-bounds broadcast (the
+                             # q_outliers device, clip variant)
 }
 
 # query → max allowed Python/Arrow boundary nodes (MapInPandas etc.).

@@ -371,7 +371,7 @@ def test_stream_sketch_ingest_matches_batch_sketch(spark, tmp_path):
     )
     q.awaitTermination(120)
     try:
-        streamed = spark.table("cms_stream_t").drop("_batch_id")
+        streamed = spark.table("cms_stream_t").select("d", "cell", "n")
         whole = cms_build(df, "key", width=256, depth=4)
         sm = {(r.d, r.cell): r.n for r in streamed.collect()}
         wm = {(r.d, r.cell): r.n for r in whole.collect()}
@@ -385,3 +385,45 @@ def test_stream_sketch_ingest_matches_batch_sketch(spark, tmp_path):
         assert est["hot"] >= 400
     finally:
         spark.sql("DROP TABLE IF EXISTS cms_stream_t")
+
+
+def test_stream_sketch_parameter_identity_and_fresh_run(spark, tmp_path):
+    """Mismatched width/depth is refused; a FRESH checkpoint keeps
+    merging onto the accumulated table (its restarted batch ids are not
+    replays of the old run)."""
+    import pytest as _pytest
+
+    from astro_sdk_spark.streaming.ops import stream_sketch_ingest
+
+    d = str(tmp_path / "ev")
+    spark.createDataFrame([("a",)] * 50, "key string").coalesce(1).write.parquet(d)
+    spark.sql("DROP TABLE IF EXISTS cms_ident_t")
+    try:
+        q = stream_sketch_ingest(
+            spark.readStream.schema("key string").parquet(d),
+            "key", "cms_ident_t", str(tmp_path / "c1"), width=64, depth=2,
+        )
+        q.awaitTermination(120)
+        total1 = spark.table("cms_ident_t").select("n").groupBy().sum().collect()[0][0]
+
+        # wrong parameters refused
+        q2 = stream_sketch_ingest(
+            spark.readStream.schema("key string").parquet(d),
+            "key", "cms_ident_t", str(tmp_path / "c2"), width=128, depth=2,
+        )
+        with _pytest.raises(Exception, match="incompatible hash spaces"):
+            q2.awaitTermination(120)
+            if q2.exception():
+                raise Exception(str(q2.exception()))
+
+        # fresh checkpoint, same params: batch 0 of the NEW run merges
+        # (not swallowed as a replay of old batch ids)
+        q3 = stream_sketch_ingest(
+            spark.readStream.schema("key string").parquet(d),
+            "key", "cms_ident_t", str(tmp_path / "c3"), width=64, depth=2,
+        )
+        q3.awaitTermination(120)
+        total2 = spark.table("cms_ident_t").select("n").groupBy().sum().collect()[0][0]
+        assert total2 == 2 * total1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cms_ident_t")
