@@ -80,3 +80,16 @@ def test_grouped_mode_all_null_group_survives(df):
     assert set(out) == {1, 2, 3, 4, 5, 6}
     assert out[6].x is None and not out[6]._imputed_x  # all-NULL group c
     assert out[3].x == 10.0  # group-a mode (tie 10/20 -> lowest)
+
+
+def test_median_grouped(spark):
+    from astro_sdk_spark.functions.impute import impute_nulls
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 9.0), (3, "a", None),
+         (4, "b", 100.0), (5, "b", None)],
+        "id long, grp string, x double",
+    )
+    out = {r.id: r for r in impute_nulls(df, ["x"], "median", group_by="grp").collect()}
+    assert out[3].x == 5.0    # median of 1, 9
+    assert out[5].x == 100.0  # single-value group

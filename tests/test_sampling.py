@@ -549,3 +549,18 @@ def test_temperature_rates_validates(spark):
         temperature_rates(df, budget=0)
     with _pytest.raises(ValueError, match="alpha"):
         temperature_rates(df, budget=10, alpha=1.5)
+
+
+def test_temperature_rates_size_col(spark):
+    """Budgeting in characters instead of documents: weights follow the
+    summed sizes, not row counts."""
+    from astro_sdk_spark.functions.sampling import temperature_rates
+
+    rows = [("big", 100)] * 4 + [("small", 25)]  # 400 vs 25 chars
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    out = {r.lang: r for r in temperature_rates(
+        df, budget=100, alpha=0.5, size_col="n_chars"
+    ).collect()}
+    assert out["big"].corpus_size == 400 and out["small"].corpus_size == 25
+    # sqrt(400)=20, sqrt(25)=5 -> big 80%, small 20%
+    assert out["big"].rate == 0.8 and out["small"].alloc == 20
