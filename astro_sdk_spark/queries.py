@@ -4858,6 +4858,44 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CMS mergeability under the gate: two half-corpus sketches merged
+# cell-wise must equal the whole-corpus build — the distributed-
+# aggregate property that makes the sketch usable across partitions,
+# days, and streams, replayed in SQL.
+
+_CMS_MERGE_ORACLE = """
+    WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (
+      SELECT l_orderkey % 2 AS half, ds.d,
+             CAST('0x' || substr(md5(ds.d || ':' ||
+                                     CAST(l_suppkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 512 AS cell
+      FROM lineitem CROSS JOIN ds),
+    halves AS (
+      SELECT half, d, cell, count(*) AS n
+      FROM cells GROUP BY half, d, cell)
+    SELECT d, cell, sum(n) AS n FROM halves GROUP BY d, cell
+"""
+
+
+@q("q_cms_merged", _CMS_MERGE_ORACLE)
+def q_cms_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cms_merge of two half-corpus sketches (functions/cms.py): the
+    merged cells hash-match the whole-corpus counts the oracle computes
+    — mergeability as a verified contract, not just a pytest."""
+    from astro_sdk_spark.functions.cms import cms_build, cms_merge
+
+    li = T(spark, sf_dir, "lineitem")
+    even = cms_build(
+        li.filter(F.col("l_orderkey") % 2 == 0), "l_suppkey", width=512, depth=4
+    )
+    odd = cms_build(
+        li.filter(F.col("l_orderkey") % 2 == 1), "l_suppkey", width=512, depth=4
+    )
+    return cms_merge(even, odd)
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -4971,6 +5009,8 @@ _TAIL_VARIANTS = [
                            # q_compact_roundtrip in-window
     "q_winsorize",         # data-quality: q_check_column, q_outliers'
                            # family in-window (clip variant)
+    "q_cms_merged",        # aggregation/sketches: q_pricing_summary
+                           # family in-window (mergeability contract)
 ]
 
 
