@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["edit_distance_join"]
+__all__ = ["edit_distance_join", "jaccard_join"]
 
 _PAD = "\x01"  # padding char; assumed absent from real text
 
@@ -164,4 +164,123 @@ def edit_distance_join(
         F.col("_ida").alias("id_a"),
         F.col("_idb").alias("id_b"),
         F.col("_dist").alias("dist"),
+    )
+
+
+def jaccard_join(
+    df_a: DataFrame,
+    df_b: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join: all (id_a, id_b, jaccard)
+    pairs whose word-``shingle_k``-gram SETS satisfy
+    ``|A∩B| / |A∪B| ≥ threshold`` — no hashing, no recall argument.
+
+    MinHash+LSH (``dedup.minhash_near_dup``) approximates this predicate
+    probabilistically; this is the exact counterpart for when the
+    candidate volume allows it (record linkage, gold-set construction,
+    auditing an LSH run's recall). The scale path is AllPairs/PPJoin
+    prefix filtering (Bayardo et al., WWW'07; Xiao et al., VLDB'08 —
+    public):
+
+    - order every shingle by GLOBAL frequency (rare first, ties on the
+      shingle then nothing — shingle sets are distinct, so (freq,
+      shingle) is already a total order);
+    - a set with ``n`` shingles contributes only its ``n − ⌈τ·n⌉ + 1``
+      rarest to the join. Why that suffices: J(A,B) ≥ τ forces
+      ``|A| ≥ τ·|B|`` (else inter ≤ |A| < τ|B| ≤ τ|A∪B|) and
+      ``inter ≥ τ/(1+τ)·(|A|+|B|) ≥ ⌈τ·max(|A|,|B|)⌉``; by the prefix
+      theorem two sets overlapping in ≥ t elements have intersecting
+      ``(n − t + 1)``-prefixes under any consistent total order. Rare
+      grams as prefixes are the skew shield: boilerplate shingles occur
+      everywhere but are nobody's prefix;
+    - candidates pass the size filter ``τ·|A| ≤ |B| ≤ |A|/τ`` inside the
+      prefix join, then verify with JVM ``array_intersect`` on the two
+      (semi-join-pruned) shingle arrays. inter/size arithmetic is pure
+      integers, so the jaccard double is bit-identical in any engine —
+      what lets ``q_jaccard_join`` sit under a brute-force DuckDB oracle
+      as an equality, not a recall claim.
+
+    Plan shape: one shingle explode, one frequency aggregation, one
+    per-doc prefix window, one prefix equi-join, one verify join — never
+    all-pairs. ``df_b=None`` → self-join emitting ``id_a < id_b``.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from astro_sdk_spark.functions._cache import track
+    from astro_sdk_spark.functions.dedup import shingles_col
+
+    self_join = df_b is None
+
+    def prep(df, suf):
+        return df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias(f"_id{suf}"),
+            shingles_col(F.col(text_col), shingle_k).alias(f"_s{suf}"),
+        ).withColumn(f"_n{suf}", F.size(f"_s{suf}"))
+
+    a = track(prep(df_a, "a"))
+    b = (
+        a.select(
+            F.col("_ida").alias("_idb"),
+            F.col("_sa").alias("_sb"),
+            F.col("_na").alias("_nb"),
+        )
+        if self_join
+        else track(prep(df_b, "b"))
+    )
+    pair_guard = (F.col("_ida") < F.col("_idb")) if self_join else F.lit(True)
+
+    exploded_a = a.select("_ida", "_na", F.explode("_sa").alias("_g"))
+    # one consistent global order serves both sides: frequency from side
+    # A (the corpus side in an A×B join), unseen grams rank rarest at 0
+    freq = exploded_a.groupBy("_g").agg(F.count(F.lit(1)).alias("_f"))
+
+    def prefixes(df, idc, nc):
+        ex = df.select(idc, nc, F.explode(f"_s{idc[-1]}").alias("_g"))
+        w = Window.partitionBy(idc).orderBy(F.asc("_f"), F.asc("_g"))
+        return (
+            ex.join(freq, "_g", "left")
+            .withColumn("_f", F.coalesce("_f", F.lit(0)))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= F.col(nc) - F.ceil(F.lit(threshold) * F.col(nc)) + 1)
+            .select(idc, nc, "_g")
+        )
+
+    pa = track(prefixes(a, "_ida", "_na"))
+    pb = (
+        pa.select(
+            F.col("_ida").alias("_idb"), F.col("_na").alias("_nb"), "_g"
+        )
+        if self_join
+        else prefixes(b, "_idb", "_nb")
+    )
+
+    cand = (
+        pa.join(pb, "_g")
+        .filter(pair_guard)
+        .filter(
+            (F.col("_nb") * F.lit(threshold) <= F.col("_na"))
+            & (F.col("_na") * F.lit(threshold) <= F.col("_nb"))
+        )
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    verified = (
+        cand.join(a.select("_ida", "_sa", "_na"), "_ida")
+        .join(b.select("_idb", "_sb", "_nb"), "_idb")
+        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "_j",
+            F.col("_inter")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("_j") >= threshold)
+    )
+    return verified.select(
+        F.col("_ida").alias("id_a"),
+        F.col("_idb").alias("id_b"),
+        F.col("_j").alias("jaccard"),
     )

@@ -1522,6 +1522,136 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join (functions/fuzzy.py:jaccard_join).
+# Same oracle philosophy as q_fuzzy_join: the brute-force quadratic
+# predicate IS the oracle, and the prefix-filtered implementation must
+# EQUAL it (not approximate it — that distinction is what separates this
+# from the MinHash family, whose oracles rest on a recall argument at
+# the chosen parameters). inter/size arithmetic is all-integer, so the
+# jaccard double divides identically in both engines.
+
+_JACCARD_JOIN_ORACLE = f"""
+    WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES_K3} AS s FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) AS la, len(b.s) AS lb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(inter / CAST(la + lb - inter AS DOUBLE), 4) AS jaccard
+    FROM pairs WHERE inter / CAST(la + lb - inter AS DOUBLE) >= 0.7
+"""
+
+
+@q("q_jaccard_join", _JACCARD_JOIN_ORACLE)
+def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard self-join over documents at τ=0.7 via
+    AllPairs/PPJoin prefix filtering — hash-EQUAL to the cross-join
+    oracle, never materializing the cross product."""
+    from astro_sdk_spark.functions.fuzzy import jaccard_join
+
+    d = T(spark, sf_dir, "documents")
+    pairs = jaccard_join(d, threshold=0.7, shingle_k=3)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+# --------------------------------------------------------------------------
+# unpivot/melt — the inverse of q_pivot's wide reshape: measure columns
+# become (metric, value) rows. Idiomatic Spark (DataFrame.unpivot, the
+# built-in STACK-based rewrite — pure projection, zero shuffle); the
+# oracle is the portable UNION ALL expansion. Values pass through
+# unchanged (no arithmetic), so doubles compare bit-identically.
+
+_UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_UNPIVOT_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT l_orderkey, l_linenumber, '{c}' AS metric,
+           CAST({c} AS DOUBLE) AS value
+    FROM lineitem WHERE l_orderkey % 997 = 1"""
+    for c in _UNPIVOT_MEASURES
+)
+
+
+@q("q_unpivot", _UNPIVOT_ORACLE)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt four lineitem measures into (metric, value) rows for a keyed
+    slice — the wide→long reshape that complements q_pivot. Plan is a
+    single projection (expand), no shuffle, full column pruning."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 997 == 1)
+    return li.select(
+        "l_orderkey", "l_linenumber", *_UNPIVOT_MEASURES
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        list(_UNPIVOT_MEASURES),
+        "metric",
+        "value",
+    )
+
+
+# --------------------------------------------------------------------------
+# fixed-point PageRank (functions/graph.py). The oracle unrolls the
+# iterations in SQL CTEs — the q_ivf_trained device — which is possible
+# only because the rank arithmetic is all-BIGINT (integer division for
+# contributions and damping): float PageRank would diverge between the
+# engines' summation orders at ~1e-16 and flip rank boundaries. The
+# graph is the bidirected customer↔supplier trade graph.
+
+_PAGERANK_ITERS = 3
+
+
+def _pagerank_oracle(iters: int) -> str:
+    parts = [
+        """
+    WITH half AS (
+      SELECT DISTINCT 'c' || o_custkey AS s, 's' || l_suppkey AS d
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT s, d FROM half UNION SELECT d, s FROM half),
+    deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+    nodes AS (SELECT DISTINCT s AS n FROM e UNION SELECT DISTINCT d FROM e),
+    pr0 AS (SELECT n, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    c{i} AS (
+      SELECT e.d AS n, CAST(sum(p.pr // deg.deg) AS BIGINT) AS s
+      FROM e JOIN pr{i - 1} p ON e.s = p.n JOIN deg ON e.s = deg.s
+      GROUP BY e.d),
+    pr{i} AS (
+      SELECT nodes.n,
+             CAST(150000 + (85 * coalesce(c{i}.s, 0)) // 100 AS BIGINT) AS pr
+      FROM nodes LEFT JOIN c{i} ON nodes.n = c{i}.n)"""
+        )
+    parts.append(
+        f"""
+    SELECT n AS node, pr FROM pr{iters} ORDER BY pr DESC, n LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@q("q_pagerank", _pagerank_oracle(_PAGERANK_ITERS))
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three fixed-point PageRank rounds over the bidirected
+    customer↔supplier trade graph; top-20 nodes, rank-desc with a node-id
+    tiebreak. Hash-exact vs the SQL-unrolled iterations — BIGINT
+    arithmetic end-to-end (see functions/graph.py)."""
+    from astro_sdk_spark.functions.graph import pagerank
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    half = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, iters=_PAGERANK_ITERS)
+    return pr.orderBy(F.desc("pr"), F.asc("node")).limit(20)
+
+
+# --------------------------------------------------------------------------
 # profile_table — the one-pass column profiler (operators/data_validation).
 
 _PROFILE_ORACLE = " UNION ALL ".join(
@@ -5011,6 +5141,14 @@ _TAIL_VARIANTS = [
                            # family in-window (clip variant)
     "q_cms_merged",        # aggregation/sketches: q_pricing_summary
                            # family in-window (mergeability contract)
+    "q_jaccard_join",      # joins/content-dedup: q_minhash_neardup,
+                           # q_fuzzy_join family (exact set-similarity
+                           # counterpart of the LSH path)
+    "q_pagerank",          # graph/iterative: q_dedup_clusters family
+                           # in-window (connected components); fixed-point
+                           # link analysis with an unrolled-SQL oracle
+    "q_unpivot",           # grouping analytics: q_rollup, q_grouping_sets
+                           # in-window (pivot's inverse reshape)
 ]
 
 

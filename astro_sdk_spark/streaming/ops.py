@@ -128,6 +128,58 @@ def stream_dedup(
     return df.dropDuplicates(keys or ["event_id"])
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "30 minutes",
+    within: str = "15 minutes",
+    how: str = "inner",
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a time-interval bound:
+    rows pair when keys match AND ``|left.ts − right.ts| ≤ within``
+    (click↔impression attribution, request↔response correlation).
+
+    Both sides carry watermarks and the time bound lives IN the join
+    condition — that pair is what lets Spark evict buffered rows once
+    ``watermark + within`` has passed, keeping state bounded by the
+    horizon instead of the stream length (outer joins REQUIRE it; inner
+    joins without it buffer forever). Right-side columns are suffixed
+    (except the key) so the output schema is collision-free. Works
+    identically on static frames (watermark no-op) — the property the
+    equality test exploits.
+    """
+    # suffix EVERY right column (key included): the two sides often share
+    # lineage (two filters of one source), where dataframe-qualified refs
+    # (lf[on] == r[on]) trip Spark's ambiguous-self-join check — plain
+    # disjoint column names never do
+    r = right
+    for c in right.columns:
+        r = r.withColumnRenamed(c, c + right_suffix)
+    rkey, rts = on + right_suffix, right_ts + right_suffix
+    lf = left
+    if lf.isStreaming:
+        lf = lf.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(rts, watermark)
+    cond = (
+        (F.col(on) == F.col(rkey))
+        & (F.col(left_ts) >= F.col(rts) - F.expr(f"INTERVAL {within}"))
+        & (F.col(left_ts) <= F.col(rts) + F.expr(f"INTERVAL {within}"))
+    )
+    joined = lf.join(r, cond, how)
+    # one key column in the output (for outer joins coalesce fills the
+    # null side; the two are equal whenever both exist)
+    key = F.coalesce(F.col(on), F.col(rkey)).alias(on)
+    others = [F.col(c) for c in left.columns if c != on] + [
+        F.col(c + right_suffix) for c in right.columns if c != on
+    ]
+    return joined.select(key, *others)
+
+
 def stateful_user_stats(
     events: DataFrame,
     ts_col: str = "ts",

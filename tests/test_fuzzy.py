@@ -84,3 +84,108 @@ def test_no_cross_product_above_the_floor(spark, cust):
     sliver — the main path must be the prefix equi-join."""
     plan = edit_distance_join(cust, max_dist=1)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("CartesianProduct") <= 1
+
+# ---------------------------------------------------------------------------
+# jaccard_join — exact n-gram set-similarity join (AllPairs/PPJoin)
+
+
+def _brute_jaccard(spark, df, threshold, k):
+    """Reference result: cross-join + exact Jaccard on shingle sets."""
+    from astro_sdk_spark.functions.dedup import shingles_col
+
+    s = df.select(
+        F.col("doc_id").alias("i"), shingles_col(F.col("text"), k).alias("s")
+    )
+    a = s.select(F.col("i").alias("ia"), F.col("s").alias("sa"))
+    b = s.select(F.col("i").alias("ib"), F.col("s").alias("sb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "j",
+            F.col("inter")
+            / (F.size("sa") + F.size("sb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("j") >= threshold)
+    )
+    return {(r.ia, r.ib): round(r.j, 6) for r in pairs.collect()}
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_jaccard_join_equals_brute_force(spark):
+    from astro_sdk_spark.functions.fuzzy import jaccard_join
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox leaps over the lazy dog"),
+        (4, "pack my box with five dozen liquor jugs"),
+        (5, "pack my box with five dozen liquor jugs"),  # exact dup of 4
+        (6, "a completely different sentence entirely here"),
+        (7, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+        (8, "short text"),
+        (9, "short text"),
+    ]
+    df = _docs(spark, rows)
+    for tau in (0.5, 0.7, 0.9):
+        got = {
+            (r.id_a, r.id_b): round(r.jaccard, 6)
+            for r in jaccard_join(df, threshold=tau, shingle_k=3).collect()
+        }
+        assert got == _brute_jaccard(spark, df, tau, 3), f"tau={tau}"
+
+
+def test_jaccard_join_exact_dups_score_one(spark):
+    from astro_sdk_spark.functions.fuzzy import jaccard_join
+
+    df = _docs(spark, [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")])
+    out = jaccard_join(df, threshold=0.99).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in out] == [(1, 2, 1.0)]
+
+
+def test_jaccard_join_two_sided(spark):
+    from astro_sdk_spark.functions.fuzzy import jaccard_join
+
+    a = _docs(spark, [(1, "one two three four five"), (2, "unrelated words here now")])
+    b = _docs(spark, [(10, "one two three four five"), (11, "one two three four six")])
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 4)
+        for r in jaccard_join(a, b, threshold=0.5).collect()
+    }
+    # doc1 vs doc10: identical (j=1.0); doc1 vs doc11: trigram sets
+    # {one two three, two three four, three four five/six} share 2 of 4.
+    assert got == {(1, 10): 1.0, (1, 11): 0.5}
+
+
+def test_jaccard_join_short_text_fallback(spark):
+    # texts with < k tokens collapse to a single whole-text shingle;
+    # identical short texts must still pair at j=1.0
+    from astro_sdk_spark.functions.fuzzy import jaccard_join
+
+    df = _docs(spark, [(1, "hi"), (2, "hi"), (3, "yo")])
+    got = {(r.id_a, r.id_b) for r in jaccard_join(df, threshold=0.9).collect()}
+    assert got == {(1, 2)}
+
+
+def test_jaccard_join_no_cartesian_in_plan(spark):
+    from astro_sdk_spark.functions.fuzzy import jaccard_join
+
+    df = _docs(spark, [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(30)])
+    plan = jaccard_join(df, threshold=0.8)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_join_threshold_validation(spark):
+    from astro_sdk_spark.functions.fuzzy import jaccard_join
+
+    df = _docs(spark, [(1, "a b c")])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        jaccard_join(df, threshold=0.0)
+    with _pytest.raises(ValueError):
+        jaccard_join(df, threshold=1.5)

@@ -143,3 +143,63 @@ def test_duration_to_ms_accepts_abbreviations():
 
     with _pytest.raises(ValueError, match="Unrecognized duration unit"):
         _duration_to_ms("5 fortnights")
+
+
+def test_stream_stream_join_equals_batch(spark, events_df, events_dir, tmp_path):
+    """Watermarked interval join of two live streams (views ⋈ clicks on
+    user within ±15 min) sunk with availableNow equals the same operator
+    applied to the static frames."""
+    from astro_sdk_spark.streaming.ops import stream_stream_join
+
+    def views_clicks(df):
+        v = df.filter(F.col("event_type") == "view").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        c = df.filter(F.col("event_type") == "click").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        return v, c
+
+    sv, sc = views_clicks(read_events_stream(spark, events_dir, SCHEMA))
+    joined = stream_stream_join(sv, sc, on="user_id", within="15 minutes")
+    got = _run_to_table(spark, joined, "ssj_out", tmp_path)
+
+    bv, bc = views_clicks(events_df)
+    want = stream_stream_join(bv, bc, on="user_id", within="15 minutes")
+
+    key = ["user_id", "event_id", "event_id_r"]
+    assert sorted(map(tuple, got.select(*key).collect())) == sorted(
+        map(tuple, want.select(*key).collect())
+    )
+    assert got.count() == want.count() > 0
+
+
+def test_stream_stream_join_time_bound_filters(spark, events_df):
+    """The interval predicate actually constrains pairs: shrinking the
+    bound strictly reduces (or keeps) the match count, and every emitted
+    pair is within the bound."""
+    from astro_sdk_spark.streaming.ops import stream_stream_join
+
+    v = events_df.filter(F.col("event_type") == "view")
+    c = events_df.filter(F.col("event_type") == "click")
+    wide = stream_stream_join(v, c, within="60 minutes")
+    narrow = stream_stream_join(v, c, within="5 minutes")
+    assert narrow.count() <= wide.count()
+    bad = narrow.filter(
+        F.abs(F.col("ts").cast("long") - F.col("ts_r").cast("long")) > 300
+    )
+    assert bad.count() == 0
+
+
+def test_stream_stream_left_outer_keeps_unmatched(spark, events_df):
+    from astro_sdk_spark.streaming.ops import stream_stream_join
+
+    v = events_df.filter(F.col("event_type") == "view")
+    c = events_df.filter(F.col("event_type") == "click")
+    inner = stream_stream_join(v, c, within="5 minutes")
+    louter = stream_stream_join(v, c, within="5 minutes", how="left_outer")
+    matched_views = inner.select("event_id").distinct().count()
+    total_views = v.count()
+    # every view appears; unmatched ones exactly once with null right side
+    assert louter.select("event_id").distinct().count() == total_views
+    assert louter.filter(F.col("event_id_r").isNull()).count() == total_views - matched_views

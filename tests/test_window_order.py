@@ -31,7 +31,9 @@ FAMILIES: dict[str, list[str]] = {
         "q_pricing_summary", "q_group_having", "q_distinct_counts",
         "q_cms_counts", "q_cms_merged",
     ],
-    "grouping-analytics": ["q_rollup", "q_cube", "q_grouping_sets", "q_pivot"],
+    "grouping-analytics": [
+        "q_rollup", "q_cube", "q_grouping_sets", "q_pivot", "q_unpivot",
+    ],
     "distribution": ["q_percentiles", "q_histogram"],
     "windows": ["q_window_topk", "q_window_running", "q_window_extended"],
     "scalar-funcs": [
@@ -60,7 +62,7 @@ FAMILIES: dict[str, list[str]] = {
     "minhash-neardup": ["q_minhash_neardup", "q_neardup_renamed_cols"],
     "simhash-neardup": ["q_simhash_neardup"],
     "incremental-neardup": ["q_incremental_neardup"],
-    "dedup-clusters": ["q_dedup_clusters", "q_dedup_keeplist"],
+    "dedup-clusters": ["q_dedup_clusters", "q_dedup_keeplist", "q_pagerank"],
     "embedding-dedup": ["q_embedding_neardup", "q_semantic_dedup"],
     "ann": [
         "q_embedding_topk", "q_ann_recall", "q_ann_lsh", "q_sq8_topk",
@@ -84,7 +86,10 @@ FAMILIES: dict[str, list[str]] = {
         "q_pii_redaction", "q_decontaminate", "q_c4_rules",
         "q_contamination_score", "q_unicode_normalize", "q_strip_html",
     ],
-    "content-dedup": ["q_line_dedup", "q_substring_dedup", "q_doc_line_dedup"],
+    "content-dedup": [
+        "q_line_dedup", "q_substring_dedup", "q_doc_line_dedup",
+        "q_jaccard_join",
+    ],
     "sampling": [
         "q_train_split", "q_stratified_sample", "q_seq_packing", "q_domain_mix",
         "q_dsir_weights", "q_doc_chunks", "q_unimax", "q_weighted_sample",
