@@ -174,6 +174,8 @@ def jaccard_join(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     shingle_k: int = 3,
+    pre_dedup: bool = False,
+    expand: bool = True,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity join: all (id_a, id_b, jaccard)
     pairs whose word-``shingle_k``-gram SETS satisfy
@@ -207,13 +209,41 @@ def jaccard_join(
     Plan shape: one shingle explode, one frequency aggregation, one
     per-doc prefix window, one prefix equi-join, one verify join — never
     all-pairs. ``df_b=None`` → self-join emitting ``id_a < id_b``.
+
+    ``pre_dedup=True`` (self-join only) is the dup-heavy-corpus scale
+    path: byte-identical texts share ALL shingles, so a 5 000-copy flood
+    puts 5 000 docs behind every prefix gram and the candidate join goes
+    quadratic — exactly the hazard ``minhash_near_dup`` pre-collapses.
+    Here the collapse costs NOTHING in exactness: the prefix join runs
+    over one representative (min id) per distinct text, then the result
+    expands back — intra-group pairs at jaccard 1.0, cross-group pairs
+    inheriting the representatives' jaccard (equal texts ⇒ equal shingle
+    sets) — reproducing the brute-force answer verbatim. Expansion is
+    distributed (explode + equi-joins, never per-row arrays of pairs);
+    its output size is the true answer's, which on a flooded corpus is
+    itself quadratic — pass ``expand=False`` to stay at representative
+    level (the form a 100 TB dedup pipeline actually consumes, as in
+    ``dedup_corpus``).
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if pre_dedup and df_b is not None:
+        raise ValueError("pre_dedup is defined for the self-join form only")
     from astro_sdk_spark.functions._cache import track
     from astro_sdk_spark.functions.dedup import shingles_col
 
     self_join = df_b is None
+
+    members = None
+    if pre_dedup:
+        live = df_a.filter(F.col(text_col).isNotNull())
+        reps = live.groupBy(text_col).agg(F.min(id_col).alias("_rep"))
+        members = track(
+            live.select(F.col(id_col).alias("_m"), text_col)
+            .join(reps, text_col)
+            .select("_m", "_rep")
+        )
+        df_a = reps.select(F.col("_rep").alias(id_col), text_col)
 
     def prep(df, suf):
         return df.filter(F.col(text_col).isNotNull()).select(
@@ -279,8 +309,48 @@ def jaccard_join(
         )
         .filter(F.col("_j") >= threshold)
     )
-    return verified.select(
+    out = verified.select(
         F.col("_ida").alias("id_a"),
         F.col("_idb").alias("id_b"),
         F.col("_j").alias("jaccard"),
     )
+    if members is None or not expand:
+        return out
+
+    # ---- expansion back to member level (exactness restored) ----------
+    # intra-group: every ordered pair inside an exact-dup group, j = 1.0.
+    # Distributed as explode×2 + equi-join on the group key — the output
+    # is the true answer's pair set, but no task ever holds a group's
+    # quadratic pair array in memory.
+    multi = members.groupBy("_rep").agg(F.count(F.lit(1)).alias("_gn")).filter(
+        F.col("_gn") > 1
+    )
+    gm = members.join(multi.select("_rep"), "_rep")
+    intra = (
+        gm.select("_rep", F.col("_m").alias("_x"))
+        .join(gm.select("_rep", F.col("_m").alias("_y")), "_rep")
+        .filter(F.col("_x") < F.col("_y"))
+        .select(
+            F.col("_x").alias("id_a"),
+            F.col("_y").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # cross-group: a representative pair applies to every member combo
+    # (identical text ⇒ identical shingle set ⇒ identical jaccard)
+    cross = (
+        out.join(
+            members.select(F.col("_rep").alias("id_a"), F.col("_m").alias("_xa")),
+            "id_a",
+        )
+        .join(
+            members.select(F.col("_rep").alias("id_b"), F.col("_m").alias("_xb")),
+            "id_b",
+        )
+        .select(
+            F.least("_xa", "_xb").alias("id_a"),
+            F.greatest("_xa", "_xb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)

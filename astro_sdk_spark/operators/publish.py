@@ -1,0 +1,76 @@
+"""Write–audit–publish: stage a result, audit it, swap it live atomically.
+
+The production table-publication pattern (popularized by Netflix's
+Iceberg WAP workflow; the same staged-rewrite idea as the reference's
+Redshift merge finish step, ``databases/aws/redshift.py:169-307``): a
+pipeline must never let readers observe a half-written or failed-quality
+result. The composition is entirely out of parts this repo already
+verifies —
+
+1. **write** the DataFrame into ``<target>__wap_staged`` (readers of the
+   live table see nothing);
+2. **audit** the staged table with the data-validation operators
+   (``check_table`` aggregate predicates and/or ``check_column``
+   per-column stats — both single-scan, one-row results);
+3. **publish** via :func:`operators.swap.swap_table` (DROP+RENAME in the
+   metastore — a metadata move, not a data copy) only when every check
+   passed; on failure the staging table is dropped (or kept for
+   debugging with ``keep_staging_on_fail``) and the live table is
+   untouched.
+
+At 100 TB this is the difference between "the nightly job failed and
+the dashboard shows garbage" and "the nightly job failed and the
+dashboard shows yesterday": the expensive write happens OFF the serving
+path, audits read the staged copy, and the cutover is O(1) metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from astro_sdk_spark.operators.swap import swap_table
+from astro_sdk_spark.table import BaseTable, Table
+from astro_sdk_spark.templating import quote_identifier
+
+__all__ = ["publish_table"]
+
+
+def publish_table(
+    df: DataFrame,
+    target_table: BaseTable | str,
+    table_checks: dict[str, dict[str, str]] | None = None,
+    column_checks: dict[str, dict[str, dict]] | None = None,
+    spark: SparkSession | None = None,
+    keep_staging_on_fail: bool = False,
+) -> BaseTable:
+    """Stage ``df``, audit it, and atomically swap it into
+    ``target_table``. Returns the target handle; raises
+    ``ChecksFailedError`` (live table untouched) when an audit fails.
+
+    ``table_checks``/``column_checks`` take the exact shapes
+    :func:`check_table` / :func:`check_column` take — e.g.
+    ``{"not_empty": {"check_statement": "COUNT(*) > 0"}}`` and
+    ``{"id": {"null_check": {"equal_to": 0}}}``.
+    """
+    from astro_sdk_spark.operators.data_validation import check_column, check_table
+
+    target = (
+        target_table if isinstance(target_table, BaseTable) else Table(name=target_table)
+    )
+    spark = spark or df.sparkSession
+    staged = Table(name=f"{target.name}__wap_staged", metadata=target.metadata)
+
+    df.write.mode("overwrite").format("parquet").saveAsTable(staged.qualified_name)
+    try:
+        if table_checks:
+            check_table(staged, table_checks, spark=spark)
+        if column_checks:
+            check_column(staged, column_checks, spark=spark)
+    except Exception:
+        if not keep_staging_on_fail:
+            spark.sql(
+                f"DROP TABLE IF EXISTS {quote_identifier(staged.qualified_name)}"
+            )
+        raise
+    swap_table(spark, staged.qualified_name, target.qualified_name)
+    return target

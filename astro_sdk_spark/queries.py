@@ -1551,8 +1551,49 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from astro_sdk_spark.functions.fuzzy import jaccard_join
 
     d = T(spark, sf_dir, "documents")
-    pairs = jaccard_join(d, threshold=0.7, shingle_k=3)
+    # pre_dedup collapses byte-identical texts before the prefix join and
+    # expands the result back — same exact answer, flood-proof plan
+    pairs = jaccard_join(d, threshold=0.7, shingle_k=3, pre_dedup=True)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+# --------------------------------------------------------------------------
+# stream-stream interval join (streaming/ops.py:stream_stream_join) run
+# in its batch mode: the SAME operator powers the watermarked live-stream
+# join (state bounded by watermark+interval — tests/test_streaming.py
+# proves stream≡batch), so gating the static result here puts the join
+# class itself under the hash gate. Values pass through untransformed,
+# so doubles and timestamps compare bit-identically.
+
+_STREAM_JOIN_ORACLE = """
+    WITH v AS (SELECT event_id, ts, user_id, value FROM events
+               WHERE event_type = 'view'),
+         c AS (SELECT event_id, ts, user_id, value FROM events
+               WHERE event_type = 'click')
+    SELECT v.user_id AS user_id, v.event_id AS event_id, v.ts AS ts,
+           v.value AS value, c.event_id AS event_id_r, c.ts AS ts_r,
+           c.value AS value_r
+    FROM v JOIN c ON v.user_id = c.user_id
+     AND v.ts >= c.ts - INTERVAL 15 MINUTE
+     AND v.ts <= c.ts + INTERVAL 15 MINUTE
+"""
+
+
+@q("q_stream_join", _STREAM_JOIN_ORACLE)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """views ⋈ clicks per user within ±15 minutes — the stream-stream
+    interval join evaluated on static frames (identical code path to the
+    watermarked streaming deployment)."""
+    from astro_sdk_spark.streaming.ops import stream_stream_join
+
+    ev = T(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return stream_stream_join(v, c, on="user_id", within="15 minutes")
 
 
 # --------------------------------------------------------------------------
@@ -3222,6 +3263,50 @@ def q_transform_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
         engine=eng,
     )
     return spark.table(out.qualified_name)
+
+
+# --------------------------------------------------------------------------
+# write-audit-publish (operators/publish.py): stage → check_table audit →
+# atomic swap → read back the LIVE table. Same oracle as the underlying
+# SELECT — what the gate adds is that the staged write, the audit pass,
+# and the metastore swap all preserve the result bit-for-bit.
+
+_PUBLISH_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS total_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@q("q_publish", _PUBLISH_ORACLE)
+def q_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """publish_table end-to-end: aggregate lineitem, stage it, audit it
+    (non-empty + no null keys), swap it live, read it back."""
+    from astro_sdk_spark.operators.publish import publish_table
+
+    _drop_table_and_location(spark, "q_publish_tgt")
+    _drop_table_and_location(spark, "q_publish_tgt__wap_staged")
+    li = T(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).cast(
+                "double"
+            )
+            / 100
+        ).alias("total_price"),
+    )
+    tgt = publish_table(
+        agg,
+        "q_publish_tgt",
+        table_checks={"not_empty": {"check_statement": "COUNT(*) > 0"}},
+        column_checks={"l_returnflag": {"null_check": {"equal_to": 0}}},
+        spark=spark,
+    )
+    return spark.table(tgt.qualified_name)
 
 
 # --------------------------------------------------------------------------
@@ -5149,6 +5234,11 @@ _TAIL_VARIANTS = [
                            # link analysis with an unrolled-SQL oracle
     "q_unpivot",           # grouping analytics: q_rollup, q_grouping_sets
                            # in-window (pivot's inverse reshape)
+    "q_stream_join",       # events: q_events_tumbling, q_events_sessions
+                           # in-window (stream-stream interval join class,
+                           # batch mode of the same operator)
+    "q_publish",           # ctas/operator layer: q_transform_ctas in-window
+                           # (write-audit-publish staged swap)
 ]
 
 

@@ -156,6 +156,13 @@ def stream_stream_join(
     # lineage (two filters of one source), where dataframe-qualified refs
     # (lf[on] == r[on]) trip Spark's ambiguous-self-join check — plain
     # disjoint column names never do
+    clashes = sorted(set(left.columns) & {c + right_suffix for c in right.columns})
+    if clashes:
+        raise ValueError(
+            f"left frame already has column(s) {clashes}, which the "
+            f"suffixed right side would duplicate — rename them or pass a "
+            f"different right_suffix"
+        )
     r = right
     for c in right.columns:
         r = r.withColumnRenamed(c, c + right_suffix)

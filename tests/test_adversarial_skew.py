@@ -48,3 +48,16 @@ def test_dedup_corpus_keeps_one_of_identical_flood(spark, skewed_corpus):
     assert 9001 in kept and 9002 not in kept  # min-id wins the near-dup pair
     assert 9003 in kept
     assert len(kept) == 3
+
+
+def test_jaccard_join_pre_dedup_absorbs_identical_flood(spark, skewed_corpus):
+    """pre_dedup + expand=False runs the exact prefix join over the 3
+    distinct texts instead of 5003 docs: the flood never reaches the
+    candidate join. Representative-level output = the one genuine
+    near-dup pair (the 5000-copy text has no τ≥0.5 neighbor)."""
+    from astro_sdk_spark.functions.fuzzy import jaccard_join
+
+    pairs = jaccard_join(
+        skewed_corpus, threshold=0.5, pre_dedup=True, expand=False
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(9001, 9002)}

@@ -189,3 +189,54 @@ def test_jaccard_join_threshold_validation(spark):
         jaccard_join(df, threshold=0.0)
     with _pytest.raises(ValueError):
         jaccard_join(df, threshold=1.5)
+
+
+def test_jaccard_join_pre_dedup_equals_brute_force(spark):
+    # dup-heavy corpus: groups of identical texts + near-dup neighbors;
+    # pre_dedup + expand must reproduce the brute-force answer verbatim
+    from astro_sdk_spark.functions.fuzzy import jaccard_join
+
+    rows = (
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)]
+        + [(i, "the quick brown fox jumps over the lazy cat") for i in range(10, 13)]
+        + [(20, "entirely unrelated content in this document"),
+           (21, "pack my box with five dozen liquor jugs")]
+    )
+    df = _docs(spark, rows)
+    for tau in (0.5, 0.8):
+        want = _brute_jaccard(spark, df, tau, 3)
+        got = {
+            (r.id_a, r.id_b): round(r.jaccard, 6)
+            for r in jaccard_join(df, threshold=tau, pre_dedup=True).collect()
+        }
+        assert got == want, f"tau={tau}"
+
+
+def test_jaccard_join_pre_dedup_rep_level(spark):
+    # expand=False stays at representative (min-id-per-text) level
+    from astro_sdk_spark.functions.fuzzy import jaccard_join
+
+    rows = [
+        (3, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),
+    ]
+    df = _docs(spark, rows)
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 4)
+        for r in jaccard_join(
+            df, threshold=0.4, pre_dedup=True, expand=False
+        ).collect()
+    }
+    # reps are 1 (for the dup pair 1,3) and 2; only the cross pair shows
+    assert got == {(1, 2): 0.5}
+
+
+def test_jaccard_join_pre_dedup_rejects_two_sided(spark):
+    from astro_sdk_spark.functions.fuzzy import jaccard_join
+
+    df = _docs(spark, [(1, "a b c")])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        jaccard_join(df, df, pre_dedup=True)

@@ -203,3 +203,14 @@ def test_stream_stream_left_outer_keeps_unmatched(spark, events_df):
     # every view appears; unmatched ones exactly once with null right side
     assert louter.select("event_id").distinct().count() == total_views
     assert louter.filter(F.col("event_id_r").isNull()).count() == total_views - matched_views
+
+
+def test_stream_stream_join_suffix_collision_guard(spark, events_df):
+    from astro_sdk_spark.streaming.ops import stream_stream_join
+
+    v = events_df.filter(F.col("event_type") == "view").withColumn(
+        "ts_r", F.col("ts")
+    )
+    c = events_df.filter(F.col("event_type") == "click")
+    with pytest.raises(ValueError, match="right_suffix"):
+        stream_stream_join(v, c)

@@ -43,7 +43,7 @@ FAMILIES: dict[str, list[str]] = {
     "events-streaming": [
         "q_events_tumbling", "q_events_sessions", "q_events_sliding",
         "q_events_rollup", "q_events_gapfill", "q_funnel", "q_retention",
-        "q_rolling", "q_anomaly", "q_sessionize",
+        "q_rolling", "q_anomaly", "q_sessionize", "q_stream_join",
     ],
     "merge-append": [
         "q_merge_update", "q_merge_ignore", "q_append_map", "q_scd2_merge",
@@ -51,7 +51,7 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "ctas-operator": [
         "q_transform_ctas", "q_compact_roundtrip", "q_incremental_fresh",
-        "q_zorder",
+        "q_zorder", "q_publish",
     ],
     "data-quality": [
         "q_check_column", "q_check_table", "q_profile_table", "q_outliers",
