@@ -43,7 +43,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["connected_components", "pagerank"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components of an undirected edge table →
+    ``(node, component)`` with the component labeled by its minimum node.
+
+    The general-graph entry point for the engine's large-star/small-star
+    contraction (Kiveris et al., SOCC'14) — the same O(log n)-round
+    machinery :func:`dedup.near_dup_clusters` runs over near-dup pairs,
+    exposed under graph vocabulary so non-dedup callers (entity
+    resolution, partition discovery, reachability pruning) don't reach
+    into the dedup module. Edge direction is ignored; singleton nodes
+    (absent from ``edges``) are absent from the output, as in
+    ``near_dup_clusters``."""
+    from astro_sdk_spark.functions.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        edges,
+        id_a=src_col,
+        id_b=dst_col,
+        out_id="node",
+        out_cluster="component",
+        max_iter=max_iter,
+        stats=stats,
+    )
 
 
 def pagerank(

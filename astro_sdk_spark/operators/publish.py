@@ -73,4 +73,11 @@ def publish_table(
             )
         raise
     swap_table(spark, staged.qualified_name, target.qualified_name)
+    from astro_sdk_spark.lineage import emit
+
+    emit(
+        "publish_table",
+        inputs=[staged.qualified_name],
+        outputs=[target.qualified_name],
+    )
     return target

@@ -53,7 +53,16 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     what DuckDB sees) plus raw epoch-nanos ``ts_ns`` for exact arithmetic.
     Session tz pinned to UTC so LTZ→NTZ conversion is wall-clock-stable
     regardless of host tz.
+
+    Every registry query reads its tables through here, so this is also
+    where the harness-agnostic worker-import guarantee lives: the
+    driver's session may have been created before this package was on
+    any path (foreign cwd), and the Arrow-UDF queries need workers to
+    import it — ship the package via addPyFile once per context.
     """
+    from astro_sdk_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -5111,6 +5120,57 @@ def q_cms_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# mergeable quantile sketch (functions/quantiles.py): build per-half
+# equi-width fixed-point histograms, merge bucket-wise, evaluate
+# p50/p90/p99 — ALL integer arithmetic (cents div width), so the merged
+# estimates hash-match the oracle's replication exactly. The q_cms_merged
+# pattern applied to the quantile member of the sketch family.
+
+_QSKETCH_ORACLE = """
+    WITH halves AS (
+      SELECT l_orderkey % 2 AS half,
+             CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS bucket,
+             count(*) AS n
+      FROM lineitem GROUP BY 1, 2),
+    merged AS (SELECT bucket, sum(n) AS n FROM halves GROUP BY bucket),
+    cum AS (
+      SELECT bucket, sum(n) OVER (ORDER BY bucket) AS c,
+             (SELECT sum(n) FROM merged) AS total
+      FROM merged)
+    SELECT CAST(q AS DOUBLE) AS q,
+           CAST(min_by(bucket, bucket) * 100 AS DOUBLE) / 100 AS value
+    FROM cum CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+    -- IEEE-double multiply in BOTH engines (Spark multiplies doubles):
+    -- a DECIMAL q here could ceil differently at exact-integer ranks
+    WHERE c >= ceil(CAST(q AS DOUBLE) * total)
+    GROUP BY q
+"""
+
+
+@q("q_quantile_sketch", _QSKETCH_ORACLE)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantile_sketch build→merge→query over l_extendedprice split by
+    order parity: $1 buckets on exact cents, p50/p90/p99 of the merged
+    sketch equal the whole-table build's — mergeability and the integer
+    bucket walk both under the hash gate."""
+    from astro_sdk_spark.functions.quantiles import (
+        quantile_sketch_build,
+        quantile_sketch_merge,
+        quantile_sketch_query,
+    )
+
+    li = T(spark, sf_dir, "lineitem")
+    even = quantile_sketch_build(
+        li.filter(F.col("l_orderkey") % 2 == 0), "l_extendedprice", width=100
+    )
+    odd = quantile_sketch_build(
+        li.filter(F.col("l_orderkey") % 2 == 1), "l_extendedprice", width=100
+    )
+    merged = quantile_sketch_merge(even, odd)
+    return quantile_sketch_query(merged, [0.5, 0.9, 0.99], width=100)
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -5239,6 +5299,9 @@ _TAIL_VARIANTS = [
                            # batch mode of the same operator)
     "q_publish",           # ctas/operator layer: q_transform_ctas in-window
                            # (write-audit-publish staged swap)
+    "q_quantile_sketch",   # aggregation/sketches: q_pricing_summary,
+                           # q_percentiles in-window (mergeable quantile
+                           # member of the HLL/Bloom/CMS family)
 ]
 
 

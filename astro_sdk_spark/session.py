@@ -25,6 +25,42 @@ from pyspark.sql import SparkSession
 _ENV_CPUS = "SPARK_GRAFT_CPUS"
 
 
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make ``astro_sdk_spark`` importable by Python WORKERS of an
+    already-running session.
+
+    Workers deserialize pickled UDFs with cloudpickle, which re-imports
+    this package — but they inherit PYTHONPATH from the JVM's spawn-time
+    environment, so a session created BEFORE this package was on the
+    path (an external harness, a notebook with its own session) fails
+    every Arrow-UDF query with a worker-side ModuleNotFoundError even
+    though the driver imports fine. ``SparkContext.addPyFile`` is the
+    post-hoc (and real-cluster) fix: ship the package source as a zip;
+    workers put it on sys.path for every subsequent task. Idempotent and
+    one-time per context (guarded by a context attribute); ~100 ms to
+    zip the package once per process."""
+    sc = spark.sparkContext
+    if getattr(sc, "_astro_sdk_pyfiles_added", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"astro_sdk_spark_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc._astro_sdk_pyfiles_added = True
+
+
 def get_session(
     app_name: str = "astro_sdk_spark",
     master: str | None = None,
@@ -32,6 +68,18 @@ def get_session(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Create (or get) the SparkSession with scale-oriented defaults."""
+    # Python workers deserialize pickled UDFs by IMPORTING this package —
+    # they inherit PYTHONPATH from the JVM's environment, not the driver's
+    # sys.path mutations. A driver launched outside the repo (bench.py
+    # from another cwd, a notebook) would otherwise fail every Arrow-UDF
+    # query with a worker-side ModuleNotFoundError. Must run before the
+    # JVM starts, hence here and not per-query.
+    _pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _pkg_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_pkg_root}{os.pathsep}{_pp}" if _pp else _pkg_root
+        )
     cpus = os.environ.get(_ENV_CPUS)
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"

@@ -178,3 +178,29 @@ def test_http_staging_is_cached(tmp_path, monkeypatch):
     p2 = f.staged_path()
     assert p1 == p2
     assert len(calls) == 1
+
+
+def test_get_session_exports_repo_root_to_worker_pythonpath(spark):
+    """Arrow-UDF queries pickle functions that the Python WORKERS must
+    re-import; workers read PYTHONPATH from the environment, not the
+    driver's sys.path. get_session must therefore export the package
+    root — the bug showed as worker-side ModuleNotFoundError on every
+    PQ/avro query when bench.py ran from a foreign cwd."""
+    import os
+
+    import astro_sdk_spark
+    from astro_sdk_spark import get_session
+
+    get_session()  # idempotent: returns the active session, sets the env
+    root = os.path.dirname(
+        os.path.dirname(os.path.abspath(astro_sdk_spark.__file__))
+    )
+    assert root in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+
+
+def test_ensure_worker_imports_idempotent(spark):
+    from astro_sdk_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    ensure_worker_imports(spark)  # second call must be a no-op
+    assert getattr(spark.sparkContext, "_astro_sdk_pyfiles_added", False)

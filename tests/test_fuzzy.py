@@ -240,3 +240,31 @@ def test_jaccard_join_pre_dedup_rejects_two_sided(spark):
 
     with _pytest.raises(ValueError):
         jaccard_join(df, df, pre_dedup=True)
+
+
+def test_jaccard_join_randomized_equals_brute_force(spark):
+    """Randomized (seeded) corpora: prefix-filtered result must equal the
+    brute-force cross join on every draw — vocabulary overlap tuned so
+    thresholds produce a mix of hits and misses."""
+    import random
+
+    from astro_sdk_spark.functions.fuzzy import jaccard_join
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(5):
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+            for i in range(25)
+        ]
+        df = _docs(spark, rows)
+        tau = rng.choice([0.3, 0.5, 0.7, 0.9])
+        want = _brute_jaccard(spark, df, tau, 3)
+        for pd_flag in (False, True):
+            got = {
+                (r.id_a, r.id_b): round(r.jaccard, 6)
+                for r in jaccard_join(
+                    df, threshold=tau, pre_dedup=pd_flag
+                ).collect()
+            }
+            assert got == want, f"trial={trial} tau={tau} pre_dedup={pd_flag}"

@@ -99,3 +99,18 @@ def test_checkpoint_blocks_released(spark):
     # at most the final round's checkpoint survives (consumed by the
     # returned plan); earlier rounds and the edge checkpoint are gone
     assert len(leaked) <= 1
+
+
+def test_connected_components_generic_api(spark):
+    from astro_sdk_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("z", "z")], ["src", "dst"]
+    )
+    stats = {}
+    out = {
+        r.node: r.component
+        for r in connected_components(edges, stats=stats).collect()
+    }
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    assert stats["rounds"] >= 1

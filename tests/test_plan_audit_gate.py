@@ -61,6 +61,9 @@ NESTED_LOOP_WHITELIST = {
                              # normalizer device)
     "q_winsorize": 1,        # one-row fence-bounds broadcast (the
                              # q_outliers device, clip variant)
+    "q_quantile_sketch": 3,  # one-row sketch-total broadcast per quantile
+                             # pick (p50/p90/p99 — the tf_idf normalizer
+                             # device over ≤range/width sketch cells)
 }
 
 # query → max allowed Python/Arrow boundary nodes (MapInPandas etc.).

@@ -68,3 +68,14 @@ def test_publish_first_time_creates_target(spark):
     publish_table(spark.range(4), "wap_new")
     assert spark.table("wap_new").count() == 4
     _drop(spark, "wap_new")
+
+
+def test_publish_emits_lineage(spark):
+    from astro_sdk_spark.lineage import LINEAGE
+
+    _drop(spark, "wap_lin")
+    LINEAGE.clear()
+    publish_table(spark.range(2), "wap_lin")
+    evs = [e for e in LINEAGE.events() if e.op == "publish_table"]
+    assert evs and evs[-1].outputs == ["wap_lin"]
+    _drop(spark, "wap_lin")

@@ -29,7 +29,7 @@ FAMILIES: dict[str, list[str]] = {
     "asof-join": ["q_asof_join"],
     "aggregation": [
         "q_pricing_summary", "q_group_having", "q_distinct_counts",
-        "q_cms_counts", "q_cms_merged",
+        "q_cms_counts", "q_cms_merged", "q_quantile_sketch",
     ],
     "grouping-analytics": [
         "q_rollup", "q_cube", "q_grouping_sets", "q_pivot", "q_unpivot",
