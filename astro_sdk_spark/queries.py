@@ -4955,6 +4955,165 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q18 (large-volume customer): orders whose total quantity exceeds
+# the threshold, joined back to customer, top-100 by order value.
+# Quantities are integral — summed as BIGINT, so the HAVING cut is
+# exact; o_totalprice passes through unchanged (rank on raw double +
+# unique-key tiebreak is engine-identical).
+
+_TPCH_Q18_ORACLE = """
+    WITH big AS (
+      SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 200)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+"""
+
+
+@q("q_tpch_q18", _TPCH_Q18_ORACLE)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: one partial-aggregated quantity rollup (map-side
+    combine on the natural lineitem grouping), the small HAVING
+    survivors drive the order/customer joins, top-100 via distributed
+    TakeOrdered."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 (promotion effect): % of September-1995 revenue from PROMO
+# parts. Both the numerator and denominator are the exact two-factor
+# BIGINT revenue (1e-4-dollar units), so the final ratio is one
+# double division over identical integers in both engines.
+
+_TPCH_Q14_ORACLE = """
+    WITH r AS (
+      SELECT CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE CAST(l.l_shipdate AS DATE) >= DATE '1995-09-01'
+        AND CAST(l.l_shipdate AS DATE) < DATE '1995-10-01')
+    SELECT round(100.0 * sum(CASE WHEN is_promo = 1 THEN rev ELSE 0 END)
+                 / sum(rev), 4) AS promo_revenue_pct
+    FROM r
+"""
+
+
+@q("q_tpch_q14", _TPCH_Q14_ORACLE)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: month-sliced lineitem joins the part dim (broadcast);
+    conditional aggregation produces one row — the promo revenue share
+    on exact integer revenue units."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    sliced = li.filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1995-09-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1995-10-01").cast("date"))
+    )
+    joined = sliced.join(
+        F.broadcast(p.select("p_partkey", "p_type")),
+        sliced.l_partkey == F.col("p_partkey"),
+    )
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 (global sales opportunity), adapted to this schema: the
+# reference keys "country" off phone prefixes, which the slimmed
+# customer table lacks — c_nationkey plays that role. Eligibility
+# (balance above the positive-balance average) is decided ENTIRELY in
+# integers: cents(bal)·N > Σcents(bal) avoids the float average whose
+# summation order differs between engines.
+
+_TPCH_Q22_ORACLE = """
+    WITH pos AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer WHERE c_acctbal > 0),
+    stats AS (SELECT sum(bal_c) AS s, count(*) AS n FROM pos),
+    eligible AS (
+      SELECT p.c_custkey, p.c_nationkey, p.bal_c
+      FROM pos p CROSS JOIN stats WHERE p.bal_c * stats.n > stats.s),
+    noorder AS (
+      SELECT e.* FROM eligible e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = e.c_custkey
+          AND CAST(o.o_orderdate AS DATE) >= DATE '1998-01-01'))
+    SELECT c_nationkey, count(*) AS numcust,
+           CAST(sum(bal_c) AS DOUBLE) / 100 AS totacctbal
+    FROM noorder GROUP BY c_nationkey
+"""
+
+
+@q("q_tpch_q22", _TPCH_Q22_ORACLE)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted): above-average-balance customers with no
+    RECENT orders (none since 1998-01-01 — the synthetic orders table
+    covers every customer, so the raw no-orders-ever cut is vacuous;
+    the lapsed-customer window keeps the anti-join meaningful), per
+    nation. One-row stats broadcast, integer eligibility cut,
+    left-anti against the date-sliced orders, exact money sums."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0).select(
+        "c_custkey", "c_nationkey", _cents("c_acctbal").alias("bal_c")
+    )
+    stats = pos.agg(F.sum("bal_c").alias("_s"), F.count(F.lit(1)).alias("_n"))
+    eligible = pos.crossJoin(F.broadcast(stats)).filter(
+        F.col("bal_c") * F.col("_n") > F.col("_s")
+    )
+    recent = o.filter(
+        F.col("o_orderdate").cast("date") >= F.lit("1998-01-01").cast("date")
+    )
+    noorder = eligible.join(
+        recent.select("o_custkey"),
+        eligible.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return noorder.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        (F.sum("bal_c").cast("double") / 100).alias("totacctbal"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Null imputation (functions/impute.py) — every %7 event's value is
 # nulled out, then repaired with its event type's exact fixed-point
 # mean; the flag column marks repaired rows. One partial-agg per type +
@@ -5171,6 +5330,46 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# grouped quantile sketch: per-key sketches + per-key quantile walks
+# (the "p95 per service" monitoring shape). Same all-integer bucket
+# arithmetic as q_quantile_sketch, partitioned windows instead of the
+# single-cell walk.
+
+_GROUP_QSKETCH_ORACLE = """
+    WITH sk AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) // 1000 AS bucket,
+             count(*) AS n
+      FROM lineitem GROUP BY 1, 2),
+    cum AS (
+      SELECT l_returnflag, bucket,
+             sum(n) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS c,
+             sum(n) OVER (PARTITION BY l_returnflag) AS total
+      FROM sk)
+    SELECT l_returnflag, CAST(q AS DOUBLE) AS q,
+           CAST(min(bucket) * 1000 AS DOUBLE) / 100 AS value
+    FROM cum CROSS JOIN (SELECT unnest([0.5, 0.95]) AS q)
+    WHERE c >= ceil(CAST(q AS DOUBLE) * total)
+    GROUP BY l_returnflag, q
+"""
+
+
+@q("q_group_quantiles", _GROUP_QSKETCH_ORACLE)
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag p50/p95 of l_extendedprice via grouped
+    quantile_sketch ($10 buckets on exact cents) — per-key partitioned
+    cumsum walks, hash-exact vs the oracle's replication."""
+    from astro_sdk_spark.functions.quantiles import (
+        quantile_sketch_build,
+        quantile_sketch_query,
+    )
+
+    li = T(spark, sf_dir, "lineitem")
+    sk = quantile_sketch_build(li, "l_extendedprice", width=1000, by=["l_returnflag"])
+    return quantile_sketch_query(sk, [0.5, 0.95], width=1000, by=["l_returnflag"])
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -5302,6 +5501,14 @@ _TAIL_VARIANTS = [
     "q_quantile_sketch",   # aggregation/sketches: q_pricing_summary,
                            # q_percentiles in-window (mergeable quantile
                            # member of the HLL/Bloom/CMS family)
+    "q_group_quantiles",   # aggregation/sketches: same family (grouped
+                           # per-key variant of q_quantile_sketch)
+    "q_tpch_q18",          # joins: q_join_agg, q_region_revenue in-window
+                           # (large-volume-customer HAVING shape)
+    "q_tpch_q14",          # joins: same family (promo-share conditional
+                           # aggregation over a dim join)
+    "q_tpch_q22",          # joins: same family (anti-join + global-average
+                           # eligibility, integer-exact)
 ]
 
 

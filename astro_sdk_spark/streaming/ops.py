@@ -568,3 +568,91 @@ def stream_sketch_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_quantile_ingest(
+    stream: DataFrame,
+    value_col: str,
+    sketch_table: str,
+    checkpoint_dir: str,
+    width: int = 100,
+    value_scale: int = 2,
+    trigger_once: bool = True,
+):
+    """Maintain a mergeable quantile sketch over an unbounded stream:
+    each micro-batch is bucketed (functions/quantiles.py) and bucket-wise
+    MERGED into ``sketch_table`` — whole-history quantiles in
+    ``range/width`` rows of state, however many events flow through.
+    Query any time with
+    ``quantile_sketch_query(spark.table(t).select('bucket', 'n'), ...)``.
+
+    Same durability contract as :func:`stream_sketch_ingest` (the CMS
+    face of the family): replay idempotence via the stored
+    ``(_run_id, _batch_id)`` watermark, atomic go-live through the
+    staged swap, and parameter identity (``width``/``value_scale``
+    stored and asserted — merging sketches of different bucket
+    geometries would sum incompatible grids).
+    """
+    import hashlib
+
+    from astro_sdk_spark.functions.quantiles import (
+        quantile_sketch_build,
+        quantile_sketch_merge,
+    )
+
+    spark = stream.sparkSession
+    run_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:16]
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        exists = spark.catalog.tableExists(sketch_table)
+        if exists:
+            meta = (
+                spark.table(sketch_table)
+                .select("_run_id", "_batch_id", "_width", "_scale")
+                .limit(1)
+                .collect()[0]
+            )
+            if (meta._width, meta._scale) != (width, value_scale):
+                raise ValueError(
+                    f"{sketch_table} was built with width={meta._width}, "
+                    f"value_scale={meta._scale}; merging width={width}, "
+                    f"value_scale={value_scale} would sum incompatible "
+                    f"bucket grids"
+                )
+            if meta._run_id == run_id and batch_id <= meta._batch_id:
+                return  # replayed batch of THIS run — already merged
+        batch_sketch = quantile_sketch_build(
+            batch_df, value_col, width=width, value_scale=value_scale
+        )
+        if exists:
+            merged = quantile_sketch_merge(
+                spark.table(sketch_table).select("bucket", "n"), batch_sketch
+            )
+        else:
+            merged = batch_sketch
+        # materialize BEFORE writing: the merge plan reads the table the
+        # swap is about to replace
+        rows = [(r.bucket, r.n) for r in merged.collect()]
+        out = (
+            spark.createDataFrame(rows, "bucket bigint, n bigint")
+            .withColumn("_run_id", F.lit(run_id))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .withColumn("_width", F.lit(width))
+            .withColumn("_scale", F.lit(value_scale))
+        )
+        if exists:
+            from astro_sdk_spark.operators.swap import swap_table
+
+            staging = f"{sketch_table}__sketch_staging"
+            spark.sql(f"DROP TABLE IF EXISTS {staging}")
+            out.write.format("parquet").saveAsTable(staging)
+            swap_table(spark, staging, sketch_table)
+        else:
+            out.write.format("parquet").saveAsTable(sketch_table)
+
+    writer = stream.writeStream.option(
+        "checkpointLocation", checkpoint_dir
+    ).foreachBatch(merge_batch)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -56,3 +56,48 @@ def test_pipeline_packs_respect_budget(curated):
         .count()
     )
     assert over == 0
+
+
+# ---------------------------------------------------------------------------
+# examples/analytics_publish.py — the ELT publication chain
+
+
+@pytest.fixture(scope="module")
+def published(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "analytics_publish",
+        os.path.join(
+            os.path.dirname(__file__), "..", "examples", "analytics_publish.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.nightly_report(spark, "/root/testdata/sf0.001")
+
+
+def test_publish_example_live_table_matches_direct_aggregate(spark, published):
+    c = published["counts"]
+    assert c["orders"] > 0 and c["lineitem"] > 0 and c["report_rows"] > 0
+    # the published table equals the aggregate computed directly
+    from pyspark.sql import functions as F
+
+    li = spark.table("rpt_lineitem")
+    o = spark.table("rpt_orders")
+    want = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count_distinct("o_orderkey").alias("n_orders"))
+    )
+    got = spark.table("rpt_revenue").select("priority", "n_orders")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_publish_example_monitor_covers_every_flag(spark, published):
+    mon = {(r.l_returnflag, r.q) for r in published["monitor"].collect()}
+    flags = {
+        r.l_returnflag
+        for r in spark.table("rpt_lineitem").select("l_returnflag").distinct().collect()
+    }
+    assert mon == {(f, q) for f in flags for q in (0.5, 0.95)}

@@ -427,3 +427,77 @@ def test_stream_sketch_parameter_identity_and_fresh_run(spark, tmp_path):
         assert total2 == 2 * total1
     finally:
         spark.sql("DROP TABLE IF EXISTS cms_ident_t")
+
+
+def test_stream_quantile_ingest_matches_batch_sketch(spark, tmp_path):
+    """Per-batch quantile-sketch merges over the stream must equal
+    sketching the whole corpus at once, and the whole-history quantiles
+    must come out of the streamed table."""
+    from pyspark.sql import functions as F
+
+    from astro_sdk_spark.functions.quantiles import (
+        quantile_sketch_build,
+        quantile_sketch_query,
+    )
+    from astro_sdk_spark.streaming.ops import stream_quantile_ingest
+
+    rows = [(float(i % 500),) for i in range(4000)]
+    df = spark.createDataFrame(rows, "v double")
+    d = str(tmp_path / "qsketch_events")
+    df.repartition(4).write.parquet(d)
+
+    spark.sql("DROP TABLE IF EXISTS qsk_stream_t")
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = stream_quantile_ingest(
+        stream, "v", "qsk_stream_t", str(tmp_path / "qckpt"), width=100
+    )
+    q.awaitTermination(120)
+    try:
+        streamed = spark.table("qsk_stream_t").select("bucket", "n")
+        whole = quantile_sketch_build(df, "v", width=100)
+        assert sorted(map(tuple, streamed.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+        got = {
+            r.q: r.value
+            for r in quantile_sketch_query(streamed, [0.5, 0.95], width=100).collect()
+        }
+        # uniform 0..499 → p50 bucket lower bound ≈ 249, p95 ≈ 474
+        assert abs(got[0.5] - 249.0) <= 1.0
+        assert abs(got[0.95] - 474.0) <= 1.0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS qsk_stream_t")
+
+
+def test_stream_quantile_ingest_parameter_identity(spark, tmp_path):
+    from astro_sdk_spark.streaming.ops import stream_quantile_ingest
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    d = str(tmp_path / "qsketch_events2")
+    df.write.parquet(d)
+    spark.sql("DROP TABLE IF EXISTS qsk_ident_t")
+    try:
+        s1 = (
+            spark.readStream.schema("v double").option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        stream_quantile_ingest(
+            s1, "v", "qsk_ident_t", str(tmp_path / "ck1"), width=100
+        ).awaitTermination(60)
+        s2 = (
+            spark.readStream.schema("v double").option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        q2 = stream_quantile_ingest(
+            s2, "v", "qsk_ident_t", str(tmp_path / "ck2"), width=50
+        )
+        import pytest as _pytest
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        with _pytest.raises(StreamingQueryException, match="incompatible"):
+            q2.awaitTermination(60)
+            raise AssertionError("expected the width-mismatch merge to fail")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS qsk_ident_t")

@@ -23,13 +23,15 @@ FAMILIES: dict[str, list[str]] = {
     "set-ops": ["q_set_ops"],
     "joins": [
         "q_join_agg", "q_region_revenue", "q_semi_anti_join", "q_fuzzy_join",
-        "q_tpch_q3", "q_tpch_q10",
+        "q_tpch_q3", "q_tpch_q10", "q_tpch_q18", "q_tpch_q14",
+        "q_tpch_q22",
     ],
     "range-join": ["q_range_join"],
     "asof-join": ["q_asof_join"],
     "aggregation": [
         "q_pricing_summary", "q_group_having", "q_distinct_counts",
         "q_cms_counts", "q_cms_merged", "q_quantile_sketch",
+        "q_group_quantiles",
     ],
     "grouping-analytics": [
         "q_rollup", "q_cube", "q_grouping_sets", "q_pivot", "q_unpivot",
