@@ -1686,13 +1686,23 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer↔supplier trade graph; top-20 nodes, rank-desc with a node-id
     tiebreak. Hash-exact vs the SQL-unrolled iterations — BIGINT
     arithmetic end-to-end (see functions/graph.py)."""
+    from astro_sdk_spark.functions._cache import track
     from astro_sdk_spark.functions.graph import pagerank
 
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    half = o.join(li, o.o_orderkey == li.l_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    # dedup the directed half ONCE and persist it: the bidirecting union
+    # reads both branches from cache instead of running the
+    # orders⋈lineitem join twice (Spark does not share union subtrees —
+    # the LSH self-join lesson), and the pre-deduped pairs make
+    # pagerank's own dropDuplicates shuffle a pass-through
+    half = track(
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
     )
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
