@@ -85,6 +85,7 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 1_000_000,
     checkpoint_every: int = 4,
+    assume_deduped: bool = False,
 ) -> DataFrame:
     """Iterate fixed-point PageRank over ``edges``; returns
     ``(node, pr)`` with ``pr`` in integer ``1/scale`` units.
@@ -99,6 +100,12 @@ def pagerank(
     superseded blocks), while the rounds in between stay LAZY — a short
     run (iters < N) is one pipelined job instead of one forced
     materialization per round, which measured ~2× on the bench graph.
+
+    ``assume_deduped=True`` skips the internal edge dropDuplicates —
+    for callers whose edge table is distinct by construction (a
+    DISTINCT upstream, a keyed store). The invariant matters: duplicate
+    edges would multiply transferred mass. Don't pay the same shuffle
+    twice; don't skip it on a raw link log either.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -108,11 +115,11 @@ def pagerank(
 
     spark = edges.sparkSession
     _before = persistent_rdd_ids(spark)
-    raw = (
-        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
-        .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
-        .dropDuplicates(["_s", "_d"])
-    )
+    raw = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+    if not assume_deduped:
+        raw = raw.dropDuplicates(["_s", "_d"])
     deg = raw.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     # fold the STATIC out-degree into the edge table once — the naive
     # loop re-joins deg every round, paying an extra shuffle × iters

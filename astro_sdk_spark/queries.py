@@ -1707,7 +1707,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    pr = pagerank(edges, iters=_PAGERANK_ITERS)
+    # the union of a distinct pair set with its swap is distinct by
+    # construction (prefixes make the two directions disjoint)
+    pr = pagerank(edges, iters=_PAGERANK_ITERS, assume_deduped=True)
     return pr.orderBy(F.desc("pr"), F.asc("node")).limit(20)
 
 

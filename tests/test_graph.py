@@ -120,3 +120,12 @@ def test_connected_components_generic_api(spark):
     }
     assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
     assert stats["rounds"] >= 1
+
+
+def test_assume_deduped_matches_default_on_distinct_edges(spark):
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 5 + 2) % 17}") for i in range(40)], ["src", "dst"]
+    ).distinct()
+    a = {r.node: r.pr for r in pagerank(edges, iters=3).collect()}
+    b = {r.node: r.pr for r in pagerank(edges, iters=3, assume_deduped=True).collect()}
+    assert a == b
