@@ -60,6 +60,23 @@ def publish_table(
     spark = spark or df.sparkSession
     staged = Table(name=f"{target.name}__wap_staged", metadata=target.metadata)
 
+    # The staging name is OWNED by this operator, so scrubbing an
+    # orphaned warehouse directory under it is safe — a killed previous
+    # run (or another session's metastore) leaves the location behind
+    # with no catalog entry, and managed-table creation then fails with
+    # LOCATION_ALREADY_EXISTS regardless of save mode.
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    if not spark.catalog.tableExists(staged.qualified_name):
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        if wh.scheme in ("", "file"):
+            shutil.rmtree(
+                os.path.join(wh.path or wh.netloc, staged.name.lower()),
+                ignore_errors=True,
+            )
+
     df.write.mode("overwrite").format("parquet").saveAsTable(staged.qualified_name)
     try:
         if table_checks:
