@@ -110,3 +110,38 @@ def test_grouped_merge_equals_whole(spark):
     hi = quantile_sketch_build(df.filter(F.col("v") >= 100), "v", width=77, by=["k"])
     merged = quantile_sketch_merge(lo, hi, by=["k"])
     assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_randomized_merge_and_accuracy_invariants(spark):
+    """Seeded random draws: (1) merging K random disjoint splits always
+    equals the whole-corpus build; (2) every quantile estimate is within
+    one bucket width of the exact lower-interpolation quantile."""
+    import math
+    import random
+
+    rng = random.Random(618)
+    for trial in range(3):
+        n = rng.randint(200, 800)
+        xs = [round(rng.uniform(-50, 950), 2) for _ in range(n)]
+        width = rng.choice([37, 100, 250])
+        df = spark.createDataFrame([(x,) for x in xs], "v double")
+        whole = quantile_sketch_build(df, "v", width=width)
+        k = rng.randint(2, 4)
+        splits = df.randomSplit([1.0] * k, seed=rng.randint(0, 9999))
+        parts = [quantile_sketch_build(s, "v", width=width) for s in splits]
+        merged = quantile_sketch_merge(*parts)
+        assert sorted(map(tuple, whole.collect())) == sorted(
+            map(tuple, merged.collect())
+        ), f"trial={trial} width={width}"
+        qs = sorted({rng.choice([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) for _ in range(3)})
+        got = {
+            r.q: r.value
+            for r in quantile_sketch_query(merged, qs, width=width).collect()
+        }
+        ordered = sorted(xs)
+        for q in qs:
+            exact = ordered[math.ceil(q * n) - 1]
+            est = got[q]
+            assert est <= exact < est + width / 100.0, (
+                f"trial={trial} q={q} est={est} exact={exact} width={width}"
+            )
