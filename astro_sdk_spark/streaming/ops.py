@@ -494,73 +494,32 @@ def stream_sketch_ingest(
     or stream length, where exact streaming counts would hold one state
     row per key forever.
 
-    Durability contract:
-    - **Replay idempotence**: foreachBatch only guarantees a replayed
-      batch carries the same batch_id — the table stores the last
-      merged ``(_run_id, _batch_id)`` where the run id derives from the
-      checkpoint dir; a replay (same run, seen id) skips the merge
-      instead of double-counting. A FRESH checkpoint is a new run, so
-      its batch ids (restarting at 0) keep merging ONTO the accumulated
-      table rather than being swallowed as replays.
-    - **Atomic go-live**: the merged sketch stages into a side table and
-      swaps in via DROP+RENAME (operators/swap.py — the merge
-      machinery's device), so a crash mid-write leaves the previous
-      sketch intact instead of losing the accumulated history.
-    - **Parameter identity**: ``width``/``depth`` are stored with the
-      sketch and asserted on merge — merging into a table built with
-      different parameters would silently sum incompatible hash spaces.
+    Durability contract: the shared store helper
+    (:func:`astro_sdk_spark.streaming.store.merge_sketch_batch`) provides
+    replay idempotence via the stored ``(_run_id, _batch_id)`` watermark,
+    atomic go-live through the staged swap, parameter identity
+    (``width``/``depth`` stored and asserted — merging sketches of
+    different geometries would sum incompatible hash spaces), and the
+    explicit empty-batch policy (empty micro-batches and 0-row store
+    tables are no-ops, never poison).
     """
     import hashlib
 
     from astro_sdk_spark.functions.cms import cms_build, cms_merge
+    from astro_sdk_spark.streaming.store import merge_sketch_batch
 
     spark = stream.sparkSession
     run_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:16]
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        exists = spark.catalog.tableExists(sketch_table)
-        if exists:
-            meta = (
-                spark.table(sketch_table)
-                .select("_run_id", "_batch_id", "_width", "_depth")
-                .limit(1)
-                .collect()[0]
-            )
-            if (meta._width, meta._depth) != (width, depth):
-                raise ValueError(
-                    f"{sketch_table} was built with width={meta._width}, "
-                    f"depth={meta._depth}; merging width={width}, "
-                    f"depth={depth} would sum incompatible hash spaces"
-                )
-            if meta._run_id == run_id and batch_id <= meta._batch_id:
-                return  # replayed batch of THIS run — already merged
-        batch_sketch = cms_build(batch_df, key_col, width=width, depth=depth)
-        if exists:
-            merged = cms_merge(
-                spark.table(sketch_table).select("d", "cell", "n"),
-                batch_sketch,
-            )
-        else:
-            merged = batch_sketch
-        # materialize BEFORE writing: the merge plan reads the table the
-        # swap is about to replace
-        rows = [(r.d, r.cell, r.n) for r in merged.collect()]
-        out = (
-            spark.createDataFrame(rows, "d int, cell bigint, n bigint")
-            .withColumn("_run_id", F.lit(run_id))
-            .withColumn("_batch_id", F.lit(batch_id))
-            .withColumn("_width", F.lit(width))
-            .withColumn("_depth", F.lit(depth))
+        merge_sketch_batch(
+            spark, sketch_table, run_id, batch_id, batch_df,
+            params={"width": width, "depth": depth},
+            data_cols=["d", "cell", "n"],
+            build=lambda b: cms_build(b, key_col, width=width, depth=depth),
+            merge=cms_merge,
+            incompatible_what="incompatible hash spaces",
         )
-        if exists:
-            from astro_sdk_spark.operators.swap import swap_table
-
-            staging = f"{sketch_table}__sketch_staging"
-            spark.sql(f"DROP TABLE IF EXISTS {staging}")
-            out.write.format("parquet").saveAsTable(staging)
-            swap_table(spark, staging, sketch_table)
-        else:
-            out.write.format("parquet").saveAsTable(sketch_table)
 
     writer = stream.writeStream.option(
         "checkpointLocation", checkpoint_dir
@@ -578,6 +537,7 @@ def stream_quantile_ingest(
     width: int = 100,
     value_scale: int = 2,
     trigger_once: bool = True,
+    by: list[str] | None = None,
 ):
     """Maintain a mergeable quantile sketch over an unbounded stream:
     each micro-batch is bucketed (functions/quantiles.py) and bucket-wise
@@ -586,12 +546,18 @@ def stream_quantile_ingest(
     Query any time with
     ``quantile_sketch_query(spark.table(t).select('bucket', 'n'), ...)``.
 
-    Same durability contract as :func:`stream_sketch_ingest` (the CMS
-    face of the family): replay idempotence via the stored
-    ``(_run_id, _batch_id)`` watermark, atomic go-live through the
-    staged swap, and parameter identity (``width``/``value_scale``
-    stored and asserted — merging sketches of different bucket
-    geometries would sum incompatible grids).
+    ``by`` maintains one sketch PER GROUP (the "p99 latency per service"
+    shape): the store holds ``(*by, bucket, n)`` rows — at most
+    groups x range/width — and queries pass the same ``by`` to
+    ``quantile_sketch_query``.
+
+    Same durability contract as :func:`stream_sketch_ingest`, provided by
+    the shared store helper (:func:`astro_sdk_spark.streaming.store.
+    merge_sketch_batch`): replay idempotence via the stored
+    ``(_run_id, _batch_id)`` watermark, atomic go-live through the staged
+    swap, parameter identity (``width``/``value_scale`` stored and
+    asserted — merging sketches of different bucket geometries would sum
+    incompatible grids), and the explicit empty-batch policy.
     """
     import hashlib
 
@@ -599,56 +565,25 @@ def stream_quantile_ingest(
         quantile_sketch_build,
         quantile_sketch_merge,
     )
+    from astro_sdk_spark.streaming.store import merge_sketch_batch
 
     spark = stream.sparkSession
     run_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:16]
+    keys = list(by or [])
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        exists = spark.catalog.tableExists(sketch_table)
-        if exists:
-            meta = (
-                spark.table(sketch_table)
-                .select("_run_id", "_batch_id", "_width", "_scale")
-                .limit(1)
-                .collect()[0]
-            )
-            if (meta._width, meta._scale) != (width, value_scale):
-                raise ValueError(
-                    f"{sketch_table} was built with width={meta._width}, "
-                    f"value_scale={meta._scale}; merging width={width}, "
-                    f"value_scale={value_scale} would sum incompatible "
-                    f"bucket grids"
-                )
-            if meta._run_id == run_id and batch_id <= meta._batch_id:
-                return  # replayed batch of THIS run — already merged
-        batch_sketch = quantile_sketch_build(
-            batch_df, value_col, width=width, value_scale=value_scale
+        merge_sketch_batch(
+            spark, sketch_table, run_id, batch_id, batch_df,
+            params={"width": width, "scale": value_scale},
+            data_cols=[*keys, "bucket", "n"],
+            build=lambda b: quantile_sketch_build(
+                b, value_col, width=width, value_scale=value_scale, by=keys
+            ),
+            merge=lambda stored, fresh: quantile_sketch_merge(
+                stored, fresh, by=keys
+            ),
+            incompatible_what="incompatible bucket grids",
         )
-        if exists:
-            merged = quantile_sketch_merge(
-                spark.table(sketch_table).select("bucket", "n"), batch_sketch
-            )
-        else:
-            merged = batch_sketch
-        # materialize BEFORE writing: the merge plan reads the table the
-        # swap is about to replace
-        rows = [(r.bucket, r.n) for r in merged.collect()]
-        out = (
-            spark.createDataFrame(rows, "bucket bigint, n bigint")
-            .withColumn("_run_id", F.lit(run_id))
-            .withColumn("_batch_id", F.lit(batch_id))
-            .withColumn("_width", F.lit(width))
-            .withColumn("_scale", F.lit(value_scale))
-        )
-        if exists:
-            from astro_sdk_spark.operators.swap import swap_table
-
-            staging = f"{sketch_table}__sketch_staging"
-            spark.sql(f"DROP TABLE IF EXISTS {staging}")
-            out.write.format("parquet").saveAsTable(staging)
-            swap_table(spark, staging, sketch_table)
-        else:
-            out.write.format("parquet").saveAsTable(sketch_table)
 
     writer = stream.writeStream.option(
         "checkpointLocation", checkpoint_dir

@@ -1,0 +1,133 @@
+"""Shared side-table store for streaming sketch maintenance.
+
+The CMS ingest (:func:`astro_sdk_spark.streaming.ops.stream_sketch_ingest`)
+and the quantile ingest (:func:`~astro_sdk_spark.streaming.ops.
+stream_quantile_ingest`) maintain the same kind of state: a small mergeable
+sketch table that each ``foreachBatch`` invocation folds one micro-batch
+into. They used to hand-roll the identical
+stage -> swap -> replay-watermark -> parameter-identity dance per operator;
+this module is the single, tested implementation of that contract, so an
+edge-case fix (empty batches, 0-row tables) lands once instead of per-copy.
+
+The contract, explicitly:
+
+- **Replay idempotence**: ``foreachBatch`` only guarantees a replayed batch
+  carries the same ``batch_id``. The store keeps the last merged
+  ``(_run_id, _batch_id)`` on every row, where the run id derives from the
+  checkpoint dir; a replay (same run, already-seen id) skips the merge
+  instead of double-counting. A FRESH checkpoint is a new run, so its batch
+  ids (restarting at 0) keep merging ONTO the accumulated table rather than
+  being swallowed as replays.
+- **Parameter identity**: sketch parameters (CMS ``width``/``depth``,
+  quantile ``width``/``value_scale``) are stored with the sketch and
+  asserted on every merge — merging into a table built with different
+  parameters would silently sum incompatible hash spaces / bucket grids.
+- **Atomic go-live**: the merged sketch stages into a side table and swaps
+  in via :func:`~astro_sdk_spark.operators.swap.swap_table`, so a crash
+  mid-write leaves the previous sketch intact instead of losing the
+  accumulated history.
+- **Empty-batch policy** (the round-6/7 poisoning bug, fixed here once):
+  an EMPTY micro-batch is a complete no-op — the store table is not
+  created, not rewritten, and the replay watermark does not advance
+  (replaying an empty batch is also a no-op, so nothing double-counts).
+  Symmetrically, an existing 0-ROW store table (e.g. left behind by an
+  older version that wrote through an empty first batch, or by a crash
+  between create and fill) is treated as NON-EXISTENT: its metadata is
+  never read (no ``collect()[0]`` on nothing) and the next non-empty batch
+  rebuilds it from scratch via the staged swap.
+
+Scale note: the store is sketch-sized (CMS depth x width cells, quantile
+range/width buckets, or groups x buckets) — collecting it to the driver for
+the staged rewrite is bounded by the sketch geometry the caller chose,
+never by stream length or key cardinality.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+META_COLS = ("_run_id", "_batch_id")
+
+
+def read_store_meta(
+    spark: SparkSession, table: str, param_names: list[str]
+) -> Row | None:
+    """Return one metadata row of the store, or ``None`` when the table is
+    absent OR exists with zero rows. The 0-row case is the defensive read:
+    metadata lives on every data row, so an empty table has none — treating
+    it as non-existent (instead of indexing into an empty ``collect()``)
+    is what makes a poisoned/interrupted store self-healing."""
+    if not spark.catalog.tableExists(table):
+        return None
+    rows = (
+        spark.table(table)
+        .select(*META_COLS, *[f"_{p}" for p in param_names])
+        .limit(1)
+        .collect()
+    )
+    return rows[0] if rows else None
+
+
+def merge_sketch_batch(
+    spark: SparkSession,
+    sketch_table: str,
+    run_id: str,
+    batch_id: int,
+    batch_df: DataFrame,
+    params: Mapping[str, int],
+    data_cols: list[str],
+    build: Callable[[DataFrame], DataFrame],
+    merge: Callable[[DataFrame, DataFrame], DataFrame],
+    incompatible_what: str,
+) -> None:
+    """One ``foreachBatch`` body implementing the store contract above.
+
+    ``build(batch_df)`` sketches the micro-batch; ``merge(stored, fresh)``
+    combines the stored sketch (projected to ``data_cols``) with it.
+    ``params`` are the sketch-identity parameters, stored as ``_<name>``
+    columns and asserted on merge; ``incompatible_what`` finishes the
+    mismatch message ("incompatible hash spaces" / "incompatible bucket
+    grids")."""
+    meta = read_store_meta(spark, sketch_table, list(params))
+    if meta is not None:
+        stored = tuple(meta[f"_{p}"] for p in params)
+        if stored != tuple(params.values()):
+            was = ", ".join(f"{p}={meta[f'_{p}']}" for p in params)
+            now = ", ".join(f"{p}={v}" for p, v in params.items())
+            raise ValueError(
+                f"{sketch_table} was built with {was}; merging {now} "
+                f"would sum {incompatible_what}"
+            )
+        if meta["_run_id"] == run_id and batch_id <= meta["_batch_id"]:
+            return  # replayed batch of THIS run — already merged
+    if not batch_df.take(1):
+        return  # empty micro-batch — no-op, watermark does not advance
+    batch_sketch = build(batch_df).select(*data_cols)
+    if meta is not None:
+        merged = merge(spark.table(sketch_table).select(*data_cols), batch_sketch)
+    else:
+        merged = batch_sketch
+    # materialize BEFORE writing: the merge plan reads the table the swap
+    # is about to replace
+    merged = merged.select(*data_cols)
+    rows = merged.collect()
+    if not rows:
+        return  # batch sketched to nothing (e.g. all-null values) — no-op
+    out = spark.createDataFrame(rows, merged.schema)
+    out = out.withColumn("_run_id", F.lit(run_id)).withColumn(
+        "_batch_id", F.lit(batch_id)
+    )
+    for p, v in params.items():
+        out = out.withColumn(f"_{p}", F.lit(v))
+    if spark.catalog.tableExists(sketch_table):
+        from astro_sdk_spark.operators.swap import swap_table
+
+        staging = f"{sketch_table}__sketch_staging"
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        out.write.format("parquet").saveAsTable(staging)
+        swap_table(spark, staging, sketch_table)
+    else:
+        out.write.format("parquet").saveAsTable(sketch_table)

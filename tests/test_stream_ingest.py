@@ -501,3 +501,214 @@ def test_stream_quantile_ingest_parameter_identity(spark, tmp_path):
             raise AssertionError("expected the width-mismatch merge to fail")
     finally:
         spark.sql("DROP TABLE IF EXISTS qsk_ident_t")
+
+
+# ---------------------------------------------------------------------------
+# Empty-batch policy regression tests (round-8: the shared store contract in
+# astro_sdk_spark/streaming/store.py). Coalesce-free on purpose — the round-6/7
+# failure mode was an EMPTY first parquet split becoming micro-batch 0, writing
+# a 0-row store table whose next-batch meta read died with IndexError.
+# ---------------------------------------------------------------------------
+
+
+def _staged_files(spark, tmp_path, name, frames):
+    """Write each frame as ONE parquet file with strictly increasing mtimes,
+    so FileStreamSource + maxFilesPerTrigger=1 turns them into micro-batches
+    in exactly this order (frame 0 = batch 0, ...)."""
+    import os
+
+    d = str(tmp_path / name)
+    for i, f in enumerate(frames):
+        f.coalesce(1).write.mode("append").parquet(d)
+    parts = sorted(
+        (p for p in os.listdir(d) if p.endswith(".parquet")),
+        key=lambda p: os.path.getmtime(os.path.join(d, p)),
+    )
+    base = os.path.getmtime(os.path.join(d, parts[-1]))
+    for i, p in enumerate(parts):
+        os.utime(os.path.join(d, p), (base + i, base + i))
+    return d
+
+
+def test_stream_quantile_ingest_empty_first_batch(spark, tmp_path):
+    """Micro-batch 0 is EMPTY: the store must not be created (no 0-row
+    poisoning), and the following non-empty batches must build it to the
+    exact whole-data sketch."""
+    from astro_sdk_spark.functions.quantiles import quantile_sketch_build
+    from astro_sdk_spark.streaming.ops import stream_quantile_ingest
+
+    data = spark.createDataFrame([(float(i),) for i in range(200)], "v double")
+    empty = spark.createDataFrame([], "v double")
+    d = _staged_files(spark, tmp_path, "q_empty_first", [empty, data])
+    spark.sql("DROP TABLE IF EXISTS qsk_ef_t")
+    try:
+        q = stream_quantile_ingest(
+            spark.readStream.schema("v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d),
+            "v", "qsk_ef_t", str(tmp_path / "ck_ef"), width=100,
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        got = sorted(
+            map(tuple, spark.table("qsk_ef_t").select("bucket", "n").collect())
+        )
+        want = sorted(
+            map(tuple, quantile_sketch_build(data, "v", width=100).collect())
+        )
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS qsk_ef_t")
+
+
+def test_stream_quantile_ingest_empty_mid_run(spark, tmp_path):
+    """An empty batch BETWEEN non-empty ones is a no-op: the accumulated
+    sketch survives it and later batches keep merging."""
+    from astro_sdk_spark.functions.quantiles import quantile_sketch_build
+    from astro_sdk_spark.streaming.ops import stream_quantile_ingest
+
+    lo = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    hi = spark.createDataFrame([(float(i),) for i in range(100, 200)], "v double")
+    empty = spark.createDataFrame([], "v double")
+    d = _staged_files(spark, tmp_path, "q_empty_mid", [lo, empty, hi])
+    spark.sql("DROP TABLE IF EXISTS qsk_em_t")
+    try:
+        q = stream_quantile_ingest(
+            spark.readStream.schema("v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d),
+            "v", "qsk_em_t", str(tmp_path / "ck_em"), width=100,
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        got = sorted(
+            map(tuple, spark.table("qsk_em_t").select("bucket", "n").collect())
+        )
+        want = sorted(
+            map(tuple, quantile_sketch_build(lo.union(hi), "v", width=100).collect())
+        )
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS qsk_em_t")
+
+
+def test_stream_sketch_ingest_empty_first_and_mid(spark, tmp_path):
+    """The CMS twin under the same schedule: empty batch 0, data, empty,
+    data — final sketch equals sketching everything at once."""
+    from astro_sdk_spark.functions.cms import cms_build
+    from astro_sdk_spark.streaming.ops import stream_sketch_ingest
+
+    a = spark.createDataFrame([(f"k{i % 7}",) for i in range(300)], "key string")
+    b = spark.createDataFrame([("hot",)] * 50, "key string")
+    empty = spark.createDataFrame([], "key string")
+    d = _staged_files(spark, tmp_path, "cms_empty", [empty, a, empty, b])
+    spark.sql("DROP TABLE IF EXISTS cms_ef_t")
+    try:
+        q = stream_sketch_ingest(
+            spark.readStream.schema("key string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d),
+            "key", "cms_ef_t", str(tmp_path / "ck_cms_ef"), width=128, depth=3,
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        got = {
+            (r.d, r.cell): r.n
+            for r in spark.table("cms_ef_t").select("d", "cell", "n").collect()
+        }
+        want = {
+            (r.d, r.cell): r.n
+            for r in cms_build(a.union(b), "key", width=128, depth=3).collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cms_ef_t")
+
+
+def test_store_zero_row_table_self_heals(spark, tmp_path):
+    """An existing 0-ROW store table (a pre-fix poisoned store, or a crash
+    between create and fill) is treated as non-existent: the next batch
+    rebuilds it instead of dying on the meta read."""
+    from astro_sdk_spark.functions.quantiles import quantile_sketch_build
+    from astro_sdk_spark.streaming.ops import stream_quantile_ingest
+
+    spark.sql("DROP TABLE IF EXISTS qsk_poison_t")
+    spark.createDataFrame(
+        [], "bucket bigint, n bigint, _run_id string, _batch_id long, "
+        "_width int, _scale int",
+    ).write.format("parquet").saveAsTable("qsk_poison_t")
+
+    data = spark.createDataFrame([(float(i),) for i in range(150)], "v double")
+    d = str(tmp_path / "q_poison")
+    data.coalesce(1).write.parquet(d)
+    try:
+        q = stream_quantile_ingest(
+            spark.readStream.schema("v double").parquet(d),
+            "v", "qsk_poison_t", str(tmp_path / "ck_poison"), width=100,
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        got = sorted(
+            map(tuple, spark.table("qsk_poison_t").select("bucket", "n").collect())
+        )
+        want = sorted(
+            map(tuple, quantile_sketch_build(data, "v", width=100).collect())
+        )
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS qsk_poison_t")
+
+
+def test_stream_quantile_ingest_grouped(spark, tmp_path):
+    """by=[...] maintains one sketch per group across batches; the streamed
+    store equals the grouped whole-data sketch and grouped quantile queries
+    come out of it."""
+    from astro_sdk_spark.functions.quantiles import (
+        quantile_sketch_build,
+        quantile_sketch_query,
+    )
+    from astro_sdk_spark.streaming.ops import stream_quantile_ingest
+
+    rows = [("svc_a", float(i % 100)) for i in range(1000)] + [
+        ("svc_b", float(i % 400)) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "service string, latency double")
+    lo = df.filter(F.col("latency") < 50)
+    hi = df.filter(F.col("latency") >= 50)
+    d = _staged_files(spark, tmp_path, "q_grouped", [lo, hi])
+    spark.sql("DROP TABLE IF EXISTS qsk_grp_t")
+    try:
+        q = stream_quantile_ingest(
+            spark.readStream.schema("service string, latency double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d),
+            "latency", "qsk_grp_t", str(tmp_path / "ck_grp"),
+            width=100, by=["service"],
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        got = sorted(
+            map(
+                tuple,
+                spark.table("qsk_grp_t").select("service", "bucket", "n").collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                quantile_sketch_build(
+                    df, "latency", width=100, by=["service"]
+                ).collect(),
+            )
+        )
+        assert got == want
+        p95 = {
+            r.service: r.value
+            for r in quantile_sketch_query(
+                spark.table("qsk_grp_t").select("service", "bucket", "n"),
+                [0.95], width=100, by=["service"],
+            ).collect()
+        }
+        assert p95["svc_a"] <= 100.0 and p95["svc_b"] >= 300.0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS qsk_grp_t")
