@@ -105,6 +105,17 @@ def oracle_queries() -> dict[str, str]:
     return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
 
 
+# Non-vacuity allowlists (tools/check_oracle.py + tests/test_nonvacuity.py):
+# an empty result hash-matches an empty oracle trivially, so a query that
+# returns 0 rows proves nothing — q_tpch_q10 sat green-but-vacuous for three
+# rounds on an out-of-range date window. Every registered query must return
+# >=1 row at sf0.01 unless listed in VACUOUS_OK (intentional empties —
+# currently none); VACUOUS_OK_SMALL_SF adds the selective queries whose
+# predicates legitimately match nothing below sf0.01.
+VACUOUS_OK: frozenset[str] = frozenset()
+VACUOUS_OK_SMALL_SF: frozenset[str] = frozenset({"q_correlated_agg", "q_tpch_q22"})
+
+
 # Exact money aggregation — the device the sf0.1 sweep forced on the
 # events queries, applied to every single-factor 2-decimal sum/avg:
 # parallel double accumulation differs at ~1 ulp between engines and
@@ -4923,8 +4934,8 @@ _TPCH_Q10_ORACLE = f"""
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_returnflag = 'R'
-      AND CAST(o.o_orderdate AS DATE) >= DATE '1994-10-01'
-      AND CAST(o.o_orderdate AS DATE) < DATE '1995-01-01'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1995-10-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1996-01-01'
     GROUP BY c.c_custkey, c.c_name, n.n_name, round(c.c_acctbal, 2)
     ORDER BY revenue DESC, c.c_custkey
     LIMIT 20
@@ -4946,8 +4957,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_returnflag") == "R")
         .join(
             o.filter(
-                (od >= F.lit("1994-10-01").cast("date"))
-                & (od < F.lit("1995-01-01").cast("date"))
+                (od >= F.lit("1995-10-01").cast("date"))
+                & (od < F.lit("1996-01-01").cast("date"))
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )

@@ -46,7 +46,19 @@ def main():
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
-    from astro_sdk_spark.queries import oracle_queries, spark_queries
+    from astro_sdk_spark.queries import (
+        VACUOUS_OK,
+        VACUOUS_OK_SMALL_SF,
+        oracle_queries,
+        spark_queries,
+    )
+
+    # Non-vacuity gate: an empty result hash-matches an empty oracle
+    # trivially, so 0 rows is a FAILURE unless explicitly allowlisted
+    # (below sf0.01, selective queries may legitimately match nothing).
+    vacuous_ok = set(VACUOUS_OK)
+    if sf_dir.rstrip("/").endswith("sf0.001"):
+        vacuous_ok |= set(VACUOUS_OK_SMALL_SF)
 
     if plain:
         # the driver's session, verbatim: NO library confs. Queries must
@@ -98,6 +110,10 @@ def main():
             spark.catalog.clearCache()
             release_intermediates()
             sweep_persistent_rdds(spark)
+        if len(srows) == 0 and name not in vacuous_ok:
+            failures.append(name)
+            print(f"FAIL  {name}: VACUOUS — 0 rows (allowlist in queries.py)")
+            continue
         if name not in oracles:
             print(f"ok*   {name}: rows-only, {len(srows)} rows")
             continue
