@@ -229,10 +229,30 @@ def jaccard_join(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if pre_dedup and df_b is not None:
         raise ValueError("pre_dedup is defined for the self-join form only")
+    from fractions import Fraction
+
     from astro_sdk_spark.functions._cache import track
     from astro_sdk_spark.functions.dedup import shingles_col
 
     self_join = df_b is None
+
+    # τ as an exact rational (its decimal repr — Fraction('0.07') = 7/100),
+    # so the boundary predicates below are integer arithmetic. Double
+    # arithmetic overshoots: 0.07·100 = 7.000000000000001 in binary, whose
+    # ceil is 8 (one-short prefix) and which the size filter compares as
+    # > 7 (boundary pair wrongly rejected). DECIMAL(38) products keep the
+    # comparisons overflow-safe for any repr-length τ and corpus-sized n.
+    tau = Fraction(str(threshold))
+
+    def _dec(c):
+        return c.cast("decimal(38,0)")
+
+    def _ceil_tau_n(n_col):
+        # exact ⌈τ·n⌉: floor((num·n + den − 1) / den) in DECIMAL arithmetic
+        return F.floor(
+            (_dec(F.lit(tau.numerator)) * _dec(n_col) + F.lit(tau.denominator - 1))
+            / F.lit(tau.denominator)
+        ).cast("bigint")
 
     members = None
     if pre_dedup:
@@ -275,7 +295,7 @@ def jaccard_join(
             ex.join(freq, "_g", "left")
             .withColumn("_f", F.coalesce("_f", F.lit(0)))
             .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= F.col(nc) - F.ceil(F.lit(threshold) * F.col(nc)) + 1)
+            .filter(F.col("_rk") <= F.col(nc) - _ceil_tau_n(F.col(nc)) + 1)
             .select(idc, nc, "_g")
         )
 
@@ -291,9 +311,14 @@ def jaccard_join(
     cand = (
         pa.join(pb, "_g")
         .filter(pair_guard)
+        # rational size filter τ·|B| ≤ |A| ∧ τ·|A| ≤ |B|: num·n ≤ den·m in
+        # exact integers — the double form wrongly rejected |B| = τ·|A|
+        # boundary pairs when τ·n overshot in binary
         .filter(
-            (F.col("_nb") * F.lit(threshold) <= F.col("_na"))
-            & (F.col("_na") * F.lit(threshold) <= F.col("_nb"))
+            (_dec(F.col("_nb")) * F.lit(tau.numerator)
+             <= _dec(F.col("_na")) * F.lit(tau.denominator))
+            & (_dec(F.col("_na")) * F.lit(tau.numerator)
+               <= _dec(F.col("_nb")) * F.lit(tau.denominator))
         )
         .select("_ida", "_idb")
         .distinct()
@@ -307,7 +332,14 @@ def jaccard_join(
             F.col("_inter")
             / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
         )
-        .filter(F.col("_j") >= threshold)
+        # exact verify: inter/union ≥ num/den ⟺ inter·den ≥ num·union —
+        # integer arithmetic, so J-exactly-τ boundary pairs are kept for
+        # ANY threshold, not just ones whose double happens to round down
+        .filter(
+            _dec(F.col("_inter")) * F.lit(tau.denominator)
+            >= F.lit(tau.numerator)
+            * _dec(F.col("_na") + F.col("_nb") - F.col("_inter"))
+        )
     )
     out = verified.select(
         F.col("_ida").alias("id_a"),

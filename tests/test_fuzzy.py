@@ -268,3 +268,75 @@ def test_jaccard_join_randomized_equals_brute_force(spark):
                 ).collect()
             }
             assert got == want, f"trial={trial} tau={tau} pre_dedup={pd_flag}"
+
+
+def test_jaccard_join_tau_boundary_exact_contract(spark):
+    """EXACT contract at awkward thresholds: τ·n that overshoots in binary
+    double (0.07·100 = 7.000000000000001) used to shorten the prefix by one
+    and — worse — made the size filter reject |B| = τ·|A| boundary pairs.
+    The rational-integer arithmetic must keep every pair with
+    J ≥ τ EXACTLY, verified against a Fraction-based brute force."""
+    from fractions import Fraction
+
+    from astro_sdk_spark.functions.fuzzy import jaccard_join
+
+    def brute(rows, tau_frac, k=1):
+        def sh(text):
+            ws = text.split()
+            if len(ws) < k:
+                return frozenset([text])
+            return frozenset(" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1))
+
+        sets = {i: sh(t) for i, t in rows}
+        out = set()
+        ids = sorted(sets)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = sets[ids[x]], sets[ids[y]]
+                inter = len(a & b)
+                union = len(a | b)
+                if union and Fraction(inter, union) >= tau_frac:
+                    out.add((ids[x], ids[y]))
+        return out
+
+    # size-filter boundary: |A| = 100 words, B = 7 of them (B ⊂ A) →
+    # J = 7/100 = τ exactly; the old double filter dropped this pair
+    a_words = [f"w{i:03d}" for i in range(100)]
+    rows = [
+        (1, " ".join(a_words)),
+        (2, " ".join(a_words[:7])),
+        # prefix-overshoot shape: two 100-gram docs sharing exactly 14 → 14/186 > τ
+        (3, " ".join(a_words[:14] + [f"x{i:03d}" for i in range(86)])),
+        (4, " ".join(a_words[:14] + [f"y{i:03d}" for i in range(86)])),
+        # J exactly τ via inter=7, union=100 across 53/54-gram docs
+        (5, " ".join([f"s{i}" for i in range(7)] + [f"p{i}" for i in range(46)])),
+        (6, " ".join([f"s{i}" for i in range(7)] + [f"q{i}" for i in range(47)])),
+        # clearly below τ: no shared words at all
+        (7, " ".join(f"z{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in jaccard_join(
+            df, text_col="text", id_col="doc_id", threshold=0.07, shingle_k=1
+        ).collect()
+    }
+    want = brute(rows, Fraction(7, 100))
+    assert (1, 2) in want  # the boundary pair must be part of the contract
+    assert got == want
+
+    # second awkward τ: 0.15 (0.15·20 = 3.0000000000000004); J exactly 3/20
+    rows2 = [
+        (1, " ".join([f"c{i}" for i in range(3)] + [f"d{i}" for i in range(8)])),
+        (2, " ".join([f"c{i}" for i in range(3)] + [f"e{i}" for i in range(9)])),
+        (3, " ".join(f"f{i}" for i in range(20))),
+        (4, " ".join([f"f{i}" for i in range(3)] + [f"g{i}" for i in range(17)])),
+    ]
+    df2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in jaccard_join(
+            df2, text_col="text", id_col="doc_id", threshold=0.15, shingle_k=1
+        ).collect()
+    }
+    assert got2 == brute(rows2, Fraction(15, 100))
