@@ -117,37 +117,46 @@ VACUOUS_OK_SMALL_SF: frozenset[str] = frozenset({"q_correlated_agg", "q_tpch_q22
 
 
 # Exact money aggregation — the device the sf0.1 sweep forced on the
-# events queries, applied to every single-factor 2-decimal sum/avg:
-# parallel double accumulation differs at ~1 ulp between engines and
-# round() lands it on half boundaries. Centi-unit BIGINT sums are exact
-# and order-independent (safe to ±9.2e16 cents); averages floor-pin the
-# identical double. Multi-factor products (price·(1−disc)·(1+tax)) keep
-# round(sum(double)) — their fixed-point scale would overflow at extreme
-# SFs, and DECIMAL is the principled cluster-side fix (see SURVEY).
+# events queries, applied to every 2-decimal sum/avg: parallel double
+# accumulation differs at ~1 ulp between engines and round() lands it
+# on half boundaries. Per-row values are exact centi-unit integers;
+# the ACCUMULATOR is DECIMAL(38,0) on the Spark side (a BIGINT sum
+# would wrap past ±9.2e16 cents at extreme scale) and DuckDB's native
+# HUGEINT sum on the oracle side — both exact, and both convert the
+# same integer to the same correctly-rounded double at the end. The
+# multi-factor products (price·(1−disc), price·(1−disc)·(1+tax)) use
+# the same scheme at 1e-4 / 1e-6 dollar fixed-point scale: per-row
+# BIGINT products are bounded (≤ ~4e11), only the sum needs width.
 def _cents(col: str):
     return F.round(F.col(col) * 100).cast("bigint")
 
 
+def _dsum(col):
+    """Overflow-proof exact integer sum: DECIMAL(38,0) accumulator."""
+    return F.sum(col.cast("decimal(38,0)"))
+
+
 def CS(col: str):
     """Exact sum of a 2-decimal column (Spark side)."""
-    return F.sum(_cents(col)).cast("double") / 100
+    return _dsum(_cents(col)).cast("double") / 100
 
 
 def CAVG(col: str, digits: int):
     """Exact-sum average of a 2-decimal column, floor-pinned (Spark)."""
     s = float(10**digits)
-    raw = F.sum(_cents(col)).cast("double") / (F.count(_cents(col)) * 100)
+    raw = _dsum(_cents(col)).cast("double") / (F.count(_cents(col)) * 100)
     return F.floor(raw * F.lit(s) + F.lit(0.5)) / F.lit(s)
 
 
 def _SQL_CS(col: str) -> str:
-    """The same exact sum as engine-neutral SQL text."""
+    """The same exact sum as engine-neutral SQL text (DuckDB sums BIGINT
+    into a HUGEINT accumulator — already exact)."""
     return f"CAST(sum(CAST(round({col} * 100) AS BIGINT)) AS DOUBLE) / 100"
 
 
 # Two-factor extension: cents(price)·(100−cents(disc)) is an exact
-# BIGINT at 1e-4-dollar scale — revenue sums rank exactly (overflow
-# bound: ~9.2e9 rows per group).
+# BIGINT at 1e-4-dollar scale per row; the DECIMAL(38,0)/HUGEINT sum
+# removes any per-group row bound.
 _REV_EXACT_SQL = (
     "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
     " * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)"
@@ -157,10 +166,32 @@ _REV_EXACT_SQL = (
 
 def _rev_exact():
     return (
-        F.sum(
+        _dsum(
             _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
         ).cast("double")
         / 10000
+    )
+
+
+# Three-factor charge: price·(1−disc)·(1+tax) at 1e-6-dollar scale —
+# exact integers end to end, replacing round(sum(double)) whose
+# product-rounding drifted with accumulation order.
+_CHARGE_EXACT_SQL = (
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    " * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE)"
+    " / 1000000"
+)
+
+
+def _charge_exact():
+    return (
+        _dsum(
+            _cents("l_extendedprice")
+            * (F.lit(100) - _cents("l_discount"))
+            * (F.lit(100) + _cents("l_tax"))
+        ).cast("double")
+        / 1000000
     )
 
 
@@ -184,7 +215,7 @@ def _SQL_CAVG(col: str, digits: int) -> str:
            round(sum(l_quantity), 2)       AS sum_qty,
            {_SQL_CS("l_extendedprice")}    AS sum_base_price,
            {_REV_EXACT_SQL} AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           {_CHARGE_EXACT_SQL} AS sum_charge,
            {_SQL_CAVG("l_quantity", 4)}    AS avg_qty,
            {_SQL_CAVG("l_extendedprice", 4)} AS avg_price,
            {_SQL_CAVG("l_discount", 4)}    AS avg_disc,
@@ -195,14 +226,11 @@ def _SQL_CAVG(col: str, digits: int) -> str:
     """,
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact money aggregation on the single-factor columns (see CS/CAVG
-    above): sum_qty is already exact (integer-valued doubles), the
-    multi-factor disc_price/charge sums keep round(sum) — their
-    product-rounding is documented, and they survived the full sf0.1
-    sweep."""
+    """Exact money aggregation across the board (see CS/CAVG/_rev_exact/
+    _charge_exact above): sum_qty is already exact (integer-valued
+    doubles); the multi-factor disc_price/charge sums are exact
+    fixed-point integer products under a DECIMAL(38,0) accumulator."""
     li = T(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -210,7 +238,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             CS("l_extendedprice").alias("sum_base_price"),
             _rev_exact().alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            _charge_exact().alias("sum_charge"),
             CAVG("l_quantity", 4).alias("avg_qty"),
             CAVG("l_extendedprice", 4).alias("avg_price"),
             CAVG("l_discount", 4).alias("avg_disc"),
@@ -898,9 +926,11 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            ntile(4) OVER w AS quartile,
            lead(o_orderkey) OVER w AS next_order,
            first_value(o_orderkey) OVER w AS first_order,
-           CAST(round(o_totalprice * (count(*) OVER (PARTITION BY o_custkey))
-                      - sum(o_totalprice) OVER (PARTITION BY o_custkey), 2)
-                AS DOUBLE) AS diff_x_n
+           CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                      * (count(*) OVER (PARTITION BY o_custkey))
+                      - sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        OVER (PARTITION BY o_custkey)
+                AS DOUBLE) / 100 AS diff_x_n
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
     """,
@@ -915,17 +945,17 @@ def q_window_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.lead("o_orderkey").over(w).alias("next_order"),
         F.first("o_orderkey").over(w).alias("first_order"),
-        # n*price - sum stays in exact 2-decimal arithmetic (no quotient),
-        # so the rounding never sits on a .005 half that the engines'
-        # rounding modes could resolve differently (an avg-based diff hits
-        # such halves on ~1% of rows and is engine-dependent there)
-        F.round(
-            F.col("o_totalprice") * F.count(F.lit(1)).over(wa)
-            - F.sum("o_totalprice").over(wa),
-            2,
-        )
-        .cast("double")
-        .alias("diff_x_n"),
+        # n*price - sum in exact centi-unit integers end to end: the
+        # double form accumulated ~1 ulp drift that round(_, 2) had to
+        # absorb; integer window sums are order-independent, and both
+        # engines convert the same integer to the same double
+        (
+            (
+                _cents("o_totalprice") * F.count(F.lit(1)).over(wa)
+                - F.sum(_cents("o_totalprice")).over(wa)
+            ).cast("double")
+            / 100
+        ).alias("diff_x_n"),
     )
 
 
