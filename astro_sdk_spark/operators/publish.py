@@ -1,4 +1,4 @@
-"""Write–audit–publish: stage a result, audit it, swap it live atomically.
+"""Write–audit–publish: stage a result, audit it, swap it live.
 
 The production table-publication pattern (popularized by Netflix's
 Iceberg WAP workflow; the same staged-rewrite idea as the reference's
@@ -17,6 +17,17 @@ verifies —
    passed; on failure the staging table is dropped (or kept for
    debugging with ``keep_staging_on_fail``) and the live table is
    untouched.
+
+Cutover visibility, stated honestly: Spark's session catalog has no
+transactional table replace for parquet tables, so the swap is DROP then
+RENAME — a new name lookup in that sub-second metadata window sees a
+missing table (already-resolved plans are unaffected). The guarantee
+publish_table does make is CRASH safety: a failure at any point leaves
+either the previous live table or the fully-staged new one, never a
+partial write — and the staged table survives a mid-swap crash for
+write-back recovery (operators/swap.py). Catalogs with an atomic
+``CREATE OR REPLACE`` / ``RENAME ... SWAP`` (Delta, Iceberg) close the
+visibility gap; route through their native command when deployed there.
 
 At 100 TB this is the difference between "the nightly job failed and
 the dashboard shows garbage" and "the nightly job failed and the
@@ -43,8 +54,9 @@ def publish_table(
     spark: SparkSession | None = None,
     keep_staging_on_fail: bool = False,
 ) -> BaseTable:
-    """Stage ``df``, audit it, and atomically swap it into
-    ``target_table``. Returns the target handle; raises
+    """Stage ``df``, audit it, and swap it into ``target_table``
+    (crash-safe DROP+RENAME cutover — see the module docstring for the
+    exact visibility semantics). Returns the target handle; raises
     ``ChecksFailedError`` (live table untouched) when an audit fails.
 
     ``table_checks``/``column_checks`` take the exact shapes
@@ -72,10 +84,15 @@ def publish_table(
     if not spark.catalog.tableExists(staged.qualified_name):
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
         if wh.scheme in ("", "file"):
-            shutil.rmtree(
-                os.path.join(wh.path or wh.netloc, staged.name.lower()),
-                ignore_errors=True,
-            )
+            # managed-table layout: <wh>/<table> in the default database,
+            # <wh>/<db>.db/<table> in any other — a scrub that ignores the
+            # database component would silently no-op for qualified targets
+            db = staged.metadata.spark_database if staged.metadata else None
+            parts = [wh.path or wh.netloc]
+            if db and db.lower() != "default":
+                parts.append(f"{db.lower()}.db")
+            parts.append(staged.name.lower())
+            shutil.rmtree(os.path.join(*parts), ignore_errors=True)
 
     df.write.mode("overwrite").format("parquet").saveAsTable(staged.qualified_name)
     try:
