@@ -5423,6 +5423,63 @@ def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# STREAMING grouped quantiles under the gate: the same per-key sketch as
+# q_group_quantiles, but maintained by stream_quantile_ingest(by=...) over
+# two micro-batches (order-parity halves of lineitem) through the shared
+# sketch store (streaming/store.py — replay watermark, staged swap,
+# empty-batch no-op). Mergeability makes the streamed store equal the flat
+# whole-table build, so the SAME oracle replication gates the streaming
+# path the way q_events_rollup gates the incremental rollup.
+
+
+@q("q_stream_group_quantiles", _GROUP_QSKETCH_ORACLE)
+def q_stream_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag p50/p95 of l_extendedprice computed from a sketch
+    table maintained by the STREAMING ingest (foreachBatch over two
+    parquet micro-batches), hash-exact vs the flat grouped oracle."""
+    import os
+    import tempfile
+
+    from astro_sdk_spark.functions.quantiles import quantile_sketch_query
+    from astro_sdk_spark.streaming.ops import stream_quantile_ingest
+
+    tbl = "q_stream_grp_qsk"
+    _drop_table_and_location(spark, tbl)
+    work = tempfile.mkdtemp(prefix="q_stream_grp_")
+    src = os.path.join(work, "src")
+    halves = [
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 2 == parity)
+        .select("l_returnflag", "l_extendedprice")
+        for parity in (0, 1)
+    ]
+    for h in halves:
+        h.coalesce(1).write.mode("append").parquet(src)
+    # strictly increasing mtimes -> deterministic two-batch schedule
+    parts = sorted(
+        (p for p in os.listdir(src) if p.endswith(".parquet")),
+        key=lambda p: os.path.getmtime(os.path.join(src, p)),
+    )
+    base = os.path.getmtime(os.path.join(src, parts[-1]))
+    for i, p in enumerate(parts):
+        os.utime(os.path.join(src, p), (base + i, base + i))
+    stream = (
+        spark.readStream.schema("l_returnflag string, l_extendedprice double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    query = stream_quantile_ingest(
+        stream, "l_extendedprice", tbl, os.path.join(work, "ckpt"),
+        width=1000, by=["l_returnflag"],
+    )
+    query.awaitTermination(300)
+    if query.exception() is not None:
+        raise query.exception()
+    sk = spark.table(tbl).select("l_returnflag", "bucket", "n")
+    return quantile_sketch_query(sk, [0.5, 0.95], width=1000, by=["l_returnflag"])
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -5562,6 +5619,9 @@ _TAIL_VARIANTS = [
                            # aggregation over a dim join)
     "q_tpch_q22",          # joins: same family (anti-join + global-average
                            # eligibility, integer-exact)
+    "q_stream_group_quantiles",  # aggregation/sketches + streaming:
+                           # q_quantile_sketch/q_group_quantiles family,
+                           # maintained via the streaming sketch store
 ]
 
 

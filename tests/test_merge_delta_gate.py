@@ -64,3 +64,18 @@ def test_parquet_tables_never_route_to_native_path(spark):
     assert table_provider(spark, "prov_probe_missing") not in (
         "delta", "iceberg", "hudi",
     )
+
+
+def test_delta_runtime_unavailable_is_pinned():
+    """Installing packages is not permitted in this sandbox and delta-spark
+    is not baked in, so the native MERGE INTO path cannot execute here —
+    routing + SQL generation above are the testable boundary. This pin
+    fails the moment the environment gains the package, which is the
+    signal to add executable Delta parity tests (three conflict modes +
+    SCD2 clobber refusal against a real Delta table) and delete this."""
+    import importlib.util
+
+    assert importlib.util.find_spec("delta") is None, (
+        "delta-spark is now importable: add executable Delta MERGE parity "
+        "tests and remove this pin"
+    )

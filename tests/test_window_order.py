@@ -31,7 +31,7 @@ FAMILIES: dict[str, list[str]] = {
     "aggregation": [
         "q_pricing_summary", "q_group_having", "q_distinct_counts",
         "q_cms_counts", "q_cms_merged", "q_quantile_sketch",
-        "q_group_quantiles",
+        "q_group_quantiles", "q_stream_group_quantiles",
     ],
     "grouping-analytics": [
         "q_rollup", "q_cube", "q_grouping_sets", "q_pivot", "q_unpivot",
