@@ -5167,6 +5167,71 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q5 (local supplier volume): the classic six-table star join —
+# lineitem ⋈ orders ⋈ customer ⋈ supplier (with the LOCAL constraint
+# c_nationkey = s_nationkey inside the join) ⋈ nation ⋈ region, revenue
+# per nation for a region-year slice. The widest join tree in the
+# registry: tiny dims broadcast, the customer⋈supplier locality
+# predicate rides the supplier equi-join (no post-filter blowup), and
+# the revenue ranks on the exact 1e-4-dollar integers.
+
+_TPCH_Q5_ORACLE = f"""
+    SELECT n.n_name, {_REV_EXACT_SQL} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+"""
+
+
+@q("q_tpch_q5", _TPCH_Q5_ORACLE)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation for ASIA orders placed in 1996, only
+    counting lineitems supplied from the customer's own nation. nation
+    and region broadcast unconditionally (25 / 5 rows at any SF);
+    customer and supplier stay unhinted so AQE sizes them; the year
+    filter pushes into the orders scan before any join."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    od = F.col("o_orderdate").cast("date")
+    return (
+        li.join(
+            o.filter(
+                (od >= F.lit("1996-01-01").cast("date"))
+                & (od < F.lit("1997-01-01").cast("date"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(_rev_exact().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
 # Null imputation (functions/impute.py) — every %7 event's value is
 # nulled out, then repaired with its event type's exact fixed-point
 # mean; the flag column marks repaired rows. One partial-agg per type +
@@ -5622,6 +5687,8 @@ _TAIL_VARIANTS = [
     "q_stream_group_quantiles",  # aggregation/sketches + streaming:
                            # q_quantile_sketch/q_group_quantiles family,
                            # maintained via the streaming sketch store
+    "q_tpch_q5",           # joins: q_join_agg, q_region_revenue in-window
+                           # (six-table local-supplier star join)
 ]
 
 

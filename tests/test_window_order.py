@@ -24,7 +24,7 @@ FAMILIES: dict[str, list[str]] = {
     "joins": [
         "q_join_agg", "q_region_revenue", "q_semi_anti_join", "q_fuzzy_join",
         "q_tpch_q3", "q_tpch_q10", "q_tpch_q18", "q_tpch_q14",
-        "q_tpch_q22",
+        "q_tpch_q22", "q_tpch_q5",
     ],
     "range-join": ["q_range_join"],
     "asof-join": ["q_asof_join"],
