@@ -1,0 +1,79 @@
+"""Property test for the shared streaming sketch store
+(astro_sdk_spark/streaming/store.py): for ANY schedule of micro-batches —
+arbitrary values, arbitrary empties anywhere, arbitrary replays of
+already-merged batch ids — the final store must equal the one-shot sketch
+of the concatenated non-empty data, and replays/empties must never
+double-count or poison. This is the invariant the targeted regression
+tests in test_stream_ingest.py pin pointwise; here hypothesis drives the
+schedule."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from astro_sdk_spark.functions.quantiles import quantile_sketch_build
+from astro_sdk_spark.streaming.store import merge_sketch_batch
+
+# each batch: a (possibly empty) list of small float values; schedules of
+# up to 5 batches keep Spark round-trips affordable
+batch_strategy = st.lists(
+    st.integers(min_value=-300, max_value=300).map(lambda i: float(i)),
+    max_size=8,
+)
+schedule_strategy = st.lists(batch_strategy, min_size=1, max_size=5)
+
+
+@settings(max_examples=10, deadline=None)
+@given(schedule=schedule_strategy, replay_mask=st.integers(min_value=0, max_value=31))
+def test_store_equals_one_shot_sketch_under_any_schedule(
+    spark, schedule, replay_mask
+):
+    table = "prop_store_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        batch_id = 0
+        for i, values in enumerate(schedule):
+            df = spark.createDataFrame([(v,) for v in values], "v double")
+            merge_sketch_batch(
+                spark, table, "run1", batch_id, df,
+                params={"width": 100, "scale": 2},
+                data_cols=["bucket", "n"],
+                build=lambda b: quantile_sketch_build(b, "v", width=100),
+                merge=lambda s, f: s.unionByName(f)
+                .groupBy("bucket")
+                .agg({"n": "sum"})
+                .withColumnRenamed("sum(n)", "n"),
+                incompatible_what="incompatible bucket grids",
+            )
+            if (replay_mask >> i) & 1:
+                # replay the SAME batch id with the same data — must no-op
+                merge_sketch_batch(
+                    spark, table, "run1", batch_id, df,
+                    params={"width": 100, "scale": 2},
+                    data_cols=["bucket", "n"],
+                    build=lambda b: quantile_sketch_build(b, "v", width=100),
+                    merge=lambda s, f: s.unionByName(f)
+                    .groupBy("bucket")
+                    .agg({"n": "sum"})
+                    .withColumnRenamed("sum(n)", "n"),
+                    incompatible_what="incompatible bucket grids",
+                )
+            batch_id += 1
+
+        all_values = [v for batch in schedule for v in batch]
+        if not all_values:
+            assert not spark.catalog.tableExists(table), (
+                "an all-empty schedule must never create the store"
+            )
+            return
+        got = sorted(
+            map(tuple, spark.table(table).select("bucket", "n").collect())
+        )
+        whole = spark.createDataFrame([(v,) for v in all_values], "v double")
+        want = sorted(
+            map(tuple, quantile_sketch_build(whole, "v", width=100).collect())
+        )
+        assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
