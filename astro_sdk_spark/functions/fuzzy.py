@@ -247,12 +247,14 @@ def jaccard_join(
     def _dec(c):
         return c.cast("decimal(38,0)")
 
-    def _ceil_tau_n(n_col):
-        # exact ⌈τ·n⌉: floor((num·n + den − 1) / den) in DECIMAL arithmetic
-        return F.floor(
-            (_dec(F.lit(tau.numerator)) * _dec(n_col) + F.lit(tau.denominator - 1))
-            / F.lit(tau.denominator)
-        ).cast("bigint")
+    def _prefix_rank_ok(rk_col, n_col):
+        # keep ranks with rk ≤ n − ⌈num·n/den⌉ + 1 ⟺ ⌈num·n/den⌉ ≤ n − rk + 1
+        # ⟺ num·n ≤ den·(n − rk + 1) — pure DECIMAL(38) cross-multiplication
+        # (decimal DIVISION would round HALF_UP at scale 6 and overshoot the
+        # ceil for thresholds with ≥7 decimal digits)
+        return _dec(n_col) * F.lit(tau.numerator) <= _dec(
+            n_col - rk_col + 1
+        ) * F.lit(tau.denominator)
 
     members = None
     if pre_dedup:
@@ -295,7 +297,7 @@ def jaccard_join(
             ex.join(freq, "_g", "left")
             .withColumn("_f", F.coalesce("_f", F.lit(0)))
             .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= F.col(nc) - _ceil_tau_n(F.col(nc)) + 1)
+            .filter(_prefix_rank_ok(F.col("_rk"), F.col(nc)))
             .select(idc, nc, "_g")
         )
 

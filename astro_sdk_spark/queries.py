@@ -5503,43 +5503,45 @@ def q_stream_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     table maintained by the STREAMING ingest (foreachBatch over two
     parquet micro-batches), hash-exact vs the flat grouped oracle."""
     import os
+    import shutil
     import tempfile
 
     from astro_sdk_spark.functions.quantiles import quantile_sketch_query
     from astro_sdk_spark.streaming.ops import stream_quantile_ingest
+    from astro_sdk_spark.streaming.store import stage_microbatch_files
 
     tbl = "q_stream_grp_qsk"
     _drop_table_and_location(spark, tbl)
+    _drop_table_and_location(spark, f"{tbl}__sketch_staging")
     work = tempfile.mkdtemp(prefix="q_stream_grp_")
-    src = os.path.join(work, "src")
-    halves = [
-        T(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 2 == parity)
-        .select("l_returnflag", "l_extendedprice")
-        for parity in (0, 1)
-    ]
-    for h in halves:
-        h.coalesce(1).write.mode("append").parquet(src)
-    # strictly increasing mtimes -> deterministic two-batch schedule
-    parts = sorted(
-        (p for p in os.listdir(src) if p.endswith(".parquet")),
-        key=lambda p: os.path.getmtime(os.path.join(src, p)),
-    )
-    base = os.path.getmtime(os.path.join(src, parts[-1]))
-    for i, p in enumerate(parts):
-        os.utime(os.path.join(src, p), (base + i, base + i))
-    stream = (
-        spark.readStream.schema("l_returnflag string, l_extendedprice double")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    query = stream_quantile_ingest(
-        stream, "l_extendedprice", tbl, os.path.join(work, "ckpt"),
-        width=1000, by=["l_returnflag"],
-    )
-    query.awaitTermination(300)
-    if query.exception() is not None:
-        raise query.exception()
+    try:
+        src = stage_microbatch_files(
+            [
+                T(spark, sf_dir, "lineitem")
+                .filter(F.col("l_orderkey") % 2 == parity)
+                .select("l_returnflag", "l_extendedprice")
+                for parity in (0, 1)
+            ],
+            os.path.join(work, "src"),
+        )
+        stream = (
+            spark.readStream.schema("l_returnflag string, l_extendedprice double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        query = stream_quantile_ingest(
+            stream, "l_extendedprice", tbl, os.path.join(work, "ckpt"),
+            width=1000, by=["l_returnflag"],
+        )
+        if not query.awaitTermination(600):
+            query.stop()
+            raise TimeoutError("stream_quantile_ingest did not drain in 600s")
+        if query.exception() is not None:
+            raise query.exception()
+    finally:
+        # the sketch lives in the warehouse table; the source copies and
+        # checkpoint are dead weight once the stream has drained
+        shutil.rmtree(work, ignore_errors=True)
     sk = spark.table(tbl).select("l_returnflag", "bucket", "n")
     return quantile_sketch_query(sk, [0.5, 0.95], width=1000, by=["l_returnflag"])
 

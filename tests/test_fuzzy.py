@@ -325,6 +325,27 @@ def test_jaccard_join_tau_boundary_exact_contract(spark):
     assert (1, 2) in want  # the boundary pair must be part of the contract
     assert got == want
 
+    # long-repr τ: 0.3333333 (7 decimal digits — decimal DIVISION at
+    # Spark's scale-6 HALF_UP would round ceil(0.9999999) up to 2 and
+    # shorten the 3-shingle doc's prefix; the cross-multiplied rank
+    # filter must keep it). A={x,y,z}, B={x}: J = 1/3 ≥ τ, and
+    # |B| = 1 sits exactly on the τ·|A| size boundary.
+    rows_longtau = [
+        (1, "x y z"),
+        (2, "x"),
+        (3, "p q r s"),
+    ]
+    df_lt = spark.createDataFrame(rows_longtau, ["doc_id", "text"])
+    got_lt = {
+        (r.id_a, r.id_b)
+        for r in jaccard_join(
+            df_lt, text_col="text", id_col="doc_id",
+            threshold=0.3333333, shingle_k=1,
+        ).collect()
+    }
+    assert got_lt == brute(rows_longtau, Fraction(3333333, 10**7))
+    assert (1, 2) in got_lt
+
     # second awkward τ: 0.15 (0.15·20 = 3.0000000000000004); J exactly 3/20
     rows2 = [
         (1, " ".join([f"c{i}" for i in range(3)] + [f"d{i}" for i in range(8)])),

@@ -512,22 +512,11 @@ def test_stream_quantile_ingest_parameter_identity(spark, tmp_path):
 
 
 def _staged_files(spark, tmp_path, name, frames):
-    """Write each frame as ONE parquet file with strictly increasing mtimes,
-    so FileStreamSource + maxFilesPerTrigger=1 turns them into micro-batches
-    in exactly this order (frame 0 = batch 0, ...)."""
-    import os
+    """Deterministic micro-batch schedule via the library helper (the
+    same one q_stream_group_quantiles uses)."""
+    from astro_sdk_spark.streaming.store import stage_microbatch_files
 
-    d = str(tmp_path / name)
-    for i, f in enumerate(frames):
-        f.coalesce(1).write.mode("append").parquet(d)
-    parts = sorted(
-        (p for p in os.listdir(d) if p.endswith(".parquet")),
-        key=lambda p: os.path.getmtime(os.path.join(d, p)),
-    )
-    base = os.path.getmtime(os.path.join(d, parts[-1]))
-    for i, p in enumerate(parts):
-        os.utime(os.path.join(d, p), (base + i, base + i))
-    return d
+    return stage_microbatch_files(frames, str(tmp_path / name))
 
 
 def test_stream_quantile_ingest_empty_first_batch(spark, tmp_path):
@@ -548,7 +537,7 @@ def test_stream_quantile_ingest_empty_first_batch(spark, tmp_path):
             .parquet(d),
             "v", "qsk_ef_t", str(tmp_path / "ck_ef"), width=100,
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         assert q.exception() is None
         got = sorted(
             map(tuple, spark.table("qsk_ef_t").select("bucket", "n").collect())
@@ -579,7 +568,7 @@ def test_stream_quantile_ingest_empty_mid_run(spark, tmp_path):
             .parquet(d),
             "v", "qsk_em_t", str(tmp_path / "ck_em"), width=100,
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         assert q.exception() is None
         got = sorted(
             map(tuple, spark.table("qsk_em_t").select("bucket", "n").collect())
@@ -610,7 +599,7 @@ def test_stream_sketch_ingest_empty_first_and_mid(spark, tmp_path):
             .parquet(d),
             "key", "cms_ef_t", str(tmp_path / "ck_cms_ef"), width=128, depth=3,
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         assert q.exception() is None
         got = {
             (r.d, r.cell): r.n
@@ -646,7 +635,7 @@ def test_store_zero_row_table_self_heals(spark, tmp_path):
             spark.readStream.schema("v double").parquet(d),
             "v", "qsk_poison_t", str(tmp_path / "ck_poison"), width=100,
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         assert q.exception() is None
         got = sorted(
             map(tuple, spark.table("qsk_poison_t").select("bucket", "n").collect())
@@ -685,7 +674,7 @@ def test_stream_quantile_ingest_grouped(spark, tmp_path):
             "latency", "qsk_grp_t", str(tmp_path / "ck_grp"),
             width=100, by=["service"],
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
         assert q.exception() is None
         got = sorted(
             map(

@@ -55,9 +55,15 @@ def main():
 
     # Non-vacuity gate: an empty result hash-matches an empty oracle
     # trivially, so 0 rows is a FAILURE unless explicitly allowlisted
-    # (below sf0.01, selective queries may legitimately match nothing).
+    # (below sf0.01, selective queries may legitimately match nothing —
+    # parse the scale factor out of the directory name rather than
+    # string-matching one specific suffix).
+    import os
+    import re
+
     vacuous_ok = set(VACUOUS_OK)
-    if sf_dir.rstrip("/").endswith("sf0.001"):
+    m = re.search(r"sf([0-9.]+)$", os.path.basename(sf_dir.rstrip("/")))
+    if m and float(m.group(1)) < 0.01:
         vacuous_ok |= set(VACUOUS_OK_SMALL_SF)
 
     if plain:
