@@ -77,22 +77,10 @@ def publish_table(
     # run (or another session's metastore) leaves the location behind
     # with no catalog entry, and managed-table creation then fails with
     # LOCATION_ALREADY_EXISTS regardless of save mode.
-    import os
-    import shutil
-    from urllib.parse import urlparse
-
     if not spark.catalog.tableExists(staged.qualified_name):
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-        if wh.scheme in ("", "file"):
-            # managed-table layout: <wh>/<table> in the default database,
-            # <wh>/<db>.db/<table> in any other — a scrub that ignores the
-            # database component would silently no-op for qualified targets
-            db = staged.metadata.spark_database if staged.metadata else None
-            parts = [wh.path or wh.netloc]
-            if db and db.lower() != "default":
-                parts.append(f"{db.lower()}.db")
-            parts.append(staged.name.lower())
-            shutil.rmtree(os.path.join(*parts), ignore_errors=True)
+        from astro_sdk_spark.operators.swap import scrub_orphaned_location
+
+        scrub_orphaned_location(spark, staged.qualified_name)
 
     df.write.mode("overwrite").format("parquet").saveAsTable(staged.qualified_name)
     try:

@@ -25,6 +25,33 @@ def _database_of(qualified_name: str) -> str | None:
     return qualified_name.rsplit(".", 1)[0] if "." in qualified_name else None
 
 
+def scrub_orphaned_location(spark: SparkSession, qualified_name: str) -> None:
+    """Remove a leftover managed-table DIRECTORY for a staging name its
+    caller owns: a run killed between ``saveAsTable(staging)`` and the
+    swap leaves the location behind with no catalog entry (a fresh
+    session's ``DROP TABLE IF EXISTS`` no-ops), and the next managed
+    write would die with LOCATION_ALREADY_EXISTS. Only safe for names the
+    operator generates itself. Local/file warehouses only; unqualified
+    names resolve against the session's CURRENT database, exactly as
+    ``saveAsTable`` does (layout: ``<wh>/<table>`` in default,
+    ``<wh>/<db>.db/<table>`` elsewhere)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    if wh.scheme not in ("", "file"):
+        return
+    db, _, table = qualified_name.rpartition(".")
+    if not db:
+        db = spark.catalog.currentDatabase()
+    parts = [wh.path or wh.netloc]
+    if db and db.lower() != "default":
+        parts.append(f"{db.lower()}.db")
+    parts.append(table.lower())
+    shutil.rmtree(os.path.join(*parts), ignore_errors=True)
+
+
 def _write_back(spark: SparkSession, staging_qname: str, target_qname: str) -> None:
     spark.table(staging_qname).write.mode("overwrite").format("parquet").saveAsTable(
         target_qname

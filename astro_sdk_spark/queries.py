@@ -5508,11 +5508,11 @@ def q_stream_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from astro_sdk_spark.functions.quantiles import quantile_sketch_query
     from astro_sdk_spark.streaming.ops import stream_quantile_ingest
-    from astro_sdk_spark.streaming.store import stage_microbatch_files
+    from astro_sdk_spark.streaming.testing import stage_microbatch_files
 
     tbl = "q_stream_grp_qsk"
     _drop_table_and_location(spark, tbl)
-    _drop_table_and_location(spark, f"{tbl}__sketch_staging")
+    # the store scrubs its own __sketch_staging orphans (operators/swap.py)
     work = tempfile.mkdtemp(prefix="q_stream_grp_")
     try:
         src = stage_microbatch_files(

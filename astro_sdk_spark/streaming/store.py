@@ -123,54 +123,15 @@ def merge_sketch_batch(
     for p, v in params.items():
         out = out.withColumn(f"_{p}", F.lit(v))
     if spark.catalog.tableExists(sketch_table):
-        from astro_sdk_spark.operators.swap import swap_table
+        from astro_sdk_spark.operators.swap import (
+            scrub_orphaned_location,
+            swap_table,
+        )
 
         staging = f"{sketch_table}__sketch_staging"
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
-        _scrub_orphaned_location(spark, staging)
+        scrub_orphaned_location(spark, staging)
         out.write.format("parquet").saveAsTable(staging)
         swap_table(spark, staging, sketch_table)
     else:
         out.write.format("parquet").saveAsTable(sketch_table)
-
-
-def _scrub_orphaned_location(spark: SparkSession, qualified_name: str) -> None:
-    """Remove a leftover managed-table DIRECTORY for a staging name the
-    store owns: a run killed between ``saveAsTable(staging)`` and the swap
-    leaves the location behind with no catalog entry (a fresh session's
-    ``DROP TABLE IF EXISTS`` no-ops), and the next write would die with
-    LOCATION_ALREADY_EXISTS. Same recovery publish_table does for its
-    staging name."""
-    import os
-    import shutil
-    from urllib.parse import urlparse
-
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-    if wh.scheme not in ("", "file"):
-        return
-    db, _, table = qualified_name.rpartition(".")
-    parts = [wh.path or wh.netloc]
-    if db and db.lower() != "default":
-        parts.append(f"{db.lower()}.db")
-    parts.append(table.lower())
-    shutil.rmtree(os.path.join(*parts), ignore_errors=True)
-
-
-def stage_microbatch_files(frames, path: str) -> str:
-    """Write each DataFrame in ``frames`` as ONE parquet file under
-    ``path`` with strictly increasing mtimes, so a file stream with
-    ``maxFilesPerTrigger=1`` consumes them as micro-batches in exactly
-    this order (frame 0 = batch 0, ...). Test/gate harness device — a
-    deterministic micro-batch schedule out of static frames."""
-    import os
-
-    for f in frames:
-        f.coalesce(1).write.mode("append").parquet(path)
-    parts = sorted(
-        (p for p in os.listdir(path) if p.endswith(".parquet")),
-        key=lambda p: os.path.getmtime(os.path.join(path, p)),
-    )
-    base = os.path.getmtime(os.path.join(path, parts[-1]))
-    for i, p in enumerate(parts):
-        os.utime(os.path.join(path, p), (base + i, base + i))
-    return path

@@ -514,7 +514,7 @@ def test_stream_quantile_ingest_parameter_identity(spark, tmp_path):
 def _staged_files(spark, tmp_path, name, frames):
     """Deterministic micro-batch schedule via the library helper (the
     same one q_stream_group_quantiles uses)."""
-    from astro_sdk_spark.streaming.store import stage_microbatch_files
+    from astro_sdk_spark.streaming.testing import stage_microbatch_files
 
     return stage_microbatch_files(frames, str(tmp_path / name))
 

@@ -62,7 +62,7 @@ def main():
     import re
 
     vacuous_ok = set(VACUOUS_OK)
-    m = re.search(r"sf([0-9.]+)$", os.path.basename(sf_dir.rstrip("/")))
+    m = re.search(r"sf(\d+(?:\.\d+)?)$", os.path.basename(sf_dir.rstrip("/")))
     if m and float(m.group(1)) < 0.01:
         vacuous_ok |= set(VACUOUS_OK_SMALL_SF)
 
