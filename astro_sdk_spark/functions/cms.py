@@ -11,6 +11,11 @@ users) in O(depth·width) memory INDEPENDENT of key cardinality, and
 sketches of different partitions/days MERGE by cell-wise addition —
 the same reason the engine's HLL path exists.
 
+``by=[...]`` maintains one sketch PER GROUP (the "heavy hitters per
+service" shape): every function carries the group columns through the
+``(*by, d, cell, n)`` rows, so state is ``groups × depth × width`` and
+merging/querying stay per-group.
+
 Determinism: the hash is the repo-standard md5 device
 (``CAST('0x' || substr(md5(i || ':' || key), 1, 15) AS BIGINT)``),
 identical in Spark and any SQL engine — so building, querying, and
@@ -19,10 +24,11 @@ randomly-seeded sketch libraries.
 
 Scale shape: building explodes each row into ``depth`` (row, cell)
 pairs and partially aggregates — the shuffle moves at most
-``depth × width`` rows per partition regardless of input size.
-Querying joins the keys' cells against the sketch (broadcast: the
-sketch is ≤ depth·width rows by construction) and takes the per-key
-min. Merging is a cell-keyed sum — partial-agg again.
+``depth × width`` rows per partition (× groups when ``by`` is set)
+regardless of input size. Querying joins the keys' cells against the
+sketch (broadcast: the sketch is ≤ depth·width rows per group by
+construction) and takes the per-key min. Merging is a cell-keyed sum —
+partial-agg again.
 """
 
 from __future__ import annotations
@@ -47,11 +53,13 @@ def cms_build(
     key_col: str,
     width: int = 1024,
     depth: int = 4,
+    by: list[str] | None = None,
 ) -> DataFrame:
-    """Sketch a column: returns ``(d, cell, n)`` — at most depth×width
-    rows. Missing cells are implicitly zero."""
+    """Sketch a column: returns ``(*by, d, cell, n)`` — at most
+    depth×width rows per group. Missing cells are implicitly zero."""
     if width <= 0 or depth <= 0:
         raise ValueError("width and depth must be positive")
+    keys = list(by or [])
     k = F.col(key_col)
     pairs = F.array(
         *[
@@ -60,22 +68,24 @@ def cms_build(
         ]
     )
     return (
-        df.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
+        df.select(*keys, F.explode(pairs).alias("p"))
+        .groupBy(*keys, F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
-def cms_merge(*sketches: DataFrame) -> DataFrame:
+def cms_merge(*sketches: DataFrame, by: list[str] | None = None) -> DataFrame:
     """Cell-wise sum of same-shape sketches (different partitions, days,
     corpora) — the mergeability that makes the sketch a distributed
-    aggregate rather than a single-pass artifact."""
+    aggregate rather than a single-pass artifact. Grouped sketches merge
+    per group (pass the same ``by``)."""
     if not sketches:
         raise ValueError("at least one sketch required")
+    keys = list(by or [])
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("d", "cell").agg(F.sum("n").alias("n"))
+    return out.groupBy(*keys, "d", "cell").agg(F.sum("n").alias("n"))
 
 
 def cms_query(
@@ -84,10 +94,13 @@ def cms_query(
     key_col: str,
     width: int = 1024,
     depth: int = 4,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Estimate each key's frequency: min over its ``depth`` counters
-    (0 when a cell is absent). Returns ``(key_col, est)``. The sketch
-    side is broadcast — it is ≤ depth×width rows by construction.
+    (0 when a cell is absent). Returns ``(*by, key_col, est)``. The
+    sketch side is broadcast — it is ≤ depth×width rows per group by
+    construction. For a grouped sketch, ``keys`` must carry the ``by``
+    columns and each (group, key) pair is estimated within its group.
 
     ``width``/``depth`` MUST match the values the sketch was built with
     — cell indices are recomputed mod ``width``, so a mismatch silently
@@ -95,8 +108,10 @@ def cms_query(
     sketch (they are part of its identity, like an HLL's precision)."""
     if width <= 0 or depth <= 0:
         raise ValueError("width and depth must be positive")
+    grp = list(by or [])
     k = F.col(key_col)
     cells = keys.select(
+        *grp,
         key_col,
         F.explode(
             F.array(
@@ -108,8 +123,8 @@ def cms_query(
                 ]
             )
         ).alias("p"),
-    ).select(key_col, F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
-    joined = cells.join(F.broadcast(sketch), ["d", "cell"], "left").select(
-        key_col, F.coalesce(F.col("n"), F.lit(0)).alias("_n")
+    ).select(*grp, key_col, F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
+    joined = cells.join(F.broadcast(sketch), [*grp, "d", "cell"], "left").select(
+        *grp, key_col, F.coalesce(F.col("n"), F.lit(0)).alias("_n")
     )
-    return joined.groupBy(key_col).agg(F.min("_n").alias("est"))
+    return joined.groupBy(*grp, key_col).agg(F.min("_n").alias("est"))

@@ -15,7 +15,10 @@ Spark-first, 100 TB-safe:
 - check_table wraps every row-level check statement in ``bool_and(...)``
   so exactly ONE row ever returns to the driver, whatever the table size.
   Statements that are already aggregates (``COUNT(*) = 1000``) are detected
-  by a driver-side analysis probe (no job runs) and used as-is.
+  STATICALLY against the built-in aggregate/scalar function names (no
+  analyzer round-trip, no ERROR-log noise); only unclassifiable statements
+  (subqueries, windows, unknown functions) fall back to a driver-side
+  analysis probe (no job runs).
 """
 
 from __future__ import annotations
@@ -154,6 +157,74 @@ def check_column(
     return results
 
 
+# Spark's built-in aggregate function names (SQL surface). Used to classify
+# a check_statement STATICALLY — an aggregate statement must not be wrapped
+# in bool_and (nested aggregates are illegal), a row-level one must be. The
+# old implementation discovered this by analyzing the wrapped form and
+# catching NESTED_AGGREGATE_FUNCTION, which (a) pays an extra analyzer
+# round-trip per aggregate check and (b) makes Spark's SQLQueryContextLogger
+# emit a full ERROR-level stack trace into otherwise-clean logs.
+_AGGREGATE_FNS = frozenset({
+    "any", "any_value", "approx_count_distinct", "approx_percentile",
+    "array_agg", "avg", "bit_and", "bit_or", "bit_xor",
+    "bitmap_construct_agg", "bitmap_or_agg", "bool_and", "bool_or",
+    "collect_list", "collect_set", "corr", "count", "count_if",
+    "count_min_sketch", "covar_pop", "covar_samp", "every", "first",
+    "first_value", "grouping", "grouping_id", "histogram_numeric",
+    "hll_sketch_agg", "hll_union_agg", "kurtosis", "last", "last_value",
+    "listagg", "max", "max_by", "mean", "median", "min", "min_by", "mode",
+    "percentile", "percentile_approx", "percentile_cont", "percentile_disc",
+    "regr_avgx", "regr_avgy", "regr_count", "regr_intercept", "regr_r2",
+    "regr_slope", "regr_sxx", "regr_sxy", "regr_syy", "skewness", "some",
+    "std", "stddev", "stddev_pop", "stddev_samp", "string_agg", "sum",
+    "try_avg", "try_sum", "var_pop", "var_samp", "variance",
+})
+
+# Common scalar builtins a check statement plausibly calls. Calls outside
+# BOTH sets (user functions, exotic builtins) fall back to the analyzer
+# probe — correct either way, just slower and noisier, so the lists only
+# need to cover what real checks use, not the whole function registry.
+_SCALAR_FNS = frozenset({
+    "abs", "array", "array_contains", "ascii", "cast", "ceil", "ceiling",
+    "char_length", "coalesce", "concat", "concat_ws", "contains", "crc32",
+    "current_date", "current_timestamp", "date_add", "date_diff", "date_sub",
+    "date_trunc", "datediff", "day", "dayofmonth", "dayofweek", "element_at",
+    "endswith", "exp", "floor", "format_number", "format_string",
+    "from_json", "from_unixtime", "get_json_object", "greatest", "hash",
+    "hour", "if", "ifnull", "initcap", "instr", "isnotnull", "isnull",
+    "least", "left", "length", "levenshtein", "like", "ln", "locate", "log",
+    "log10", "lower", "lpad", "ltrim", "map", "md5", "minute", "mod",
+    "month", "named_struct", "now", "nullif", "nvl", "nvl2", "pmod",
+    "position", "pow", "power", "regexp_extract", "regexp_like",
+    "regexp_replace", "repeat", "replace", "reverse", "right", "rlike",
+    "round", "rpad", "rtrim", "second", "sha1", "sha2", "sign", "size",
+    "split", "sqrt", "startswith", "struct", "substr", "substring",
+    "to_date", "to_timestamp", "translate", "trim", "trunc", "try_cast",
+    "typeof", "unix_timestamp", "upper", "year",
+})
+
+
+def classify_check_statement(stmt: str) -> bool | None:
+    """Statically classify a check statement: ``True`` = aggregate (use
+    as-is), ``False`` = row-level (wrap in bool_and), ``None`` =
+    undecidable (subquery, window, or unrecognized function — let the
+    analyzer probe decide). Pure string analysis; no Spark calls."""
+    import re
+
+    s = re.sub(r"'(?:[^'\\]|\\.)*'", "''", stmt)  # string literals out
+    s = re.sub(r"`[^`]*`", "`x`", s)  # quoted identifiers out
+    s = re.sub(r"--[^\n]*", "", s)  # line comments out
+    tokens = set(re.findall(r"[a-z_][a-z0-9_]*", s.lower()))
+    if "select" in tokens or "over" in tokens:
+        return None  # subquery / window function — not statically decidable
+    calls = {m.group(1).lower() for m in re.finditer(r"\b([a-z_][a-z0-9_]*)\s*\(", s, re.I)}
+    if calls & _AGGREGATE_FNS:
+        return True
+    if calls <= _SCALAR_FNS:  # includes the no-calls case
+        return False
+    return None  # unrecognized function — could be a UDAF
+
+
 def build_check_table_sql(
     spark: SparkSession,
     table_name: str,
@@ -161,11 +232,15 @@ def build_check_table_sql(
     partition_clause: str | None = None,
 ) -> str:
     """ONE query, ONE output row: each check_statement is wrapped in
-    ``bool_and(...)`` unless it is already an aggregate (detected by a
-    driver-side analysis probe — ``spark.sql`` resolves the plan eagerly
-    without running a job, and a nested-aggregate error identifies the
-    aggregate checks). check_name doubles as the output alias, so it must
-    be a valid identifier (injection guard)."""
+    ``bool_and(...)`` unless it is already an aggregate. Aggregate-ness is
+    decided STATICALLY (:func:`classify_check_statement` — known aggregate
+    / scalar function names, no analyzer round-trip, no ERROR-log noise);
+    only statements it cannot classify (subqueries, windows, unknown
+    functions) fall back to the analysis probe, where a nested-aggregate
+    error identifies the aggregate checks. check_name doubles as the
+    output alias, so it must be a valid identifier (injection guard)."""
+    import logging
+
     where = f" WHERE {partition_clause}" if partition_clause else ""
     exprs = []
     for check_name, spec in checks.items():
@@ -175,11 +250,18 @@ def build_check_table_sql(
         # coalesce: bool_and over ZERO rows is NULL — the reference's
         # per-row evaluation passes vacuously on an empty table, so we do too
         wrapped = f"coalesce(bool_and(({stmt})), true)"
-        try:
-            spark.sql(f"SELECT {wrapped} FROM {table_name}{where}")
-            expr = wrapped
-        except Exception:  # noqa: BLE001 - aggregate-in-aggregate → use as-is
-            expr = f"(({stmt}))"
+        is_agg = classify_check_statement(stmt)
+        if is_agg is None:
+            logging.getLogger(__name__).debug(
+                "check %s: statement not statically classifiable, "
+                "probing the analyzer: %s", check_name, stmt
+            )
+            try:
+                spark.sql(f"SELECT {wrapped} FROM {table_name}{where}")
+                is_agg = False
+            except Exception:  # noqa: BLE001 - nested aggregate → use as-is
+                is_agg = True
+        expr = f"(({stmt}))" if is_agg else wrapped
         exprs.append(f"{expr} AS {check_name}")
     return f"SELECT {', '.join(exprs)} FROM {table_name}{where}"
 

@@ -33,23 +33,37 @@ def scrub_orphaned_location(spark: SparkSession, qualified_name: str) -> None:
     write would die with LOCATION_ALREADY_EXISTS. Only safe for names the
     operator generates itself. Local/file warehouses only; unqualified
     names resolve against the session's CURRENT database, exactly as
-    ``saveAsTable`` does (layout: ``<wh>/<table>`` in default,
-    ``<wh>/<db>.db/<table>`` elsewhere)."""
+    ``saveAsTable`` does.
+
+    The managed location is resolved through the catalog's DATABASE
+    metadata (``spark.catalog.getDatabase(...).locationUri``), so a
+    database created with a custom ``LOCATION`` scrubs correctly; only
+    when the catalog lookup itself fails does the default-layout
+    heuristic (``<wh>/<table>`` in default, ``<wh>/<db>.db/<table>``
+    elsewhere) apply."""
     import os
     import shutil
     from urllib.parse import urlparse
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-    if wh.scheme not in ("", "file"):
-        return
     db, _, table = qualified_name.rpartition(".")
     if not db:
         db = spark.catalog.currentDatabase()
-    parts = [wh.path or wh.netloc]
-    if db and db.lower() != "default":
-        parts.append(f"{db.lower()}.db")
-    parts.append(table.lower())
-    shutil.rmtree(os.path.join(*parts), ignore_errors=True)
+    base = None
+    try:
+        loc = urlparse(spark.catalog.getDatabase(db).locationUri)
+        if loc.scheme not in ("", "file"):
+            return  # remote warehouse — leave orphan handling to the catalog
+        base = loc.path or loc.netloc
+    except Exception:  # noqa: BLE001 - catalog lookup is best-effort
+        pass
+    if not base:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        if wh.scheme not in ("", "file"):
+            return
+        base = wh.path or wh.netloc
+        if db and db.lower() != "default":
+            base = os.path.join(base, f"{db.lower()}.db")
+    shutil.rmtree(os.path.join(base, table.lower()), ignore_errors=True)
 
 
 def _write_back(spark: SparkSession, staging_qname: str, target_qname: str) -> None:

@@ -480,6 +480,7 @@ def stream_sketch_ingest(
     width: int = 1024,
     depth: int = 4,
     trigger_once: bool = True,
+    by: list[str] | None = None,
 ):
     """Maintain a count-min sketch over an unbounded stream: every
     micro-batch is sketched (functions/cms.py:cms_build) and cell-wise
@@ -487,6 +488,13 @@ def stream_sketch_ingest(
     the whole stream history in ``depth × width`` rows of state, however
     many events flow through. Query any time with
     ``cms_query(spark.table(t).select('d', 'cell', 'n'), keys, ...)``.
+
+    ``by`` maintains one sketch PER GROUP (the "heavy hitters per
+    service" shape): the store holds ``(*by, d, cell, n)`` rows —
+    groups × depth × width — and queries pass the same ``by`` to
+    ``cms_query``. The store merge is fully distributed (localCheckpoint
+    + staged table write, no driver materialization), so a
+    high-cardinality ``by`` scales with executor storage.
 
     This is the streaming face of the sketch family's mergeability (the
     same property that lets per-partition/per-day sketches combine):
@@ -510,14 +518,15 @@ def stream_sketch_ingest(
 
     spark = stream.sparkSession
     run_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:16]
+    keys = list(by or [])
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         merge_sketch_batch(
             spark, sketch_table, run_id, batch_id, batch_df,
             params={"width": width, "depth": depth},
-            data_cols=["d", "cell", "n"],
-            build=lambda b: cms_build(b, key_col, width=width, depth=depth),
-            merge=cms_merge,
+            data_cols=[*keys, "d", "cell", "n"],
+            build=lambda b: cms_build(b, key_col, width=width, depth=depth, by=keys),
+            merge=lambda stored, fresh: cms_merge(stored, fresh, by=keys),
             incompatible_what="incompatible hash spaces",
         )
 

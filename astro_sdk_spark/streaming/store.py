@@ -37,9 +37,13 @@ The contract, explicitly:
   rebuilds it from scratch via the staged swap.
 
 Scale note: the store is sketch-sized (CMS depth x width cells, quantile
-range/width buckets, or groups x buckets) — collecting it to the driver for
-the staged rewrite is bounded by the sketch geometry the caller chose,
-never by stream length or key cardinality.
+range/width buckets, or groups x buckets) and the merge stays DISTRIBUTED
+end to end — the merged sketch is localCheckpoint'ed into executor block
+storage (breaking lineage against the table being swapped) and written
+straight to the staging table, so the driver never materializes the rows.
+A grouped store (``by=`` with a high-cardinality key) therefore scales with
+executor storage, not driver memory; the only driver traffic is the 1-row
+metadata read.
 """
 
 from __future__ import annotations
@@ -110,28 +114,36 @@ def merge_sketch_batch(
         merged = merge(spark.table(sketch_table).select(*data_cols), batch_sketch)
     else:
         merged = batch_sketch
-    # materialize BEFORE writing: the merge plan reads the table the swap
-    # is about to replace
-    merged = merged.select(*data_cols)
-    rows = merged.collect()
-    if not rows:
+    # Materialize ONCE, off the driver, BEFORE writing: localCheckpoint
+    # computes the merged sketch into executor block storage and truncates
+    # lineage against the table the swap is about to replace, so the
+    # emptiness probe and the table write below both read the checkpointed
+    # blocks instead of recomputing (or worse, collecting) the merge. This
+    # keeps a grouped store (``by=`` with many groups) fully distributed —
+    # the driver never holds the sketch rows, whatever the group
+    # cardinality.
+    merged = merged.select(*data_cols).localCheckpoint(eager=True)
+    if not merged.take(1):
         return  # batch sketched to nothing (e.g. all-null values) — no-op
-    out = spark.createDataFrame(rows, merged.schema)
-    out = out.withColumn("_run_id", F.lit(run_id)).withColumn(
+    out = merged.withColumn("_run_id", F.lit(run_id)).withColumn(
         "_batch_id", F.lit(batch_id)
     )
     for p, v in params.items():
         out = out.withColumn(f"_{p}", F.lit(v))
-    if spark.catalog.tableExists(sketch_table):
-        from astro_sdk_spark.operators.swap import (
-            scrub_orphaned_location,
-            swap_table,
-        )
+    from astro_sdk_spark.operators.swap import (
+        scrub_orphaned_location,
+        swap_table,
+    )
 
+    if spark.catalog.tableExists(sketch_table):
         staging = f"{sketch_table}__sketch_staging"
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
         scrub_orphaned_location(spark, staging)
         out.write.format("parquet").saveAsTable(staging)
         swap_table(spark, staging, sketch_table)
     else:
+        # first creation: a run killed mid-saveAsTable leaves the location
+        # behind with no catalog entry — scrub it like the staging path
+        # does, or the retry dies with LOCATION_ALREADY_EXISTS
+        scrub_orphaned_location(spark, sketch_table)
         out.write.format("parquet").saveAsTable(sketch_table)

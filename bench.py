@@ -41,6 +41,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Host-noise flag: the r7→r8 driver comparison burned judge cycles
+    # separating an ~8% uniform drift (host load) from real regressions.
+    # Record the 1/5/15-minute load averages at bench START so artifact
+    # readers can tell a hot host from a hot plan at a glance.
+    try:
+        load_avg = [round(v, 2) for v in os.getloadavg()]
+    except OSError:
+        load_avg = None
 
     from astro_sdk_spark import get_session
     from astro_sdk_spark.functions._cache import (
@@ -246,6 +254,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load_avg": load_avg,
                 **ingest,
                 **skew_out,
             }

@@ -155,3 +155,64 @@ def test_render_literal_nonfinite_floats():
     assert render_literal(float("-inf")) == "CAST('-Infinity' AS DOUBLE)"
     assert render_literal(1.5) == "1.5"
     assert not math.isnan(float(render_literal(2.0)))
+
+
+# ---------------------------------------------------------------------------
+# Static aggregate detection (round 9): build_check_table_sql must classify
+# ordinary aggregate and row-level statements WITHOUT an analyzer probe —
+# the probe's NESTED_AGGREGATE_FUNCTION failure makes Spark's
+# SQLQueryContextLogger dump an ERROR-level stack trace into clean runs.
+
+
+def test_classify_check_statement_static_cases():
+    from astro_sdk_spark.operators.data_validation import classify_check_statement
+
+    # aggregates — use as-is
+    assert classify_check_statement("COUNT(*) = 1000") is True
+    assert classify_check_statement("sum(x) / count(*) > 0.5") is True
+    assert classify_check_statement("min(ts) >= date '2020-01-01'") is True
+    # row-level — wrap in bool_and (incl. scalar function calls)
+    assert classify_check_statement("a + b < c") is False
+    assert classify_check_statement("length(trim(name)) BETWEEN 1 AND 80") is False
+    assert classify_check_statement("coalesce(v, 0) >= 0") is False
+    # undecidable — subquery, window, unknown function -> probe
+    assert classify_check_statement("(SELECT count(*) FROM t) = 5") is None
+    assert classify_check_statement("rank() OVER (ORDER BY x) = 1") is None
+    assert classify_check_statement("my_udaf(x) > 0") is None
+    # literals/comments must not confuse the token scan
+    assert classify_check_statement("note <> 'count(*) select over'") is False
+    assert classify_check_statement("x > 0 -- select count(*)") is False
+
+
+def test_build_check_table_sql_no_probe_for_static_statements():
+    class ProbeForbidden:
+        def sql(self, *_a, **_k):
+            raise AssertionError("analyzer probe ran for a static statement")
+
+    sql = build_check_table_sql(
+        ProbeForbidden(),
+        "t",
+        {
+            "row_count": {"check_statement": "COUNT(*) = 10"},
+            "vals_ok": {"check_statement": "v >= id"},
+            "name_len": {"check_statement": "length(name) < 80"},
+        },
+    )
+    assert "((COUNT(*) = 10)) AS row_count" in sql
+    assert "coalesce(bool_and((v >= id)), true) AS vals_ok" in sql
+    assert "coalesce(bool_and((length(name) < 80)), true) AS name_len" in sql
+
+
+def test_build_check_table_sql_probe_fallback_still_works(spark):
+    spark.range(5).selectExpr("id", "id * 2 AS v").createOrReplaceTempView(
+        "ct_probe_t"
+    )
+    # scalar subquery: not statically classifiable; the probe must decide
+    # (the wrapped form analyzes fine -> treated as row-level)
+    sql = build_check_table_sql(
+        spark,
+        "ct_probe_t",
+        {"sub_ok": {"check_statement": "(SELECT 5) = 5"}},
+    )
+    assert "bool_and" in sql
+    assert spark.sql(sql).collect()[0]["sub_ok"] is True

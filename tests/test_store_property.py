@@ -77,3 +77,70 @@ def test_store_equals_one_shot_sketch_under_any_schedule(
         assert got == want
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# grouped schedules: each element is (group, value); groups g0/g1/g2 so
+# every batch can hit a mix of groups, including groups that appear in
+# only one batch
+grouped_batch_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["g0", "g1", "g2"]),
+        st.integers(min_value=-300, max_value=300).map(lambda i: float(i)),
+    ),
+    max_size=8,
+)
+grouped_schedule_strategy = st.lists(
+    grouped_batch_strategy, min_size=1, max_size=5
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    schedule=grouped_schedule_strategy,
+    replay_mask=st.integers(min_value=0, max_value=31),
+)
+def test_grouped_store_equals_one_shot_sketch_under_any_schedule(
+    spark, schedule, replay_mask
+):
+    """The grouped (by=[...]) store under the same adversarial schedules:
+    arbitrary values and group mixes, empties anywhere, replays anywhere —
+    the final store must equal the grouped one-shot sketch of all data."""
+    from astro_sdk_spark.functions.quantiles import quantile_sketch_merge
+
+    table = "prop_store_grp_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def step(batch_id, df):
+        merge_sketch_batch(
+            spark, table, "run1", batch_id, df,
+            params={"width": 100, "scale": 2},
+            data_cols=["g", "bucket", "n"],
+            build=lambda b: quantile_sketch_build(b, "v", width=100, by=["g"]),
+            merge=lambda s, f: quantile_sketch_merge(s, f, by=["g"]),
+            incompatible_what="incompatible bucket grids",
+        )
+
+    try:
+        for i, rows in enumerate(schedule):
+            df = spark.createDataFrame(rows, "g string, v double")
+            step(i, df)
+            if (replay_mask >> i) & 1:
+                step(i, df)  # replay — must no-op
+
+        all_rows = [r for batch in schedule for r in batch]
+        if not all_rows:
+            assert not spark.catalog.tableExists(table)
+            return
+        got = sorted(
+            map(tuple, spark.table(table).select("g", "bucket", "n").collect())
+        )
+        whole = spark.createDataFrame(all_rows, "g string, v double")
+        want = sorted(
+            map(
+                tuple,
+                quantile_sketch_build(whole, "v", width=100, by=["g"]).collect(),
+            )
+        )
+        assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -701,3 +701,178 @@ def test_stream_quantile_ingest_grouped(spark, tmp_path):
         assert p95["svc_a"] <= 100.0 and p95["svc_b"] >= 300.0
     finally:
         spark.sql("DROP TABLE IF EXISTS qsk_grp_t")
+
+
+def test_stream_quantile_ingest_high_cardinality_stays_off_driver(
+    spark, tmp_path, monkeypatch
+):
+    """Round-9 regression for the grouped store's scale contract: with a
+    HIGH-cardinality ``by`` (one group per doc-id-like key), the merge must
+    stay distributed — the only driver-side collect during the whole run is
+    the 1-row store-metadata read. Under the old implementation every
+    micro-batch collected the full groups x buckets sketch to the driver,
+    which this test would catch as a multi-thousand-row collect."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDataFrame
+
+    from astro_sdk_spark.streaming.ops import stream_quantile_ingest
+
+    n_groups = 4000
+    rows = [(f"doc{i}", float(i % 97)) for i in range(n_groups)]
+    df = spark.createDataFrame(rows, "doc_id string, v double")
+    lo = df.filter(F.col("v") < 50)
+    hi = df.filter(F.col("v") >= 50)
+    d = _staged_files(spark, tmp_path, "q_hicard", [lo, hi])
+
+    collect_sizes: list[int] = []
+    real_collect = ClassicDataFrame.collect
+
+    def spying_collect(self):
+        out = real_collect(self)
+        collect_sizes.append(len(out))
+        return out
+
+    spark.sql("DROP TABLE IF EXISTS qsk_hicard_t")
+    try:
+        monkeypatch.setattr(ClassicDataFrame, "collect", spying_collect)
+        q = stream_quantile_ingest(
+            spark.readStream.schema("doc_id string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d),
+            "v", "qsk_hicard_t", str(tmp_path / "ck_hicard"),
+            width=10, by=["doc_id"],
+        )
+        assert q.awaitTermination(180)
+        assert q.exception() is None
+        monkeypatch.undo()
+        assert max(collect_sizes, default=0) <= 1, (
+            f"driver-side collect of {max(collect_sizes)} rows during a "
+            f"grouped sketch ingest — the merge must stay distributed"
+        )
+        got_groups = (
+            spark.table("qsk_hicard_t").select("doc_id").distinct().count()
+        )
+        assert got_groups == n_groups
+    finally:
+        monkeypatch.undo()
+        spark.sql("DROP TABLE IF EXISTS qsk_hicard_t")
+
+
+def test_stream_restart_same_checkpoint_replays_without_double_count(
+    spark, tmp_path, monkeypatch
+):
+    """Driver-restart replay: the stream crashes AFTER the store merged
+    micro-batch 1 but BEFORE the checkpoint committed it. A restart from
+    the SAME checkpoint replays batch 1 into foreachBatch — the store's
+    (_run_id, _batch_id) watermark must skip the replay (no double count)
+    while still merging the batches the first run never saw."""
+    from astro_sdk_spark.functions.quantiles import quantile_sketch_build
+    from astro_sdk_spark.streaming import store as store_mod
+    from astro_sdk_spark.streaming.ops import stream_quantile_ingest
+
+    frames = [
+        spark.createDataFrame([(float(i),) for i in rng], "v double")
+        for rng in (range(0, 100), range(100, 200), range(200, 300))
+    ]
+    d = _staged_files(spark, tmp_path, "q_restart", frames)
+    ckpt = str(tmp_path / "ck_restart")
+
+    real_merge = store_mod.merge_sketch_batch
+    crashed = {"done": False}
+
+    def crash_after_merge(spark_, table, run_id, batch_id, batch_df, **kw):
+        real_merge(spark_, table, run_id, batch_id, batch_df, **kw)
+        if batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash: merged but uncommitted")
+
+    spark.sql("DROP TABLE IF EXISTS qsk_restart_t")
+    try:
+        monkeypatch.setattr(store_mod, "merge_sketch_batch", crash_after_merge)
+        q = stream_quantile_ingest(
+            spark.readStream.schema("v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d),
+            "v", "qsk_restart_t", ckpt, width=100,
+        )
+        with pytest.raises(Exception, match="injected crash"):
+            q.awaitTermination(180)
+            if q.exception() is not None:
+                raise q.exception()
+        assert crashed["done"]
+        monkeypatch.undo()
+
+        # restart from the SAME checkpoint: batch 1 replays (skip), batch 2
+        # merges fresh
+        q2 = stream_quantile_ingest(
+            spark.readStream.schema("v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d),
+            "v", "qsk_restart_t", ckpt, width=100,
+        )
+        assert q2.awaitTermination(180)
+        assert q2.exception() is None
+
+        got = sorted(
+            map(tuple, spark.table("qsk_restart_t").select("bucket", "n").collect())
+        )
+        whole = spark.createDataFrame(
+            [(float(i),) for i in range(300)], "v double"
+        )
+        want = sorted(
+            map(tuple, quantile_sketch_build(whole, "v", width=100).collect())
+        )
+        assert got == want
+    finally:
+        monkeypatch.undo()
+        spark.sql("DROP TABLE IF EXISTS qsk_restart_t")
+
+
+def test_stream_sketch_ingest_grouped_matches_batch(spark, tmp_path):
+    """by=[...] on the CMS twin: the streamed grouped sketch equals the
+    grouped whole-data build and per-group queries come out of it."""
+    from astro_sdk_spark.functions.cms import cms_build, cms_query
+    from astro_sdk_spark.streaming.ops import stream_sketch_ingest
+
+    rows = [("svc_a", f"k{i % 5}") for i in range(600)] + [
+        ("svc_b", "hot")
+    ] * 250 + [("svc_b", f"k{i % 11}") for i in range(300)]
+    df = spark.createDataFrame(rows, "service string, key string")
+    lo = df.filter(F.col("service") == "svc_a")
+    hi = df.filter(F.col("service") == "svc_b")
+    d = _staged_files(spark, tmp_path, "cms_grouped", [lo, hi])
+    spark.sql("DROP TABLE IF EXISTS cms_grp_t")
+    try:
+        q = stream_sketch_ingest(
+            spark.readStream.schema("service string, key string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d),
+            "key", "cms_grp_t", str(tmp_path / "ck_cms_grp"),
+            width=128, depth=3, by=["service"],
+        )
+        assert q.awaitTermination(120)
+        assert q.exception() is None
+        got = {
+            (r.service, r.d, r.cell): r.n
+            for r in spark.table("cms_grp_t")
+            .select("service", "d", "cell", "n")
+            .collect()
+        }
+        want = {
+            (r.service, r.d, r.cell): r.n
+            for r in cms_build(
+                df, "key", width=128, depth=3, by=["service"]
+            ).collect()
+        }
+        assert got == want
+        est = {
+            (r.service, r.key): r.est
+            for r in cms_query(
+                spark.table("cms_grp_t").select("service", "d", "cell", "n"),
+                df.select("service", "key").distinct(),
+                "key", width=128, depth=3, by=["service"],
+            ).collect()
+        }
+        assert est[("svc_b", "hot")] >= 250
+        assert ("svc_a", "hot") not in est
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cms_grp_t")

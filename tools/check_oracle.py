@@ -63,7 +63,19 @@ def main():
 
     vacuous_ok = set(VACUOUS_OK)
     m = re.search(r"sf(\d+(?:\.\d+)?)$", os.path.basename(sf_dir.rstrip("/")))
-    if m and float(m.group(1)) < 0.01:
+    if m is None:
+        # Unparseable directory name: the dataset's scale is unknown, so a
+        # legitimately-selective empty (q_correlated_agg on a tiny custom
+        # corpus) must not hard-fail — apply the small-SF allowlist and say
+        # so, rather than guessing the data is big enough to hit every
+        # predicate.
+        print(
+            f"# warning: cannot parse scale factor from {sf_dir!r} "
+            f"(expected .../sf<N>); applying VACUOUS_OK_SMALL_SF "
+            f"{sorted(VACUOUS_OK_SMALL_SF)}"
+        )
+        vacuous_ok |= set(VACUOUS_OK_SMALL_SF)
+    elif float(m.group(1)) < 0.01:
         vacuous_ok |= set(VACUOUS_OK_SMALL_SF)
 
     if plain:
