@@ -5662,11 +5662,13 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (waiting orders): late lineitems of multi-supplier 'F'
     orders where the row's supplier is the ONLY late one. EXISTS becomes
     ``n_supp >= 2``; NOT EXISTS becomes ``n_late_supp = 1`` (the late row
-    itself accounts for the one late supplier) — both computed in one
-    groupBy(l_orderkey) over the lineitem⋈orders join and joined back on
-    the same key, so Catalyst reuses the orderkey partitioning instead of
-    shuffling lineitem twice more. supplier/nation resolve at the end on
-    the already-tiny waiting set; nation broadcast."""
+    itself accounts for the one late supplier). Both come from a WINDOW
+    over ONE per-(order, supplier) aggregate ``g`` — late-row multiplicity
+    rides along as a count, so numwait is a sum; lineitem is scanned once
+    and shuffled once (raw rows), the window shuffles only g, and no
+    countDistinct/Expand or self-join ever touches raw rows again.
+    supplier/nation resolve at the end on the already-tiny waiting set;
+    nation broadcast."""
     of = (
         T(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -5682,17 +5684,30 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_sd") > F.date_add(F.col("_od"), 100)).alias("_late"),
         )
     )
-    stats = l.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_n_supp"),
-        F.countDistinct(
-            F.when(F.col("_late"), F.col("l_suppkey"))
-        ).alias("_n_late"),
+    # Pre-aggregate to one row per (order, supplier), carrying the LATE-row
+    # multiplicity — the distinct-supplier counts become plain aggregates
+    # over g instead of countDistinct's Expand (which would shuffle every
+    # lineitem row twice). The per-order EXISTS/NOT-EXISTS conditions then
+    # come from a WINDOW over g partitioned by order: no self-join, no
+    # second scan of lineitem — one raw-row shuffle to build g, one
+    # g-sized shuffle for the window, done.
+    from pyspark.sql import Window
+
+    g = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.col("_late").cast("long")).alias("_n_late_rows")
     )
-    waiting = l.filter(F.col("_late")).join(
-        stats.filter(
-            (F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)
-        ).select("l_orderkey"),
-        "l_orderkey",
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        g.withColumn("_n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "_n_late",
+            F.sum((F.col("_n_late_rows") > 0).cast("long")).over(w),
+        )
+        .filter(
+            (F.col("_n_late_rows") > 0)
+            & (F.col("_n_supp") >= 2)
+            & (F.col("_n_late") == 1)
+        )
     )
     s = T(spark, sf_dir, "supplier")
     n = T(spark, sf_dir, "nation").filter(
@@ -5704,7 +5719,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         waiting.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", "s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("_n_late_rows").alias("numwait"))
     )
 
 
