@@ -5811,6 +5811,168 @@ def q_stream_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q4 (order priority checking), adapted: an order counts when ANY of
+# its lineitems shipped more than 100 days after the order date (the
+# schema has no commit/receipt dates). The oracle keeps the correlated
+# EXISTS; Spark runs it as a LEFT SEMI join whose condition carries the
+# correlation (l_shipdate > o_orderdate + 100) INTO the join — no
+# per-order subquery, one pass over lineitem, duplicate matches collapse
+# inside the semi-join instead of needing a distinct.
+
+_TPCH_Q4_ORACLE = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND CAST(l_shipdate AS DATE) >
+                          CAST(o_orderdate AS DATE) + INTERVAL 100 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@q("q_tpch_q4", _TPCH_Q4_ORACLE)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: 1996 orders with at least one late lineitem, counted per
+    priority. The correlated EXISTS compiles to a single left-semi join
+    with the date correlation as a join residual — lineitem never
+    materializes matches (semi stops at the first), and the orders date
+    window pushes into the scan."""
+    o = (
+        T(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("_od"),
+        )
+        .filter(
+            (F.col("_od") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("_od") < F.lit("1997-01-01").cast("date"))
+        )
+    )
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("_sd")
+    )
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("_sd") > F.date_add(F.col("_od"), 100)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 (national market share), adapted to the synthetic names: the
+# share of NATION_3 suppliers in the STANDARD-part order volume of ASIA
+# customers, per order year. The widest dim fan-in in the registry
+# (part + orders + customer + supplier + nation×2 + region around
+# lineitem). The share is a ratio of two exact 1e-4-dollar integer sums,
+# floor-pinned to 6 digits in both engines.
+
+_TPCH_Q8_ORACLE = """
+    WITH all_nations AS (
+      SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+        AND CAST(o_orderdate AS DATE)
+              BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        AND p_type LIKE 'STANDARD%')
+    SELECT o_year,
+           floor(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                               THEN vol ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(vol) AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS mkt_share
+    FROM all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+@q("q_tpch_q8", _TPCH_Q8_ORACLE)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_3's share of ASIA-customer STANDARD-part volume
+    by year. nation/region broadcast; part is pre-filtered on p_type
+    before joining (column-pruned to the key); the supplier nation rides
+    a broadcast so the share's CASE needs no extra join. Numerator and
+    denominator are DECIMAL(38) sums of per-row BIGINT volumes — one
+    double division at the end, floor-pinned identically in both
+    engines."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    p = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_type").like("STANDARD%"))
+        .select("p_partkey")
+    )
+    od = F.col("o_orderdate").cast("date")
+    vol = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    cust_asia = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_n = (
+        s.join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("_snk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", vol)
+        .otherwise(F.lit(0))
+        .cast("decimal(38,0)")
+    )
+    den = _dsum(vol)
+    share = (
+        F.floor(
+            num.cast("double") / den.cast("double") * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            o.filter(
+                (od >= F.lit("1995-01-01").cast("date"))
+                & (od <= F.lit("1996-12-31").cast("date"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year(od).alias("o_year"))
+        .agg(share.alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -5974,6 +6136,10 @@ _TAIL_VARIANTS = [
                            # maintained via the streaming sketch store
     "q_tpch_q5",           # joins: q_join_agg, q_region_revenue in-window
                            # (six-table local-supplier star join)
+    "q_tpch_q4",           # joins: q_tpch_q21 in-window (correlated-EXISTS
+                           # semi-join family; Q4 is the single-EXISTS form)
+    "q_tpch_q8",           # joins: q_tpch_q7 in-window (two-nation volume
+                           # family; Q8 is the share-ratio variant)
 ]
 
 
