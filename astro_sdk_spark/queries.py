@@ -6006,8 +6006,8 @@ _TAIL_VARIANTS = [
                            # (driver-verified r2-r8)
     "q_scalar_funcs",      # scalar fns: q_json_extract + q_date_funcs
                            # in-window (driver-verified r2-r8)
-    "q_simhash_neardup",   # content-dedup: q_minhash_neardup, q_dedup_exact
-                           # in-window (driver-verified r2-r8)
+    "q_dedup_keeplist",    # dedup-clusters: q_dedup_clusters in-window
+                           # (driver-verified r2-r8)
     "q_check_column",      # data-quality: q_check_table in-window
                            # (driver-verified r2-r8)
     "q_ivf_trained",       # ANN: q_embedding_topk, q_ivf_topk, q_ivfpq_topk

@@ -24,7 +24,8 @@ FAMILIES: dict[str, list[str]] = {
     "joins": [
         "q_join_agg", "q_region_revenue", "q_semi_anti_join", "q_fuzzy_join",
         "q_tpch_q3", "q_tpch_q10", "q_tpch_q18", "q_tpch_q14",
-        "q_tpch_q22", "q_tpch_q5",
+        "q_tpch_q22", "q_tpch_q5", "q_tpch_q7", "q_tpch_q21",
+        "q_tpch_q4", "q_tpch_q8",
     ],
     "range-join": ["q_range_join"],
     "asof-join": ["q_asof_join"],
@@ -32,6 +33,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_pricing_summary", "q_group_having", "q_distinct_counts",
         "q_cms_counts", "q_cms_merged", "q_quantile_sketch",
         "q_group_quantiles", "q_stream_group_quantiles",
+        "q_stream_group_counts",
     ],
     "grouping-analytics": [
         "q_rollup", "q_cube", "q_grouping_sets", "q_pivot", "q_unpivot",
