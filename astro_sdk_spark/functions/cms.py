@@ -97,10 +97,14 @@ def cms_query(
     by: list[str] | None = None,
 ) -> DataFrame:
     """Estimate each key's frequency: min over its ``depth`` counters
-    (0 when a cell is absent). Returns ``(*by, key_col, est)``. The
-    sketch side is broadcast — it is ≤ depth×width rows per group by
-    construction. For a grouped sketch, ``keys`` must carry the ``by``
-    columns and each (group, key) pair is estimated within its group.
+    (0 when a cell is absent). Returns ``(*by, key_col, est)``. An
+    UNGROUPED sketch is broadcast — it is ≤ depth×width rows by
+    construction, a constant bound. A GROUPED sketch is groups×depth×width
+    rows with no constant bound (a high-cardinality ``by`` can make it
+    arbitrarily large), so the join is left unhinted and AQE picks
+    broadcast at runtime only when the actual size allows. For a grouped
+    sketch, ``keys`` must carry the ``by`` columns and each (group, key)
+    pair is estimated within its group.
 
     ``width``/``depth`` MUST match the values the sketch was built with
     — cell indices are recomputed mod ``width``, so a mismatch silently
@@ -124,7 +128,8 @@ def cms_query(
             )
         ).alias("p"),
     ).select(*grp, key_col, F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
-    joined = cells.join(F.broadcast(sketch), [*grp, "d", "cell"], "left").select(
+    sketch_side = sketch if grp else F.broadcast(sketch)
+    joined = cells.join(sketch_side, [*grp, "d", "cell"], "left").select(
         *grp, key_col, F.coalesce(F.col("n"), F.lit(0)).alias("_n")
     )
     return joined.groupBy(*grp, key_col).agg(F.min("_n").alias("est"))

@@ -113,10 +113,13 @@ def quantile_sketch_query(
     )
     value = (F.col("bucket") * width).cast("double") / F.lit(float(scale))
     if keys:
+        # one row per group — no constant size bound under a
+        # high-cardinality ``by``, so no broadcast hint: AQE broadcasts
+        # at runtime when the actual group count is small
         totals = sketch.groupBy(*keys).agg(F.sum("n").alias("_total"))
         cum = sketch.select(
             *keys, "bucket", F.sum("n").over(w).alias("_cum")
-        ).join(F.broadcast(totals), keys)
+        ).join(totals, keys)
         wpick = Window.partitionBy(*keys).orderBy("bucket")
         picks = [
             cum.filter(F.col("_cum") >= F.ceil(F.lit(float(q)) * F.col("_total")))
