@@ -101,3 +101,39 @@ def test_publish_example_monitor_covers_every_flag(spark, published):
         for r in spark.table("rpt_lineitem").select("l_returnflag").distinct().collect()
     }
     assert mon == {(f, q) for f in flags for q in (0.5, 0.95)}
+
+
+# ---------------------------------------------------------------------------
+# examples/stream_monitoring.py — the always-on sketch-store monitoring chain
+
+
+@pytest.fixture(scope="module")
+def monitored(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "stream_monitoring",
+        os.path.join(
+            os.path.dirname(__file__), "..", "examples", "stream_monitoring.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.monitor(spark, "/root/testdata/sf0.001")
+
+
+def test_stream_monitoring_example_covers_every_event_type(spark, monitored):
+    from astro_sdk_spark.queries import T
+
+    types = {
+        r.event_type
+        for r in T(spark, "/root/testdata/sf0.001", "events")
+        .select("event_type").distinct().collect()
+    }
+    got = {(r.event_type, r.q) for r in monitored["quantiles"]}
+    assert got == {(t, q) for t in types for q in (0.5, 0.95)}
+    # CMS estimates exist and are upper bounds > 0 for probed users
+    assert monitored["top_freqs"] and all(r.est > 0 for r in monitored["top_freqs"])
+    # state is sketch-bounded: quantile rows <= types * bucket range,
+    # cms rows <= types * depth * width
+    assert monitored["cms_state_rows"] <= len(types) * 4 * 1024
