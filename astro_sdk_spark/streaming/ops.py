@@ -519,6 +519,12 @@ def stream_sketch_ingest(
     spark = stream.sparkSession
     run_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:16]
     keys = list(by or [])
+    clash = set(keys) & {"d", "cell", "n"}
+    if clash:
+        raise ValueError(
+            f"by columns {sorted(clash)} collide with the CMS sketch "
+            f"schema (d, cell, n) — rename them before ingesting"
+        )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         merge_sketch_batch(
@@ -579,6 +585,12 @@ def stream_quantile_ingest(
     spark = stream.sparkSession
     run_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:16]
     keys = list(by or [])
+    clash = set(keys) & {"bucket", "n"}
+    if clash:
+        raise ValueError(
+            f"by columns {sorted(clash)} collide with the quantile sketch "
+            f"schema (bucket, n) — rename them before ingesting"
+        )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         merge_sketch_batch(

@@ -876,3 +876,25 @@ def test_stream_sketch_ingest_grouped_matches_batch(spark, tmp_path):
         assert ("svc_a", "hot") not in est
     finally:
         spark.sql("DROP TABLE IF EXISTS cms_grp_t")
+
+
+def test_sketch_ingest_by_column_collision_raises(spark, tmp_path):
+    """by columns that collide with the sketch schema must be rejected
+    up front, not silently fold into data_cols."""
+    from astro_sdk_spark.streaming.ops import (
+        stream_quantile_ingest,
+        stream_sketch_ingest,
+    )
+
+    spark.createDataFrame([("a", 1.0)], "n string, v double").write.parquet(
+        str(tmp_path / "x")
+    )
+    spark.createDataFrame([("a", "k")], "cell string, k string").write.parquet(
+        str(tmp_path / "y")
+    )
+    s = spark.readStream.schema("n string, v double").parquet(str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="collide with the quantile sketch"):
+        stream_quantile_ingest(s, "v", "t", str(tmp_path / "c"), by=["n"])
+    s2 = spark.readStream.schema("cell string, k string").parquet(str(tmp_path / "y"))
+    with pytest.raises(ValueError, match="collide with the CMS sketch"):
+        stream_sketch_ingest(s2, "k", "t", str(tmp_path / "c2"), by=["cell"])
