@@ -128,8 +128,22 @@ def cms_query(
             )
         ).alias("p"),
     ).select(*grp, key_col, F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
-    sketch_side = sketch if grp else F.broadcast(sketch)
-    joined = cells.join(sketch_side, [*grp, "d", "cell"], "left").select(
-        *grp, key_col, F.coalesce(F.col("n"), F.lit(0)).alias("_n")
-    )
+    if grp:
+        # null-safe on the group columns: cms_build stores NULL group
+        # values as their own group (groupBy semantics), so the probe
+        # join must reach them — plain equality would silently estimate 0
+        # for every (NULL, key) pair
+        cond = [cells[g].eqNullSafe(sketch[g]) for g in grp] + [
+            cells["d"] == sketch["d"],
+            cells["cell"] == sketch["cell"],
+        ]
+        joined = cells.join(sketch, cond, "left").select(
+            *[cells[g] for g in grp],
+            cells[key_col],
+            F.coalesce(sketch["n"], F.lit(0)).alias("_n"),
+        )
+    else:
+        joined = cells.join(F.broadcast(sketch), ["d", "cell"], "left").select(
+            key_col, F.coalesce(F.col("n"), F.lit(0)).alias("_n")
+        )
     return joined.groupBy(*grp, key_col).agg(F.min("_n").alias("est"))

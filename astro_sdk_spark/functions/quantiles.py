@@ -115,11 +115,15 @@ def quantile_sketch_query(
     if keys:
         # one row per group — no constant size bound under a
         # high-cardinality ``by``, so no broadcast hint: AQE broadcasts
-        # at runtime when the actual group count is small
+        # at runtime when the actual group count is small. The join is
+        # NULL-SAFE on the group columns: build/merge keep NULL group
+        # values as their own group, so the totals join must reach them.
         totals = sketch.groupBy(*keys).agg(F.sum("n").alias("_total"))
-        cum = sketch.select(
-            *keys, "bucket", F.sum("n").over(w).alias("_cum")
-        ).join(totals, keys)
+        cums = sketch.select(*keys, "bucket", F.sum("n").over(w).alias("_cum"))
+        cond = [cums[g].eqNullSafe(totals[g]) for g in keys]
+        cum = cums.join(totals, cond).select(
+            *[cums[g] for g in keys], "bucket", "_cum", "_total"
+        )
         wpick = Window.partitionBy(*keys).orderBy("bucket")
         picks = [
             cum.filter(F.col("_cum") >= F.ceil(F.lit(float(q)) * F.col("_total")))

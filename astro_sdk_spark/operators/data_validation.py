@@ -204,20 +204,39 @@ _SCALAR_FNS = frozenset({
 })
 
 
+# SQL keywords that legitimately precede '(' without being function calls
+# (IN-lists, boolean grouping, CASE arms) — excluded from the call scan so
+# ordinary row-level checks like "x IN (1,2)" classify statically.
+_NON_CALL_KEYWORDS = frozenset({
+    "and", "or", "not", "in", "between", "when", "then", "else", "case",
+    "end", "is", "like", "rlike", "ilike", "distinct", "exists", "all",
+})
+
+
 def classify_check_statement(stmt: str) -> bool | None:
     """Statically classify a check statement: ``True`` = aggregate (use
     as-is), ``False`` = row-level (wrap in bool_and), ``None`` =
     undecidable (subquery, window, or unrecognized function — let the
-    analyzer probe decide). Pure string analysis; no Spark calls."""
+    analyzer probe decide). Pure string analysis; no Spark calls.
+
+    Literals and comments are stripped FIRST (single- and double-quoted
+    strings, backticked identifiers, ``--`` line and ``/* */`` block
+    comments), so an aggregate-looking word inside a string or comment
+    never flips the classification."""
     import re
 
-    s = re.sub(r"'(?:[^'\\]|\\.)*'", "''", stmt)  # string literals out
+    s = re.sub(r"/\*.*?\*/", " ", stmt, flags=re.S)  # block comments out
+    s = re.sub(r"'(?:[^'\\]|\\.)*'", "''", s)  # string literals out
+    s = re.sub(r'"(?:[^"\\]|\\.)*"', "''", s)  # double-quoted literals out
     s = re.sub(r"`[^`]*`", "`x`", s)  # quoted identifiers out
     s = re.sub(r"--[^\n]*", "", s)  # line comments out
     tokens = set(re.findall(r"[a-z_][a-z0-9_]*", s.lower()))
     if "select" in tokens or "over" in tokens:
         return None  # subquery / window function — not statically decidable
-    calls = {m.group(1).lower() for m in re.finditer(r"\b([a-z_][a-z0-9_]*)\s*\(", s, re.I)}
+    calls = {
+        m.group(1).lower()
+        for m in re.finditer(r"\b([a-z_][a-z0-9_]*)\s*\(", s, re.I)
+    } - _NON_CALL_KEYWORDS
     if calls & _AGGREGATE_FNS:
         return True
     if calls <= _SCALAR_FNS:  # includes the no-calls case

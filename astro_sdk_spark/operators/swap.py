@@ -25,6 +25,54 @@ def _database_of(qualified_name: str) -> str | None:
     return qualified_name.rsplit(".", 1)[0] if "." in qualified_name else None
 
 
+def location_is_partial_write(spark: SparkSession, qualified_name: str) -> bool:
+    """True when the managed location for ``qualified_name`` exists but
+    holds only write-in-progress debris (``_temporary``, hidden/marker
+    files) and NO committed data files — the signature of a run killed
+    mid-``saveAsTable``. Used by callers that must self-heal a
+    USER-supplied table name: scrubbing is only safe when the directory
+    provably isn't someone's data (an operator-GENERATED staging name can
+    skip this check and scrub unconditionally). Missing directory → False
+    (nothing to scrub)."""
+    import os
+
+    path = _managed_location(spark, qualified_name)
+    if path is None or not os.path.isdir(path):
+        return False
+    for entry in os.listdir(path):
+        if not entry.startswith(("_", ".")):
+            return False  # committed (or foreign) data file — not ours to delete
+    return True
+
+
+def _managed_location(spark: SparkSession, qualified_name: str) -> str | None:
+    """Local-filesystem managed location for a (possibly unqualified)
+    table name, resolved through the catalog's database metadata with a
+    default-layout fallback; None for remote warehouses."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    db, _, table = qualified_name.rpartition(".")
+    if not db:
+        db = spark.catalog.currentDatabase()
+    base = None
+    try:
+        loc = urlparse(spark.catalog.getDatabase(db).locationUri)
+        if loc.scheme not in ("", "file"):
+            return None  # remote warehouse — leave orphan handling to the catalog
+        base = unquote(loc.path or loc.netloc)
+    except Exception:  # noqa: BLE001 - catalog lookup is best-effort
+        pass
+    if not base:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        if wh.scheme not in ("", "file"):
+            return None
+        base = unquote(wh.path or wh.netloc)
+        if db and db.lower() != "default":
+            base = os.path.join(base, f"{db.lower()}.db")
+    return os.path.join(base, table.lower())
+
+
 def scrub_orphaned_location(spark: SparkSession, qualified_name: str) -> None:
     """Remove a leftover managed-table DIRECTORY for a staging name its
     caller owns: a run killed between ``saveAsTable(staging)`` and the
@@ -36,34 +84,19 @@ def scrub_orphaned_location(spark: SparkSession, qualified_name: str) -> None:
     ``saveAsTable`` does.
 
     The managed location is resolved through the catalog's DATABASE
-    metadata (``spark.catalog.getDatabase(...).locationUri``), so a
-    database created with a custom ``LOCATION`` scrubs correctly; only
-    when the catalog lookup itself fails does the default-layout
-    heuristic (``<wh>/<table>`` in default, ``<wh>/<db>.db/<table>``
-    elsewhere) apply."""
-    import os
+    metadata (``spark.catalog.getDatabase(...).locationUri``, with URI
+    percent-encoding unquoted), so a database created with a custom
+    ``LOCATION`` scrubs correctly; only when the catalog lookup itself
+    fails does the default-layout heuristic (``<wh>/<table>`` in
+    default, ``<wh>/<db>.db/<table>`` elsewhere) apply. Callers healing
+    a USER-supplied name must gate on
+    :func:`location_is_partial_write` first — this function deletes
+    unconditionally."""
     import shutil
-    from urllib.parse import urlparse
 
-    db, _, table = qualified_name.rpartition(".")
-    if not db:
-        db = spark.catalog.currentDatabase()
-    base = None
-    try:
-        loc = urlparse(spark.catalog.getDatabase(db).locationUri)
-        if loc.scheme not in ("", "file"):
-            return  # remote warehouse — leave orphan handling to the catalog
-        base = loc.path or loc.netloc
-    except Exception:  # noqa: BLE001 - catalog lookup is best-effort
-        pass
-    if not base:
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-        if wh.scheme not in ("", "file"):
-            return
-        base = wh.path or wh.netloc
-        if db and db.lower() != "default":
-            base = os.path.join(base, f"{db.lower()}.db")
-    shutil.rmtree(os.path.join(base, table.lower()), ignore_errors=True)
+    path = _managed_location(spark, qualified_name)
+    if path is not None:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def _write_back(spark: SparkSession, staging_qname: str, target_qname: str) -> None:

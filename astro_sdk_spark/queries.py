@@ -6023,16 +6023,19 @@ _TAIL_VARIANTS = [
     "q_neardup_renamed_cols",  # minhash: q_minhash_neardup (same oracle)
     "q_bloom_dedup",       # exact dedup: q_dedup_exact (bloom prefilter is
                            # the scale path of the same family)
-    "q_window_running",    # windows: q_window_topk
+    "q_window_running",    # windows: q_window_extended (q_window_topk
+                           # rotated to tail in round 9)
     "q_doc_fingerprint",   # text: q_token_stats
     "q_stratified_sample", # sampling: q_train_split, q_domain_mix, q_seq_packing
-    "q_pivot",             # grouping analytics: q_rollup, q_grouping_sets
+    "q_pivot",             # grouping analytics: q_grouping_sets, q_cube
+                           # (q_rollup rotated to tail in round 9)
                            # (tailed to make window room for q_transform_ctas)
     "q_distinct_counts",   # aggregation: q_pricing_summary
     "q_group_having",      # aggregation: q_pricing_summary (tailed to make
                            # window room for q_transform_ctas)
-    "q_string_funcs",      # scalar fns: q_scalar_funcs, q_date_funcs, q_json_extract
-    "q_events_sliding",    # events: q_events_tumbling, q_events_sessions
+    "q_string_funcs",      # scalar fns: q_date_funcs, q_json_extract
+                           # (q_scalar_funcs rotated to tail in round 9)
+    "q_events_sliding",    # events: q_events_tumbling, q_events_rollup
     "q_histogram",         # distribution: q_percentiles
     "q_lang_distribution", # text: q_lang_id
     "q_top_ngrams",        # text: q_token_stats, q_doc_fingerprint
@@ -6040,8 +6043,8 @@ _TAIL_VARIANTS = [
     "q_bpe_train",         # tokenizer training: family covered in-window
                            # by q_token_stats / q_bpe_token_count
     "q_bpe_encode",        # tokenizer encode: same family
-    "q_profile_table",     # data-quality: q_check_column, q_check_table
-    "q_events_gapfill",    # events: q_events_tumbling, q_events_sessions
+    "q_profile_table",     # data-quality: q_check_table
+    "q_events_gapfill",    # events: q_events_tumbling, q_events_rollup
     "q_gopher_filter",     # text quality: q_quality_score (in-window)
     "q_c4_rules",          # cleaning: q_pii_redaction, q_line_dedup in-window
     "q_dsir_weights",      # sampling/selection: q_train_split, q_domain_mix
@@ -6063,25 +6066,25 @@ _TAIL_VARIANTS = [
                            # cross-boundary decontamination composition)
     "q_unicode_normalize",  # cleaning: q_pii_redaction, q_decontaminate
                             # in-window (canonicalization pass)
-    "q_outliers",          # data-quality: q_check_column, q_check_table
+    "q_outliers",          # data-quality: q_check_table
                            # in-window (robust-fence variant)
-    "q_funnel",            # events: q_events_tumbling, q_events_sessions
+    "q_funnel",            # events: q_events_tumbling, q_events_rollup
                            # in-window (conversion-analytics variant)
     "q_retention",         # events: q_events_tumbling in-window (cohort
                            # retention triangle)
     "q_strip_html",        # cleaning: q_pii_redaction, q_decontaminate
                            # in-window (HTML→text extraction pass)
-    "q_scd2_merge",        # merge: q_merge_update in-window (type-2
+    "q_scd2_merge",        # merge: q_merge_ignore in-window (type-2
                            # history variant of the same staged rewrite)
-    "q_table_diff",        # data-quality: q_check_column, q_check_table
+    "q_table_diff",        # data-quality: q_check_table
                            # in-window (CDC snapshot-compare variant)
     "q_rolling",           # events: q_events_tumbling in-window
                            # (trailing-window feature variant)
     "q_anomaly",           # events: q_events_tumbling in-window
                            # (rolling z-score monitoring variant)
-    "q_sessionize",        # events: q_events_sessions in-window
+    "q_sessionize",        # events: q_events_tumbling, q_events_rollup
                            # (per-event labeling variant)
-    "q_skew_report",       # data-quality: q_check_column, q_check_table
+    "q_skew_report",       # data-quality: q_check_table
                            # in-window (hot-key distribution diagnostic)
     "q_doc_line_dedup",    # content-dedup: q_line_dedup in-window
                            # (intra-document variant, shuffle-free)
@@ -6089,7 +6092,7 @@ _TAIL_VARIANTS = [
                             # in-window (incremental-load freshness)
     "q_cms_counts",        # aggregation/sketches: q_pricing_summary,
                            # q_distinct_counts family in-window
-    "q_scd2_lookup",       # merge: q_merge_update in-window (the
+    "q_scd2_lookup",       # merge: q_merge_ignore in-window (the
                            # point-in-time read side of SCD2)
     "q_hard_negatives",    # ann: q_embedding_topk, q_ivf_topk in-window
                            # (cross-label mining composition)
@@ -6099,12 +6102,12 @@ _TAIL_VARIANTS = [
                            # (classic 3-table report shape)
     "q_tpch_q10",          # joins: q_join_agg, q_region_revenue in-window
                            # (classic 4-table report shape)
-    "q_impute",            # data-quality: q_check_column, q_check_table
+    "q_impute",            # data-quality: q_check_table
                            # in-window (null-repair transform)
     "q_zorder",            # ctas/operator-layout: q_transform_ctas,
                            # q_compact_roundtrip in-window
-    "q_winsorize",         # data-quality: q_check_column, q_outliers'
-                           # family in-window (clip variant)
+    "q_winsorize",         # data-quality: q_check_table in-window
+                           # (clip variant of the q_outliers family)
     "q_cms_merged",        # aggregation/sketches: q_pricing_summary
                            # family in-window (mergeability contract)
     "q_jaccard_join",      # joins/content-dedup: q_minhash_neardup,
@@ -6113,9 +6116,9 @@ _TAIL_VARIANTS = [
     "q_pagerank",          # graph/iterative: q_dedup_clusters family
                            # in-window (connected components); fixed-point
                            # link analysis with an unrolled-SQL oracle
-    "q_unpivot",           # grouping analytics: q_rollup, q_grouping_sets
+    "q_unpivot",           # grouping analytics: q_grouping_sets, q_cube
                            # in-window (pivot's inverse reshape)
-    "q_stream_join",       # events: q_events_tumbling, q_events_sessions
+    "q_stream_join",       # events: q_events_tumbling, q_events_rollup
                            # in-window (stream-stream interval join class,
                            # batch mode of the same operator)
     "q_publish",           # ctas/operator layer: q_transform_ctas in-window

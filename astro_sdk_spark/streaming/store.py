@@ -122,28 +122,46 @@ def merge_sketch_batch(
     # keeps a grouped store (``by=`` with many groups) fully distributed —
     # the driver never holds the sketch rows, whatever the group
     # cardinality.
-    merged = merged.select(*data_cols).localCheckpoint(eager=True)
-    if not merged.take(1):
-        return  # batch sketched to nothing (e.g. all-null values) — no-op
-    out = merged.withColumn("_run_id", F.lit(run_id)).withColumn(
-        "_batch_id", F.lit(batch_id)
-    )
-    for p, v in params.items():
-        out = out.withColumn(f"_{p}", F.lit(v))
-    from astro_sdk_spark.operators.swap import (
-        scrub_orphaned_location,
-        swap_table,
+    from astro_sdk_spark.functions._cache import (
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
     )
 
-    if spark.catalog.tableExists(sketch_table):
-        staging = f"{sketch_table}__sketch_staging"
-        spark.sql(f"DROP TABLE IF EXISTS {staging}")
-        scrub_orphaned_location(spark, staging)
-        out.write.format("parquet").saveAsTable(staging)
-        swap_table(spark, staging, sketch_table)
-    else:
-        # first creation: a run killed mid-saveAsTable leaves the location
-        # behind with no catalog entry — scrub it like the staging path
-        # does, or the retry dies with LOCATION_ALREADY_EXISTS
-        scrub_orphaned_location(spark, sketch_table)
-        out.write.format("parquet").saveAsTable(sketch_table)
+    _before = persistent_rdd_ids(spark)
+    merged = merged.select(*data_cols).localCheckpoint(eager=True)
+    _ckpt_ids = persistent_rdd_ids(spark) - _before
+    try:
+        if not merged.take(1):
+            return  # batch sketched to nothing (e.g. all-null) — no-op
+        out = merged.withColumn("_run_id", F.lit(run_id)).withColumn(
+            "_batch_id", F.lit(batch_id)
+        )
+        for p, v in params.items():
+            out = out.withColumn(f"_{p}", F.lit(v))
+        from astro_sdk_spark.operators.swap import (
+            location_is_partial_write,
+            scrub_orphaned_location,
+            swap_table,
+        )
+
+        if spark.catalog.tableExists(sketch_table):
+            staging = f"{sketch_table}__sketch_staging"
+            spark.sql(f"DROP TABLE IF EXISTS {staging}")
+            # staging is an operator-GENERATED name: unconditional scrub
+            scrub_orphaned_location(spark, staging)
+            out.write.format("parquet").saveAsTable(staging)
+            swap_table(spark, staging, sketch_table)
+        else:
+            # first creation of a USER-supplied name: self-heal ONLY when
+            # the location holds partial-write debris of a killed run
+            # (_temporary / markers, zero committed files). A directory
+            # with real data files is NOT ours to delete — let
+            # saveAsTable fail loudly with LOCATION_ALREADY_EXISTS.
+            if location_is_partial_write(spark, sketch_table):
+                scrub_orphaned_location(spark, sketch_table)
+            out.write.format("parquet").saveAsTable(sketch_table)
+    finally:
+        # free the checkpoint blocks NOW: a long-running ingest would
+        # otherwise stack one groups x buckets RDD per micro-batch in
+        # executor storage until driver GC happens to run
+        unpersist_rdd_ids(spark, _ckpt_ids)

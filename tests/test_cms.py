@@ -65,3 +65,23 @@ def test_cms_query_validates(spark, stream):
     keys = stream.select("key").distinct()
     with pytest.raises(ValueError, match="positive"):
         cms_query(sketch, keys, "key", width=0, depth=3)
+
+
+def test_grouped_cms_null_group_reachable(spark):
+    """NULL group values are stored as their own group by cms_build; the
+    probe join must be null-safe so their estimates come back non-zero."""
+    from astro_sdk_spark.functions.cms import cms_build, cms_query
+
+    df = spark.createDataFrame(
+        [(None, "k1")] * 7 + [("g1", "k1")] * 3, "grp string, key string"
+    )
+    sk = cms_build(df, "key", width=64, depth=3, by=["grp"])
+    est = {
+        (r.grp, r.key): r.est
+        for r in cms_query(
+            sk, df.select("grp", "key").distinct(), "key",
+            width=64, depth=3, by=["grp"],
+        ).collect()
+    }
+    assert est[(None, "k1")] >= 7
+    assert est[("g1", "k1")] >= 3

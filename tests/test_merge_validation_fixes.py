@@ -216,3 +216,16 @@ def test_build_check_table_sql_probe_fallback_still_works(spark):
     )
     assert "bool_and" in sql
     assert spark.sql(sql).collect()[0]["sub_ok"] is True
+
+
+def test_classify_check_statement_review_edge_cases():
+    """Round-9 review regressions: literals/comments in every SQL form
+    must not flip classification, and keyword-parens must not force the
+    probe."""
+    from astro_sdk_spark.operators.data_validation import classify_check_statement
+
+    assert classify_check_statement("x > 0 /* use avg() to summarize */") is False
+    assert classify_check_statement('note <> "count(x)"') is False
+    assert classify_check_statement("a > 0 AND (b < 5)") is False
+    assert classify_check_statement("x IN (1, 2, 3)") is False
+    assert classify_check_statement("CASE WHEN (x > 0) THEN true ELSE false END") is False

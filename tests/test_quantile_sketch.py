@@ -145,3 +145,25 @@ def test_randomized_merge_and_accuracy_invariants(spark):
             assert est <= exact < est + width / 100.0, (
                 f"trial={trial} q={q} est={est} exact={exact} width={width}"
             )
+
+
+def test_grouped_quantile_null_group_reachable(spark):
+    """NULL group rows keep their own sketch and their quantiles come
+    back (null-safe totals join)."""
+    from astro_sdk_spark.functions.quantiles import (
+        quantile_sketch_build,
+        quantile_sketch_query,
+    )
+
+    df = spark.createDataFrame(
+        [(None, float(i)) for i in range(100)]
+        + [("g1", float(i)) for i in range(1000, 1100)],
+        "grp string, v double",
+    )
+    sk = quantile_sketch_build(df, "v", width=10, by=["grp"])
+    got = {
+        (r.grp, r.q): r.value
+        for r in quantile_sketch_query(sk, [0.5], width=10, by=["grp"]).collect()
+    }
+    assert (None, 0.5) in got and abs(got[(None, 0.5)] - 49.0) <= 0.2
+    assert abs(got[("g1", 0.5)] - 1049.0) <= 0.2

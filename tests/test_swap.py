@@ -102,3 +102,29 @@ def test_rollup_refresh_survives_failed_rename(spark, monkeypatch, tmp_path):
     leftovers = [t.name for t in spark.catalog.listTables() if "_tmp_refresh" in t.name]
     assert leftovers == []
     spark.sql("DROP TABLE IF EXISTS rollup_swap_t")
+
+
+def test_location_is_partial_write_discriminates(spark, tmp_path):
+    """The self-heal gate: _temporary-only debris is scrubbable; a
+    directory holding committed data files is NOT."""
+    import os
+
+    from astro_sdk_spark.operators.swap import (
+        _managed_location,
+        location_is_partial_write,
+    )
+
+    loc = _managed_location(spark, "gate_probe_t")
+    assert loc is not None
+    # absent -> False
+    assert location_is_partial_write(spark, "gate_probe_t") is False
+    # debris-only -> True
+    os.makedirs(os.path.join(loc, "_temporary"), exist_ok=True)
+    assert location_is_partial_write(spark, "gate_probe_t") is True
+    # committed data file -> False (not ours to delete)
+    with open(os.path.join(loc, "part-00000.parquet"), "wb") as f:
+        f.write(b"x")
+    assert location_is_partial_write(spark, "gate_probe_t") is False
+    import shutil
+
+    shutil.rmtree(loc, ignore_errors=True)
