@@ -5973,6 +5973,146 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q6 (forecasting revenue change): the pure scan-side query — no
+# join at all; three pushable predicates and one exact fixed-point sum.
+# The benchmark's measure of predicate pushdown + codegen throughput.
+
+_TPCH_Q6_ORACLE = """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             / 10000 AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@q("q_tpch_q6", _TPCH_Q6_ORACLE)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: discount revenue over a year/discount/quantity slice —
+    one scan, every predicate pushed, one map-side-combined exact sum
+    (price·disc at 1e-4-dollar integer scale, DECIMAL(38) accumulator)."""
+    li = T(spark, sf_dir, "lineitem")
+    sd = F.col("l_shipdate").cast("date")
+    return (
+        li.filter(
+            (sd >= F.lit("1996-01-01").cast("date"))
+            & (sd < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                _dsum(_cents("l_extendedprice") * _cents("l_discount")).cast(
+                    "double"
+                )
+                / 10000
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 (customer distribution): the LEFT OUTER + aggregate-of-
+# aggregate shape — customers with zero (qualifying) orders must survive
+# the join and land in the c_count=0 bucket. No other registry query
+# preserves unmatched left rows through a double aggregation.
+
+_TPCH_Q13_ORACLE = """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@q("q_tpch_q13", _TPCH_Q13_ORACLE)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed how many non-urgent orders,
+    INCLUDING the zero-order customers (left join keeps them; count of a
+    NULL key is 0). The order-side filter sits in the JOIN condition, not
+    a WHERE — a WHERE would delete the unmatched customers the query
+    exists to count. Second aggregate runs over one row per customer."""
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17 (small-quantity-order revenue): the correlated-scalar-
+# subquery shape — rows qualify against THEIR part's average quantity.
+# The oracle keeps the canonical correlated subqueries; Spark computes
+# per-part (sum, count) once and joins back. The threshold compare is
+# pure integers on both sides: qty < 0.2·avg  ⇔  5·qc·n < Σqc (all
+# positive), so no engine ever divides.
+
+_TPCH_Q17_ORACLE = """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 700 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND 5 * CAST(round(l_quantity * 100) AS BIGINT)
+            * (SELECT count(*) FROM lineitem l2
+               WHERE l2.l_partkey = p_partkey)
+          < (SELECT sum(CAST(round(l2.l_quantity * 100) AS BIGINT))
+             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@q("q_tpch_q17", _TPCH_Q17_ORACLE)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost by only filling small orders of one
+    brand's parts. The correlated average collapses to ONE per-part
+    aggregate over lineitem joined back on partkey (broadcast-friendly:
+    the part filter cuts the probe side first), and the 0.2·avg cut is
+    the cross-multiplied integer comparison — deterministic at any
+    scale, no double accumulation anywhere."""
+    li = T(spark, sf_dir, "lineitem")
+    p = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    qc = _cents("l_quantity")
+    stats = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        _dsum(qc).alias("_sum_qc"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(stats, F.col("l_partkey") == F.col("_pk"))
+        .filter(
+            F.lit(5) * qc.cast("decimal(38,0)") * F.col("_n")
+            < F.col("_sum_qc")
+        )
+        .agg(
+            (_dsum(_cents("l_extendedprice")).cast("double") / 700).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -6143,6 +6283,12 @@ _TAIL_VARIANTS = [
                            # semi-join family; Q4 is the single-EXISTS form)
     "q_tpch_q8",           # joins: q_tpch_q7 in-window (two-nation volume
                            # family; Q8 is the share-ratio variant)
+    "q_tpch_q6",           # scan-filter-project: q_filter_project in-window
+                           # (pure pushdown + exact-sum scan query)
+    "q_tpch_q13",          # joins: q_join_agg, q_tpch_q21 in-window (left-
+                           # outer + aggregate-of-aggregate shape)
+    "q_tpch_q17",          # joins: q_tpch_q21 in-window (correlated-scalar
+                           # per-part average, integer cross-multiplied)
 ]
 
 

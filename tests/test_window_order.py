@@ -18,14 +18,14 @@ WINDOW = 50
 # Members must list EVERY query of the family so the completeness check
 # below can prove the map is total.
 FAMILIES: dict[str, list[str]] = {
-    "scan-filter-project": ["q_filter_project"],
+    "scan-filter-project": ["q_filter_project", "q_tpch_q6"],
     "sort-topk": ["q_topk_order"],
     "set-ops": ["q_set_ops"],
     "joins": [
         "q_join_agg", "q_region_revenue", "q_semi_anti_join", "q_fuzzy_join",
         "q_tpch_q3", "q_tpch_q10", "q_tpch_q18", "q_tpch_q14",
         "q_tpch_q22", "q_tpch_q5", "q_tpch_q7", "q_tpch_q21",
-        "q_tpch_q4", "q_tpch_q8",
+        "q_tpch_q4", "q_tpch_q8", "q_tpch_q13", "q_tpch_q17",
     ],
     "range-join": ["q_range_join"],
     "asof-join": ["q_asof_join"],
