@@ -6113,6 +6113,67 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q15 (top supplier): a derived aggregate consumed twice — once as
+# the join input, once inside a scalar MAX subquery. The revenue compare
+# stays on the exact 1e-4-dollar INTEGERS (ties and equality are
+# well-defined); only the output column converts to dollars.
+
+_TPCH_Q15_ORACLE = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS total_rev
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) / 10000 AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+@q("q_tpch_q15", _TPCH_Q15_ORACLE)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximal quarterly revenue. The
+    per-supplier aggregate is ~|suppliers| rows, so the MAX rides a
+    broadcast one-row cross join against it (never against lineitem) and
+    the equality is integer-exact — ties return every maximal supplier
+    identically in both engines. supplier joins LAST, against at most
+    the tied winners."""
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    sd = F.col("l_shipdate").cast("date")
+    revenue = (
+        li.filter(
+            (sd >= F.lit("1996-01-01").cast("date"))
+            & (sd < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            _dsum(
+                _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+            ).alias("_total_rev")
+        )
+    )
+    mx = revenue.agg(F.max("_total_rev").alias("_mx"))
+    winners = (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("_total_rev") == F.col("_mx"))
+        .select(
+            "supplier_no",
+            (F.col("_total_rev").cast("double") / 10000).alias("total_revenue"),
+        )
+    )
+    return (
+        winners.join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -6289,6 +6350,8 @@ _TAIL_VARIANTS = [
                            # outer + aggregate-of-aggregate shape)
     "q_tpch_q17",          # joins: q_tpch_q21 in-window (correlated-scalar
                            # per-part average, integer cross-multiplied)
+    "q_tpch_q15",          # subquery: q_correlated_agg in-window (scalar
+                           # MAX over a derived aggregate, integer-exact)
 ]
 
 

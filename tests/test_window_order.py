@@ -43,7 +43,7 @@ FAMILIES: dict[str, list[str]] = {
     "scalar-funcs": [
         "q_scalar_funcs", "q_date_funcs", "q_string_funcs", "q_json_extract",
     ],
-    "subquery": ["q_correlated_agg"],
+    "subquery": ["q_correlated_agg", "q_tpch_q15"],
     "events-streaming": [
         "q_events_tumbling", "q_events_sessions", "q_events_sliding",
         "q_events_rollup", "q_events_gapfill", "q_funnel", "q_retention",
