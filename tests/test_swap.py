@@ -128,3 +128,36 @@ def test_location_is_partial_write_discriminates(spark, tmp_path):
     import shutil
 
     shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_scrub_resolves_custom_location_database(spark, tmp_path):
+    """ADVICE r8: a database created with a custom LOCATION must scrub the
+    REAL managed directory (resolved via catalog metadata), not the
+    default <warehouse>/<db>.db layout."""
+    import os
+
+    from astro_sdk_spark.operators.swap import (
+        _managed_location,
+        scrub_orphaned_location,
+    )
+
+    loc_root = str(tmp_path / "custom wh")  # space: exercises %20 unquoting
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS scrubdb LOCATION '{loc_root}'"
+    )
+    try:
+        resolved = _managed_location(spark, "scrubdb.orph_t")
+        assert resolved is not None
+        assert os.path.normpath(resolved) == os.path.normpath(
+            os.path.join(loc_root, "orph_t")
+        ), resolved
+        # plant an orphan directory at the custom location and scrub it
+        os.makedirs(os.path.join(resolved, "_temporary"), exist_ok=True)
+        scrub_orphaned_location(spark, "scrubdb.orph_t")
+        assert not os.path.exists(resolved)
+        # end-to-end: a managed write into the custom-location db succeeds
+        spark.createDataFrame([(1,)], "x int").write.saveAsTable("scrubdb.orph_t")
+        assert spark.table("scrubdb.orph_t").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS scrubdb.orph_t")
+        spark.sql("DROP DATABASE IF EXISTS scrubdb")
