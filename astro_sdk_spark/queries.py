@@ -1315,14 +1315,34 @@ _DUCK_SHINGLES_K3_RAW = r"""
     END
 """
 
+def _duck_jaccard_pairs(src: str, pair_cond: str = "a.doc_id < b.doc_id") -> str:
+    """DuckDB CTE fragment computing exact-Jaccard candidate pairs from a
+    prior CTE ``src`` with columns ``(doc_id, s)`` (``s`` = DISTINCT
+    shingles): defines ``tok``/``lens``/``common``/``pairs`` where
+    ``pairs = (id_a, id_b, inter, la, lb)``. INVERTED-INDEX shape — only
+    pairs sharing >= 1 shingle ever materialize (identical result to the
+    all-pairs ``list_intersect`` scan for any threshold > 0, since
+    inter=0 pairs can never qualify), but cost is sum(df^2) over
+    shingles instead of |docs|^2 intersections: the sf0.1 all-pairs form
+    ran 45+ minutes per oracle, this runs in seconds. Equivalence to the
+    old form is pinned by the hash gate at sf0.001/sf0.01."""
+    return f"""tok AS (SELECT doc_id, unnest(s) AS g FROM {src}),
+    lens AS (SELECT doc_id, len(s) AS n FROM {src}),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM tok a JOIN tok b ON a.g = b.g AND {pair_cond}
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b, inter, la.n AS la, lb.n AS lb
+      FROM common
+      JOIN lens la ON la.doc_id = id_a
+      JOIN lens lb ON lb.doc_id = id_b)"""
+
+
 _INCREMENTAL_ORACLE = f"""
     WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES_K3} AS s FROM documents),
-    pairs AS (
-      SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
-             len(list_intersect(n.s, c.s)) AS inter,
-             len(n.s) AS la, len(c.s) AS lb
-      FROM sh n JOIN sh c ON n.doc_id >= 250 AND c.doc_id < 250)
-    SELECT new_id, corpus_id,
+    {_duck_jaccard_pairs("sh", pair_cond="a.doc_id >= 250 AND b.doc_id < 250")}
+    SELECT id_a AS new_id, id_b AS corpus_id,
            round(inter / CAST(la + lb - inter AS DOUBLE), 4) AS jaccard
     FROM pairs WHERE inter / CAST(la + lb - inter AS DOUBLE) >= 0.5
 """
@@ -1582,11 +1602,7 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_JOIN_ORACLE = f"""
     WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES_K3} AS s FROM documents),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.s, b.s)) AS inter,
-             len(a.s) AS la, len(b.s) AS lb
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    {_duck_jaccard_pairs("sh")}
     SELECT id_a, id_b,
            round(inter / CAST(la + lb - inter AS DOUBLE), 4) AS jaccard
     FROM pairs WHERE inter / CAST(la + lb - inter AS DOUBLE) >= 0.7
@@ -1899,11 +1915,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_ORACLE = f"""
     WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES_K3} AS s FROM documents),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.s, b.s)) AS inter,
-             len(a.s) AS la, len(b.s) AS lb
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    {_duck_jaccard_pairs("sh")}
     SELECT id_a, id_b,
            round(inter / CAST(la + lb - inter AS DOUBLE), 4) AS jaccard
     FROM pairs WHERE inter / CAST(la + lb - inter AS DOUBLE) >= 0.5
@@ -1928,12 +1940,10 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so min(m) per n is the component's canonical (smallest) id.
 _CLUSTERS_ORACLE = f"""
     WITH RECURSIVE sh AS (SELECT doc_id, {_DUCK_SHINGLES_K3} AS s FROM documents),
+    {_duck_jaccard_pairs("sh")},
     apairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.s, b.s))
-            / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
-            >= 0.5),
+      SELECT id_a, id_b FROM pairs
+      WHERE inter / CAST(la + lb - inter AS DOUBLE) >= 0.5),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM apairs
       UNION
@@ -2409,12 +2419,10 @@ _KEEPLIST_ORACLE = f"""
     WITH RECURSIVE reps AS (
       SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
     sh AS (SELECT doc_id, {_DUCK_SHINGLES_K3} AS s FROM reps),
+    {_duck_jaccard_pairs("sh")},
     apairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.s, b.s))
-            / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
-            >= 0.5),
+      SELECT id_a, id_b FROM pairs
+      WHERE inter / CAST(la + lb - inter AS DOUBLE) >= 0.5),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM apairs
       UNION
@@ -3808,12 +3816,21 @@ _LEAK_SPLIT_ORACLE = f"""
              CASE WHEN bucket < 9000 THEN 'train' ELSE 'test' END AS split
       FROM b),
     sh AS (SELECT doc_id, split, {_DUCK_SHINGLES_K3} AS s FROM labeled),
+    tok AS (SELECT doc_id, split, unnest(s) AS g FROM sh),
+    lens AS (SELECT doc_id, len(s) AS n FROM sh),
+    common AS (
+      SELECT t.doc_id AS id_t, h.doc_id AS id_h, count(*) AS inter
+      FROM tok t JOIN tok h
+        ON t.g = h.g AND t.split = 'train' AND h.split <> 'train'
+      GROUP BY 1, 2),
+    cpairs AS (
+      SELECT id_t, id_h, inter, lt.n AS la, lh.n AS lb
+      FROM common
+      JOIN lens lt ON lt.doc_id = id_t
+      JOIN lens lh ON lh.doc_id = id_h),
     leaks AS (
-      SELECT DISTINCT t.doc_id
-      FROM sh t JOIN sh h ON t.split = 'train' AND h.split <> 'train'
-      WHERE len(list_intersect(t.s, h.s))
-            / CAST(len(t.s) + len(h.s) - len(list_intersect(t.s, h.s))
-                   AS DOUBLE) >= 0.5)
+      SELECT DISTINCT id_t AS doc_id FROM cpairs
+      WHERE inter / CAST(la + lb - inter AS DOUBLE) >= 0.5)
     SELECT l.doc_id,
            CASE WHEN l.split = 'train' AND k.doc_id IS NOT NULL
                 THEN 'dropped' ELSE l.split END AS split
