@@ -1315,7 +1315,11 @@ _DUCK_SHINGLES_K3_RAW = r"""
     END
 """
 
-def _duck_jaccard_pairs(src: str, pair_cond: str = "a.doc_id < b.doc_id") -> str:
+def _duck_jaccard_pairs(
+    src: str,
+    pair_cond: str = "a.doc_id < b.doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> str:
     """DuckDB CTE fragment computing exact-Jaccard candidate pairs from a
     prior CTE ``src`` with columns ``(doc_id, s)`` (``s`` = DISTINCT
     shingles): defines ``tok``/``lens``/``common``/``pairs`` where
@@ -1325,8 +1329,11 @@ def _duck_jaccard_pairs(src: str, pair_cond: str = "a.doc_id < b.doc_id") -> str
     inter=0 pairs can never qualify), but cost is sum(df^2) over
     shingles instead of |docs|^2 intersections: the sf0.1 all-pairs form
     ran 45+ minutes per oracle, this runs in seconds. Equivalence to the
-    old form is pinned by the hash gate at sf0.001/sf0.01."""
-    return f"""tok AS (SELECT doc_id, unnest(s) AS g FROM {src}),
+    old form is pinned by the hash gate at sf0.001/sf0.01.
+    ``carry_cols`` ride along on ``tok`` so ``pair_cond`` can reference
+    them (e.g. a split label as ``a.split``/``b.split``)."""
+    carry = "".join(f", {c}" for c in carry_cols)
+    return f"""tok AS (SELECT doc_id{carry}, unnest(s) AS g FROM {src}),
     lens AS (SELECT doc_id, len(s) AS n FROM {src}),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -3816,20 +3823,13 @@ _LEAK_SPLIT_ORACLE = f"""
              CASE WHEN bucket < 9000 THEN 'train' ELSE 'test' END AS split
       FROM b),
     sh AS (SELECT doc_id, split, {_DUCK_SHINGLES_K3} AS s FROM labeled),
-    tok AS (SELECT doc_id, split, unnest(s) AS g FROM sh),
-    lens AS (SELECT doc_id, len(s) AS n FROM sh),
-    common AS (
-      SELECT t.doc_id AS id_t, h.doc_id AS id_h, count(*) AS inter
-      FROM tok t JOIN tok h
-        ON t.g = h.g AND t.split = 'train' AND h.split <> 'train'
-      GROUP BY 1, 2),
-    cpairs AS (
-      SELECT id_t, id_h, inter, lt.n AS la, lh.n AS lb
-      FROM common
-      JOIN lens lt ON lt.doc_id = id_t
-      JOIN lens lh ON lh.doc_id = id_h),
+    {_duck_jaccard_pairs(
+        "sh",
+        pair_cond="a.split = 'train' AND b.split <> 'train'",
+        carry_cols=("split",),
+    )},
     leaks AS (
-      SELECT DISTINCT id_t AS doc_id FROM cpairs
+      SELECT DISTINCT id_a AS doc_id FROM pairs
       WHERE inter / CAST(la + lb - inter AS DOUBLE) >= 0.5)
     SELECT l.doc_id,
            CASE WHEN l.split = 'train' AND k.doc_id IS NOT NULL

@@ -62,7 +62,15 @@ def main() -> None:
     nq = {k: v for k, v in new["queries"].items() if v and v > 0}
     shared = sorted(set(oq) & set(nq))
     ratios = sorted(nq[k] / oq[k] for k in shared)
-    med = ratios[len(ratios) // 2] if ratios else 1.0
+    if not ratios:
+        med = 1.0
+    elif len(ratios) % 2:
+        med = ratios[len(ratios) // 2]
+    else:
+        # true median (mean of middle two): the upper-median shortcut
+        # lets a regressed query set its own baseline on small shared
+        # sets ([1.0, 2.0] -> med 2.0 -> the 2x regression never flags)
+        med = (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2
     print(f"shared queries: {len(shared)}  median new/old ratio: {med:.3f}")
     if new.get("load_avg") or old.get("load_avg"):
         print(f"load_avg old={old.get('load_avg')} new={new.get('load_avg')}")
