@@ -38,6 +38,30 @@ def persistent_rdd_ids(spark) -> set[int]:
     return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
 
 
+def checkpoint_rdd_ids(df: DataFrame) -> set[int]:
+    """Persistent-RDD ids owned by a ``localCheckpoint``-ed DataFrame,
+    read off the DataFrame ITSELF: a local checkpoint's analyzed plan is
+    a ``LogicalRDD`` wrapping exactly the RDD that ``localCheckpoint``
+    persisted, so its id is the one to unpersist later.
+
+    This replaces the old before/after ``persistent_rdd_ids`` set-diff,
+    which was a RACE under concurrency: any RDD persisted by ANOTHER
+    query in the same SparkSession during the diff window (e.g. a second
+    streaming ingest's own checkpoint) landed in the diff and got
+    unpersisted mid-use — and since a local checkpoint truncates lineage,
+    the victim's blocks are unrecoverable and its stream dies with
+    block-not-found. Returns an empty set when the plan shape is not the
+    expected LogicalRDD (leaking one checkpoint beats killing a
+    concurrent query)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            return {plan.rdd().id()}
+    except Exception:  # noqa: BLE001 - non-classic DF / plan shape drift
+        pass
+    return set()
+
+
 def unpersist_rdd_ids(spark, ids) -> int:
     """Unpersist specific RDD ids. CAUTION with checkpointed RDDs: a
     localCheckpoint TRUNCATES lineage, so dropping its blocks makes any

@@ -16,10 +16,11 @@ Spark-first layout:
 - bit positions are computed JVM-side (``xxhash64`` per hash seed, codegen)
   on both the build and probe sides, so the Python boundary never hashes;
 - the build aggregates per-partition bitmaps in a ``mapInPandas`` pass
-  (numpy bitset, one row out per partition) and ORs the partials on the
-  driver — the same contractually-bounded driver traffic pattern as the
-  k-means partials (similarity.py:train_centroids): partitions × n_bits/8
-  bytes, independent of row count;
+  (numpy bitset, one row out per partition) and folds the partials with
+  an executor-side OR tree (fan-in ``fanin`` per level, hash-keyed
+  repartitions) — the driver receives exactly ONE bitmap regardless of
+  input partition count, so driver traffic is O(n_bits/8), not
+  O(partitions × n_bits/8);
 - the probe broadcasts the bitmap inside an Arrow-batched pandas iterator
   (vectorized ``bits[pos >> 3] & mask`` over the whole batch at once).
 
@@ -55,25 +56,38 @@ def build_bloom(
     key_col: str,
     n_bits: int = 1 << 20,
     n_hashes: int = 7,
+    fanin: int = 16,
 ) -> bytes:
     """Bloom bitmap (``n_bits/8`` bytes) over ``df[key_col]``.
 
-    One scan, no shuffle: each partition sets bits into a local numpy
-    bitset and emits it once; the driver ORs ``num_partitions`` partials.
+    One scan, no key shuffle: each partition sets bits into a local numpy
+    bitset and emits it once; the per-partition partials are then OR-folded
+    in an executor-side tree (``fanin`` partials per fold task, hash-keyed
+    repartitions of bitmap rows only), so the driver collects exactly ONE
+    final bitmap no matter how many input partitions the scan had. At the
+    100 TB setting (~1.2 GB bitmap for 10⁹ keys, thousands of scan
+    partitions) the old driver-side OR would have held partitions × 1.2 GB
+    on the driver; the tree holds ≤ ``fanin`` partials per *task* instead
+    (set ``spark.sql.execution.arrow.maxRecordsPerBatch`` ≈ 1-4 for
+    GB-scale bitmaps so Arrow transfer batches stay bounded too).
     Size the filter as ``n_bits ≈ 9.6 × n_keys`` for ~1% FP at k=7
     (``n_bits = -n ln p / (ln 2)²``).
     """
     if n_bits % 8:
         raise ValueError("n_bits must be a multiple of 8")
+    if fanin < 2:
+        raise ValueError("fanin must be >= 2")
     # null keys carry SQL join semantics (never equal to anything) — they
     # set no bits, mirroring the anti-join they stand in for
     pos_df = df.filter(F.col(key_col).isNotNull()).select(
         bit_positions(key_col, n_bits, n_hashes).alias("_pos")
     )
     n_bytes = n_bits // 8
+    schema = "_g long, _bitmap binary"
 
     def to_bitmaps(batches):
         import pandas as pd
+        from pyspark import TaskContext
 
         bits = np.zeros(n_bytes, dtype=np.uint8)
         touched = False
@@ -84,13 +98,34 @@ def build_bloom(
             pos = np.concatenate(pdf["_pos"].to_numpy())
             np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
         if touched:
-            yield pd.DataFrame({"_bitmap": [bits.tobytes()]})
+            # group id for the NEXT fold level: fanin consecutive
+            # partitions land in one fold task (deterministic — safe
+            # under task retry, unlike round-robin repartition)
+            pid = TaskContext.get().partitionId()
+            yield pd.DataFrame({"_g": [pid // fanin], "_bitmap": [bits.tobytes()]})
 
-    partials = pos_df.mapInPandas(to_bitmaps, "_bitmap binary").collect()
-    out = np.zeros(n_bytes, dtype=np.uint8)
-    for row in partials:
-        out |= np.frombuffer(row._bitmap, dtype=np.uint8)
-    return out.tobytes()
+    def or_fold(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        acc = None
+        for pdf in batches:
+            for buf in pdf["_bitmap"]:
+                part = np.frombuffer(buf, dtype=np.uint8)
+                acc = part.copy() if acc is None else acc | part
+        if acc is not None:
+            pid = TaskContext.get().partitionId()
+            yield pd.DataFrame({"_g": [pid // fanin], "_bitmap": [acc.tobytes()]})
+
+    folded = pos_df.mapInPandas(to_bitmaps, schema)
+    n = max(1, pos_df.rdd.getNumPartitions())
+    while n > 1:
+        n = -(-n // fanin)  # ceil division; final level has n == 1
+        folded = folded.repartition(n, "_g").mapInPandas(or_fold, schema)
+    rows = folded.collect()  # ≤ 1 row by construction
+    if not rows:
+        return bytes(n_bytes)
+    return bytes(rows[0]._bitmap)
 
 
 def bloom_might_contain(

@@ -535,7 +535,7 @@ def near_dup_clusters(
     returned (singletons are their own implicit cluster). When ``stats``
     is supplied, ``stats["rounds"]`` records the executed round count
     (the convergence-proof hook used by the chain regression test)."""
-    from astro_sdk_spark.functions._cache import persistent_rdd_ids, unpersist_rdd_ids
+    from astro_sdk_spark.functions._cache import checkpoint_rdd_ids, unpersist_rdd_ids
 
     spark_session = pairs.sparkSession
 
@@ -547,7 +547,9 @@ def near_dup_clusters(
     # N checkpoint block sets in executor storage, and a long-running
     # caller (benchmark loop, streaming ingest) accumulates eviction
     # pressure that shows up as multi-second noise in UNRELATED queries.
-    _before = persistent_rdd_ids(spark_session)
+    # Ids come from the checkpointed DataFrame itself (checkpoint_rdd_ids)
+    # — a global persistent-set diff would race with concurrent queries'
+    # own checkpoints and unpersist them mid-use.
     sm = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("_a"),
@@ -557,7 +559,7 @@ def near_dup_clusters(
         .dropDuplicates(["_a", "_b"])
         .localCheckpoint()
     )
-    _ckpt_ids = persistent_rdd_ids(spark_session) - _before
+    _ckpt_ids = checkpoint_rdd_ids(sm)
 
     def _ends(edges):
         return edges.select(
@@ -643,9 +645,8 @@ def near_dup_clusters(
         # actions. Measured, not guessed; don't re-batch.
         nxt = _star_round(ends, node_stats)
         rounds += 1
-        _before = persistent_rdd_ids(spark_session)
         sm = nxt.localCheckpoint()  # eager: materializes before we drop prev
-        _new_ids = persistent_rdd_ids(spark_session) - _before
+        _new_ids = checkpoint_rdd_ids(sm)
         unpersist_rdd_ids(spark_session, _ckpt_ids)
         _ckpt_ids = _new_ids
         node_stats.unpersist()

@@ -111,10 +111,9 @@ def pagerank(
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not (0 < damping_pct < 100):
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
-    from astro_sdk_spark.functions._cache import persistent_rdd_ids, unpersist_rdd_ids
+    from astro_sdk_spark.functions._cache import checkpoint_rdd_ids, unpersist_rdd_ids
 
     spark = edges.sparkSession
-    _before = persistent_rdd_ids(spark)
     raw = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
     ).filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
@@ -124,7 +123,9 @@ def pagerank(
     # fold the STATIC out-degree into the edge table once — the naive
     # loop re-joins deg every round, paying an extra shuffle × iters
     e = raw.join(deg, "_s").localCheckpoint()
-    _edge_ckpt = persistent_rdd_ids(spark) - _before
+    # id read from the checkpointed DF itself — a global set diff races
+    # with concurrent queries' checkpoints (see _cache.checkpoint_rdd_ids)
+    _edge_ckpt = checkpoint_rdd_ids(e)
 
     nodes = (
         e.select(F.col("_s").alias("_n"))
@@ -164,9 +165,8 @@ def pagerank(
             ).alias("_pr"),
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
-            before = persistent_rdd_ids(spark)
             pr = pr.localCheckpoint()
-            new_ckpt = persistent_rdd_ids(spark) - before
+            new_ckpt = checkpoint_rdd_ids(pr)
             if prev_ckpt:
                 unpersist_rdd_ids(spark, prev_ckpt)
             prev_ckpt = new_ckpt

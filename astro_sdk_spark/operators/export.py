@@ -65,7 +65,26 @@ def export_to_file(
     ftype = output_file.type
     if ftype in (FileType.XLSX, FileType.XLS):
         # driver-side small-file path (reference files/types/excel.py);
-        # stdlib writers — no openpyxl/xlsxwriter/xlwt in this environment
+        # stdlib writers — no openpyxl/xlsxwriter/xlwt in this environment.
+        # Spreadsheets are a driver-memory product by nature, so the
+        # collect() is gated: counting past the cap aborts BEFORE any rows
+        # move to the driver, so a 100 TB table pointed at .xlsx fails in
+        # one cheap aggregate instead of OOMing the driver. (XLS/BIFF8
+        # itself caps a sheet at 65,536 rows; XLSX at 1,048,576.)
+        cap = int(
+            os.environ.get(
+                "ASTRO_EXCEL_EXPORT_MAX_ROWS",
+                str(65_536 if ftype == FileType.XLS else 1_048_576),
+            )
+        )
+        n_rows = df.limit(cap + 1).count()
+        if n_rows > cap:
+            raise ValueError(
+                f"refusing to export >{cap:,} rows to {ftype.name}: the "
+                f"spreadsheet path collects to the driver (and the format "
+                f"itself caps sheet size). Export to parquet/csv instead, "
+                f"or raise ASTRO_EXCEL_EXPORT_MAX_ROWS explicitly."
+            )
         collected = df.collect()
         if ftype == FileType.XLS:
             from astro_sdk_spark.xls import write_xls

@@ -25,24 +25,46 @@ def _database_of(qualified_name: str) -> str | None:
     return qualified_name.rsplit(".", 1)[0] if "." in qualified_name else None
 
 
-def location_is_partial_write(spark: SparkSession, qualified_name: str) -> bool:
+def location_is_partial_write(
+    spark: SparkSession, qualified_name: str, min_stale_s: float = 300.0
+) -> bool:
     """True when the managed location for ``qualified_name`` exists but
     holds only write-in-progress debris (``_temporary``, hidden/marker
-    files) and NO committed data files — the signature of a run killed
-    mid-``saveAsTable``. Used by callers that must self-heal a
-    USER-supplied table name: scrubbing is only safe when the directory
-    provably isn't someone's data (an operator-GENERATED staging name can
-    skip this check and scrub unconditionally). Missing directory → False
-    (nothing to scrub)."""
+    files), NO committed data files, AND the debris is provably STALE —
+    the signature of a run killed mid-``saveAsTable``. Used by callers
+    that must self-heal a USER-supplied table name: scrubbing is only
+    safe when the directory provably isn't someone's data (an
+    operator-GENERATED staging name can skip this check and scrub
+    unconditionally). Missing directory → False (nothing to scrub).
+
+    The staleness guard matters because a CONCURRENT first-creation
+    ``saveAsTable`` by another session passes the marker-only shape test
+    while very much alive (``_temporary`` exists, no catalog entry until
+    commit): only when the newest mtime anywhere under the directory
+    (``_temporary`` contents included) is older than ``min_stale_s`` do
+    we call it dead. A live writer touches files continuously; a killed
+    one never will again."""
     import os
+    import time
 
     path = _managed_location(spark, qualified_name)
     if path is None or not os.path.isdir(path):
         return False
-    for entry in os.listdir(path):
-        if not entry.startswith(("_", ".")):
-            return False  # committed (or foreign) data file — not ours to delete
-    return True
+    newest = os.path.getmtime(path)
+    for root, _dirs, files in os.walk(path):
+        for entry in os.listdir(root) if root == path else []:
+            if not entry.startswith(("_", ".")):
+                return False  # committed (or foreign) data file — not ours
+        for name in files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(root, name)))
+            except OSError:  # racing writer just moved/removed it → alive
+                return False
+        try:
+            newest = max(newest, os.path.getmtime(root))
+        except OSError:
+            return False
+    return (time.time() - newest) >= min_stale_s
 
 
 def _managed_location(spark: SparkSession, qualified_name: str) -> str | None:
@@ -118,9 +140,21 @@ def swap_table(spark: SparkSession, staging_qname: str, target_qname: str) -> No
         return
     sq = quote_identifier(staging_qname)
     tq = quote_identifier(target_qname)
+    # a PARTITIONED staging table loses its partition metadata across
+    # RENAME (the catalog re-points the location but not the partition
+    # entries — the renamed table scans as empty); detect before the swap
+    # and repair after (measured on the in-memory catalog, Spark 4.x)
+    try:
+        partitioned = bool(
+            spark.sql(f"SHOW PARTITIONS {sq}").head(1)
+        )
+    except Exception:  # noqa: BLE001 - non-partitioned tables raise
+        partitioned = False
     try:
         spark.sql(f"DROP TABLE IF EXISTS {tq}")
         spark.sql(f"ALTER TABLE {sq} RENAME TO {tq}")
+        if partitioned:
+            spark.sql(f"MSCK REPAIR TABLE {tq}")
     except Exception:
         # If the target was dropped but the rename failed, the staged result
         # still holds the full post-swap contents — recover via write-back.

@@ -2261,6 +2261,36 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_ann_persist", _IVF_ORACLE)
+def q_ann_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ANN index (functions/ann_index.py): centroids + inverted
+    lists live as managed tables; the corpus is indexed in TWO disjoint
+    batches (build on even ids, ann_index_add on odd ids) and queried
+    from storage. The oracle is the ONE-SHOT IVF computation over the
+    full corpus (same as q_ivf_topk) — hash equality proves incremental
+    add is exactly equivalent to a full rebuild, the property that lets a
+    100 TB similarity service index new data without rescanning the
+    corpus."""
+    from astro_sdk_spark.functions.ann_index import (
+        ann_index_add,
+        ann_index_topk,
+        build_ann_index,
+        drop_ann_index,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    idx = "q_ann_idx"
+    drop_ann_index(spark, idx)
+    build_ann_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 0), idx,
+        centroids=emb.filter(F.col("vec_id") < 16),
+    )
+    ann_index_add(spark, emb.filter(F.col("vec_id") % 2 == 1), idx)
+    return ann_index_topk(
+        spark, emb.filter(F.col("vec_id") < 8), idx, nprobe=4, k=10
+    )
+
+
 _EMB_NEARDUP_ORACLE = f"""
     WITH sigs AS (
       SELECT vec_id, embedding, unnest({{SIGS}}) AS u
@@ -6191,6 +6221,561 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q2 / Q9 / Q11 / Q12 / Q16 / Q19 / Q20 — the seven shapes that need
+# relations/columns the synthetic schema doesn't ship (partsupp, shipmode,
+# container, receipt/commit dates, mfgr). Both engines derive them with
+# IDENTICAL deterministic integer arithmetic over existing keys (the
+# q_c4_rules staging device): the hash gate therefore still proves the
+# join/agg/subquery machinery — the only synthesized thing is the INPUT.
+#
+# partsupp := the distinct (part, supplier) pairs that actually trade in
+# lineitem — mirrors dbgen's referential integrity, where every lineitem
+# row references a partsupp row — with availqty/supplycost as key-derived
+# integers (supplycost carried in exact integer CENTS `_sc_c` so money
+# aggregates stay order-independent, same discipline as _rev_exact).
+
+_PARTSUPP_SQL = """
+  partsupp AS (
+    SELECT ps_partkey, ps_suppkey,
+           CAST((ps_partkey * 31 + ps_suppkey * 17) % 9999 + 1 AS INTEGER)
+             AS ps_availqty,
+           (ps_partkey * 7919 + ps_suppkey * 104729) % 100000 + 100 AS _sc_c,
+           CAST((ps_partkey * 7919 + ps_suppkey * 104729) % 100000 + 100
+                AS DOUBLE) / 100 AS ps_supplycost
+    FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+          FROM lineitem))
+"""
+
+
+def _synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _PARTSUPP_SQL (see the block comment above)."""
+    pairs = (
+        T(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .dropDuplicates(["ps_partkey", "ps_suppkey"])
+    )
+    sc_c = (
+        F.col("ps_partkey") * 7919 + F.col("ps_suppkey") * 104729
+    ) % 100000 + 100
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 9999 + 1)
+        .cast("int")
+        .alias("ps_availqty"),
+        sc_c.alias("_sc_c"),
+        (sc_c.cast("double") / 100).alias("ps_supplycost"),
+    )
+
+
+_TPCH_Q2_ORACLE = f"""
+    WITH {_PARTSUPP_SQL},
+    eur AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost,
+             s_acctbal, s_name, n_name
+      FROM partsupp, supplier, nation, region
+      WHERE s_suppkey = ps_suppkey AND s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+    minc AS (
+      SELECT ps_partkey, min(ps_supplycost) AS _minc
+      FROM eur GROUP BY ps_partkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           'MFGR_' || CAST(p_partkey % 5 AS VARCHAR) AS p_mfgr,
+           ps_supplycost
+    FROM part, eur, minc
+    WHERE p_partkey = eur.ps_partkey AND p_partkey = minc.ps_partkey
+      AND ps_supplycost = _minc
+      AND p_size <= 5 AND p_type = 'SMALL'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+
+@q("q_tpch_q2", _TPCH_Q2_ORACLE)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: partsupp synthesized
+    (see _PARTSUPP_SQL), p_mfgr key-derived, LIKE-type → equality on the
+    single-word p_type domain. Scale shape: the supplier→nation→region
+    dim chain broadcasts onto partsupp FIRST (region filter cuts it to
+    one region before the big table is touched), the correlated min
+    becomes one per-part aggregate joined back (no per-row subquery), and
+    part's size/type predicate pushes into its scan. ORDER BY is total
+    (acctbal, nation, supplier name, part key) so LIMIT 100 is the same
+    set in both engines."""
+    ps = _synth_partsupp(spark, sf_dir)
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = (
+        T(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eur = ps.join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+    minc = eur.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("_minc"))
+    p = (
+        T(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 5) & (F.col("p_type") == "SMALL"))
+        .select(
+            "p_partkey",
+            F.concat(
+                F.lit("MFGR_"), (F.col("p_partkey") % 5).cast("string")
+            ).alias("p_mfgr"),
+        )
+    )
+    return (
+        eur.join(minc, "ps_partkey")
+        .filter(F.col("ps_supplycost") == F.col("_minc"))
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_mfgr",
+            "ps_supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+_TPCH_Q9_ORACLE = f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT nation, o_year,
+           CAST(sum(amount_e4) AS DOUBLE) / 10000 AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               - _sc_c * CAST(round(l_quantity * 100) AS BIGINT)
+               AS amount_e4
+      FROM part, supplier, lineitem, partsupp, orders, nation
+      WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+        AND ps_partkey = l_partkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%') profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+@q("q_tpch_q9", _TPCH_Q9_ORACLE)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): multi-fact star — lineitem joins
+    part (name filter), synthesized partsupp (supply cost), orders (year)
+    and supplier→nation. Profit is computed entirely in 1e-4-dollar
+    integer fixed point (price·(1−disc) − supplycost·qty), summed in a
+    DECIMAL(38,0)/HUGEINT accumulator, so the result is order-independent
+    across any partitioning. Scale shape: the part name filter broadcasts
+    onto lineitem first (cuts ~7/8 of rows before any shuffle), the
+    partsupp join reuses the (partkey, suppkey) keys, supplier/nation
+    broadcast at the end."""
+    red = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    sn = (
+        T(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(T(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year(F.col("o_orderdate").cast("date")).cast("int").alias("o_year"),
+    )
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            _synth_partsupp(spark, sf_dir),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    amount = _cents("l_extendedprice") * (
+        F.lit(100) - _cents("l_discount")
+    ) - F.col("_sc_c") * _cents("l_quantity")
+    return (
+        li.groupBy("nation", "o_year")
+        .agg((_dsum(amount).cast("double") / 10000).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+_TPCH_Q11_ORACLE = f"""
+    WITH {_PARTSUPP_SQL},
+    nat AS (
+      SELECT ps_partkey, _sc_c * ps_availqty AS v_c
+      FROM partsupp, supplier, nation
+      WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_3'),
+    pv AS (SELECT ps_partkey, sum(v_c) AS value_c FROM nat GROUP BY ps_partkey),
+    tot AS (SELECT sum(value_c) AS total_c, count(*) AS n_parts FROM pv)
+    SELECT ps_partkey, CAST(value_c AS DOUBLE) / 100 AS value
+    FROM pv, tot
+    WHERE value_c * n_parts * 10 > 12 * total_c
+    ORDER BY value DESC, ps_partkey
+"""
+
+
+@q("q_tpch_q11", _TPCH_Q11_ORACLE)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock), adapted: the fixed 0.0001 fraction
+    (which is SF-dependent in dbgen) becomes 1.2× the mean per-part value
+    so the result is non-vacuous at every synthetic SF. Value is exact
+    integer cents (supplycost_cents × availqty) end to end; the global
+    threshold is a one-row broadcast cross join (adjudicated tiny-side
+    pattern, same as q_tpch_q15's MAX) and the comparison is pure integer
+    arithmetic — no double drift on either side."""
+    ps = _synth_partsupp(spark, sf_dir)
+    sn = (
+        T(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    pv = (
+        ps.join(F.broadcast(sn), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(_dsum(F.col("_sc_c") * F.col("ps_availqty")).alias("value_c"))
+    )
+    tot = pv.agg(
+        F.sum("value_c").alias("total_c"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value_c") * F.col("n_parts") * 10 > F.lit(12) * F.col("total_c")
+        )
+        .select(
+            "ps_partkey", (F.col("value_c").cast("double") / 100).alias("value")
+        )
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+# Q12/Q19 column synthesis: shipmode/container/shipinstruct and the
+# commit/receipt dates don't exist in the synthetic lineitem — derive them
+# key-deterministically, identically on both sides (see the Q2 block
+# comment). Receipt windows are chosen so each canonical predicate
+# (commit < receipt, ship < commit) keeps real selectivity.
+
+_L_SHIPMODE_SQL = "'MODE_' || CAST((l_orderkey * 7 + l_linenumber) % 7 AS VARCHAR)"
+_L_COMMIT_SQL = (
+    "CAST(l_shipdate AS DATE)"
+    " + CAST(1 + (l_orderkey * 5 + l_linenumber) % 30 AS INTEGER)"
+)
+_L_RECEIPT_SQL = (
+    f"{_L_COMMIT_SQL}"
+    " + CAST((l_orderkey * 11 + l_linenumber * 7) % 20 - 5 AS INTEGER)"
+)
+
+
+def _l_shipmode():
+    return F.concat(
+        F.lit("MODE_"),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 7).cast("string"),
+    )
+
+
+def _l_commitdate():
+    return F.date_add(
+        F.col("l_shipdate").cast("date"),
+        (1 + (F.col("l_orderkey") * 5 + F.col("l_linenumber")) % 30).cast("int"),
+    )
+
+
+def _l_receiptdate():
+    return F.date_add(
+        _l_commitdate(),
+        ((F.col("l_orderkey") * 11 + F.col("l_linenumber") * 7) % 20 - 5).cast(
+            "int"
+        ),
+    )
+
+
+_TPCH_Q12_ORACLE = f"""
+    SELECT l_shipmode,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM (
+      SELECT l_orderkey, {_L_SHIPMODE_SQL} AS l_shipmode,
+             {_L_COMMIT_SQL} AS l_commitdate,
+             {_L_RECEIPT_SQL} AS l_receiptdate,
+             CAST(l_shipdate AS DATE) AS l_shipdate
+      FROM lineitem) l, orders
+    WHERE o_orderkey = l_orderkey
+      AND l_shipmode IN ('MODE_1', 'MODE_3')
+      AND l_commitdate < l_receiptdate
+      AND l_shipdate < l_commitdate
+      AND l_receiptdate >= DATE '1996-01-01'
+      AND l_receiptdate < DATE '1997-01-01'
+    GROUP BY l_shipmode
+    ORDER BY l_shipmode
+"""
+
+
+@q("q_tpch_q12", _TPCH_Q12_ORACLE)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes & order priority): commit/receipt dates
+    and shipmode are key-derived (see module block comment). All lineitem
+    predicates are computed column filters evaluated in the scan stage
+    (whole-stage codegen, before the orders join shuffles anything);
+    priority classification is a conditional count post-join. ship <
+    commit is tautologically true by construction (offset ≥ 1 day) but
+    kept for shape parity; commit < receipt keeps ~25% of rows."""
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            _l_shipmode().alias("l_shipmode"),
+            _l_commitdate().alias("l_commitdate"),
+            _l_receiptdate().alias("l_receiptdate"),
+            F.col("l_shipdate").cast("date").alias("l_shipdate_d"),
+        )
+        .filter(
+            F.col("l_shipmode").isin("MODE_1", "MODE_3")
+            & (F.col("l_commitdate") < F.col("l_receiptdate"))
+            & (F.col("l_shipdate_d") < F.col("l_commitdate"))
+            & (F.col("l_receiptdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_receiptdate") < F.lit("1997-01-01").cast("date"))
+        )
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
+_TPCH_Q16_ORACLE = f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp, part
+    WHERE p_partkey = ps_partkey
+      AND p_brand <> 'Brand#5'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 13, 19, 25, 36, 49)
+      AND ps_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@q("q_tpch_q16", _TPCH_Q16_ORACLE)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): the canonical comment-LIKE
+    supplier exclusion becomes a key-derived predicate (s_suppkey % 13 —
+    the synthetic supplier has no comment column). Scale shape: the
+    excluded-supplier set is a broadcast LEFT ANTI join (NOT IN over a
+    null-free key column is anti-join semantics), part's brand/type/size
+    predicates push into its scan and broadcast onto partsupp, and the
+    distinct supplier count is one partial-aggregated groupBy."""
+    ps = _synth_partsupp(spark, sf_dir)
+    bad = (
+        T(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 13 == 0)
+        .select("s_suppkey")
+    )
+    p = (
+        T(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 7, 13, 19, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        ps.join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"),
+                "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+_TPCH_Q19_ORACLE = f"""
+    SELECT {_REV_EXACT_SQL} AS revenue
+    FROM (
+      SELECT l_partkey, l_quantity, l_extendedprice, l_discount,
+             {_L_SHIPMODE_SQL} AS l_shipmode,
+             (l_orderkey + l_suppkey) % 4 AS l_instr
+      FROM lineitem) l, part
+    WHERE p_partkey = l_partkey
+      AND l_shipmode IN ('MODE_2', 'MODE_5')
+      AND l_instr = 1
+      AND ((p_brand = 'Brand#12'
+            AND 'CONT_' || CAST(p_partkey % 8 AS VARCHAR)
+                  IN ('CONT_1', 'CONT_2', 'CONT_3', 'CONT_4')
+            AND l_quantity >= 1 AND l_quantity <= 20
+            AND p_size BETWEEN 1 AND 10)
+        OR (p_brand = 'Brand#23'
+            AND 'CONT_' || CAST(p_partkey % 8 AS VARCHAR)
+                  IN ('CONT_0', 'CONT_5')
+            AND l_quantity >= 10 AND l_quantity <= 30
+            AND p_size BETWEEN 1 AND 20)
+        OR (p_brand = 'Brand#3'
+            AND 'CONT_' || CAST(p_partkey % 8 AS VARCHAR)
+                  IN ('CONT_6', 'CONT_7')
+            AND l_quantity >= 20 AND l_quantity <= 40
+            AND p_size BETWEEN 1 AND 30))
+"""
+
+
+@q("q_tpch_q19", _TPCH_Q19_ORACLE)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): container
+    and shipinstruct are key-derived. The canonical form puts the OR block
+    in the JOIN condition; the Spark plan keeps the partkey equi-join
+    (hash join, never nested-loop) and evaluates the disjunction as a
+    post-join filter — Catalyst additionally pushes the extracted common
+    conjuncts (shipmode set, instr, the quantity envelope) down into the
+    lineitem scan. Revenue is the exact fixed-point sum."""
+    p = T(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size",
+        F.concat(F.lit("CONT_"), (F.col("p_partkey") % 8).cast("string"))
+        .alias("p_container"),
+    )
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey", "l_quantity", "l_extendedprice", "l_discount",
+            _l_shipmode().alias("l_shipmode"),
+            ((F.col("l_orderkey") + F.col("l_suppkey")) % 4).alias("l_instr"),
+        )
+        .filter(
+            F.col("l_shipmode").isin("MODE_2", "MODE_5")
+            & (F.col("l_instr") == 1)
+        )
+    )
+    qty = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_container").isin("CONT_1", "CONT_2", "CONT_3", "CONT_4")
+            & (qty >= 1) & (qty <= 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_container").isin("CONT_0", "CONT_5")
+            & (qty >= 10) & (qty <= 30)
+            & F.col("p_size").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_container").isin("CONT_6", "CONT_7")
+            & (qty >= 20) & (qty <= 40)
+            & F.col("p_size").between(1, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(_rev_exact().alias("revenue"))
+    )
+
+
+_TPCH_Q20_ORACLE = f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT s_suppkey, s_name
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT ps_suppkey
+        FROM partsupp
+        WHERE ps_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+          AND CAST(ps_availqty AS BIGINT) * 2 > (
+              SELECT sum(CAST(l_quantity AS BIGINT))
+              FROM lineitem
+              WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+                AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'))
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_3'
+    ORDER BY s_name
+"""
+
+
+@q("q_tpch_q20", _TPCH_Q20_ORACLE)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (excess-stock suppliers): nested semi-joins. The
+    correlated half-of-shipped-quantity subquery becomes ONE per-(part,
+    supplier) aggregate of the 1996 lineitem slice inner-joined back
+    (inner = canonical NULL-comparison semantics: a pair with no 1996
+    shipments fails the > test); the part-name and supplier-key IN
+    subqueries are semi-joins (part set broadcast). Quantities are
+    integral by data contract, so the half-stock comparison is exact
+    integer arithmetic (availqty·2 > sum qty) on both sides."""
+    ps = _synth_partsupp(spark, sf_dir)
+    red = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    sd = F.col("l_shipdate").cast("date")
+    q96 = (
+        T(spark, sf_dir, "lineitem")
+        .filter(
+            (sd >= F.lit("1996-01-01").cast("date"))
+            & (sd < F.lit("1997-01-01").cast("date"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("_qty96"))
+    )
+    good = (
+        ps.join(F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey"),
+                "left_semi")
+        .join(
+            q96,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty").cast("bigint") * 2 > F.col("_qty96"))
+        .select("ps_suppkey")
+    )
+    return (
+        T(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(good, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver window ordering.
 #
 # The correctness driver records the first 50 registry entries
@@ -6369,6 +6954,26 @@ _TAIL_VARIANTS = [
                            # per-part average, integer cross-multiplied)
     "q_tpch_q15",          # subquery: q_correlated_agg in-window (scalar
                            # MAX over a derived aggregate, integer-exact)
+    #
+    # Round-10 additions: the seven synthesized-partsupp TPC-H shapes
+    # enter at the tail (their families are all represented in-window);
+    # local sweeps + pytest cover them at 3 SFs.
+    "q_tpch_q2",           # joins: q_join_agg, q_region_revenue in-window
+                           # (dim-chain broadcast + correlated-min shape)
+    "q_tpch_q9",           # joins: q_tpch_q7 in-window (multi-fact star
+                           # with computed profit)
+    "q_tpch_q11",          # subquery: q_correlated_agg in-window (global
+                           # threshold over a derived aggregate)
+    "q_tpch_q12",          # joins: q_join_agg in-window (computed-column
+                           # filters + conditional counts)
+    "q_tpch_q16",          # joins: q_semi_anti_join family rep in-window
+                           # (broadcast anti-join + distinct count)
+    "q_tpch_q19",          # scan-filter-project: q_filter_project in-window
+                           # (disjunctive predicate extraction)
+    "q_tpch_q20",          # joins: q_tpch_q21 in-window (nested semi-joins
+                           # + correlated quantity aggregate)
+    "q_ann_persist",       # ivf-pq: q_ivf_topk, q_ivfpq_topk in-window
+                           # (persisted-index variant of the same probe)
 ]
 
 

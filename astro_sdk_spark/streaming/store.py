@@ -123,13 +123,16 @@ def merge_sketch_batch(
     # the driver never holds the sketch rows, whatever the group
     # cardinality.
     from astro_sdk_spark.functions._cache import (
-        persistent_rdd_ids,
+        checkpoint_rdd_ids,
         unpersist_rdd_ids,
     )
 
-    _before = persistent_rdd_ids(spark)
     merged = merged.select(*data_cols).localCheckpoint(eager=True)
-    _ckpt_ids = persistent_rdd_ids(spark) - _before
+    # ids read from the checkpointed DataFrame itself — a global
+    # before/after set diff would swallow RDDs persisted concurrently by
+    # OTHER queries (e.g. a second always-on ingest) and unpersist them
+    # mid-use, killing that stream with block-not-found
+    _ckpt_ids = checkpoint_rdd_ids(merged)
     try:
         if not merged.take(1):
             return  # batch sketched to nothing (e.g. all-null) — no-op

@@ -36,6 +36,19 @@ def test_export_csv_single_file(engine, nation, tmp_path):
     assert lines[0] == "n_nationkey,n_name,n_regionkey"
 
 
+def test_export_excel_row_cap_guards_driver(engine, nation, tmp_path, monkeypatch):
+    """VERDICT r9 item 7: the xlsx/xls path collects to the driver, so a
+    big table must fail with a clear error BEFORE any rows move — and the
+    check itself must be a bounded count, not a full collect. Cap is
+    env-overridable for callers who really mean it."""
+    monkeypatch.setenv("ASTRO_EXCEL_EXPORT_MAX_ROWS", "5")
+    with pytest.raises(ValueError, match="refusing to export"):
+        export_to_file(nation, File(str(tmp_path / "n.xlsx")), engine=engine)
+    monkeypatch.setenv("ASTRO_EXCEL_EXPORT_MAX_ROWS", "100000")
+    out = export_to_file(nation, File(str(tmp_path / "n.xlsx")), engine=engine)
+    assert os.path.getsize(out.path) > 0
+
+
 def test_export_exception_mode(engine, nation, tmp_path):
     out = str(tmp_path / "n.csv")
     export_to_file(nation, File(out), engine=engine)

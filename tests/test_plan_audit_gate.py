@@ -64,6 +64,8 @@ NESTED_LOOP_WHITELIST = {
     "q_quantile_sketch": 3,  # one-row sketch-total broadcast per quantile
                              # pick (p50/p90/p99 — the tf_idf normalizer
                              # device over ≤range/width sketch cells)
+    "q_tpch_q11": 1,         # one-row global-threshold broadcast (the
+                             # q_tpch_q15 MAX device, integer-exact)
 }
 
 # query → max allowed Python/Arrow boundary nodes (MapInPandas etc.).
@@ -92,6 +94,9 @@ PY_BOUNDARY_WHITELIST = {
     "q_unicode_normalize": 1,  # unicodedata.normalize pandas_udf — Spark
                                # has no Unicode-normalization builtin; one
                                # Arrow-batched projection, no shuffle
+    "q_ann_persist": 1,      # query-probe matmul (nearest_centroids) — the
+                             # q_ivf_topk boundary; list assignment runs
+                             # eagerly at build/add time, outside this plan
 }
 
 # queries adjudicated as carrying parquet filter pushdown (PLAN_AUDIT.md

@@ -9,9 +9,11 @@ import datetime
 import pytest
 from pyspark.sql import functions as F
 
-from astro_sdk_spark.operators.scd import merge_scd2, scd2_plan
+from astro_sdk_spark.operators.scd import merge_scd2, scd2_lookup, scd2_plan
 
 D = datetime.date
+
+TGT_COLS = ["id", "status", "price", "valid_from", "valid_to", "is_current"]
 
 TGT_SCHEMA = (
     "id long, status string, price double, "
@@ -146,6 +148,61 @@ def test_merge_scd2_operator_round_trip(engine, spark):
         assert spark.table(tgt.name).count() == 3
     finally:
         engine.drop_table(tgt)
+
+
+def test_merge_scd2_partition_by_current_prunes_history(engine, spark):
+    """VERDICT r9 stretch: partition_by=[current_col] must (a) keep the
+    merge result identical, (b) make a current-rows predicate skip every
+    closed-history file (file_skip_report payoff), which an unpartitioned
+    layout cannot guarantee."""
+    from astro_sdk_spark import Table
+
+    tgt_flat = Table(name="scd_dim_flat")
+    tgt_part = Table(name="scd_dim_part")
+    base = [(i, "a", 1.0, D(2020, 1, 1), None, True) for i in range(1, 40)]
+    for t in (tgt_flat, tgt_part):
+        spark.createDataFrame(base, TGT_SCHEMA).write.mode(
+            "overwrite"
+        ).saveAsTable(t.name)
+    try:
+        snap = spark.createDataFrame(
+            [(i, "a", 2.0, D(2021, 1, 1)) for i in range(1, 40)], SRC_SCHEMA
+        )
+        merge_scd2(snap, tgt_flat, ["id"], ["status", "price"], engine=engine)
+        merge_scd2(
+            snap, tgt_part, ["id"], ["status", "price"],
+            partition_by=["is_current"], engine=engine,
+        )
+        # select the same column order on both reads: a partitioned table
+        # surfaces its partition columns last
+        flat = sorted(
+            map(tuple, spark.table(tgt_flat.name).select(*TGT_COLS).collect())
+        )
+        part = sorted(
+            map(tuple, spark.table(tgt_part.name).select(*TGT_COLS).collect())
+        )
+        assert part == flat  # layout change only — same history
+        rep = engine.file_skip_report(tgt_part, "is_current = true")
+        assert rep["skippable_fraction"] > 0, rep  # closed era prunes away
+        # the lookup every SCD2 table serves still answers identically
+        facts = spark.createDataFrame(
+            [(1, D(2021, 6, 1)), (1, D(2020, 6, 1))], "id int, ts date"
+        )
+        got = {
+            (r.ts, r.price)
+            for r in scd2_lookup(
+                facts, spark.table(tgt_part.name), ["id"], "ts"
+            ).collect()
+        }
+        assert got == {(D(2021, 6, 1), 2.0), (D(2020, 6, 1), 1.0)}
+        with pytest.raises(ValueError, match="partition_by columns"):
+            merge_scd2(
+                snap, tgt_part, ["id"], ["status", "price"],
+                partition_by=["no_such_col"], engine=engine,
+            )
+    finally:
+        engine.drop_table(tgt_flat)
+        engine.drop_table(tgt_part)
 
 
 def test_scd2_close_missing_empty_snapshot_is_noop(spark, dim):

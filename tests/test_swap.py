@@ -105,8 +105,11 @@ def test_rollup_refresh_survives_failed_rename(spark, monkeypatch, tmp_path):
 
 
 def test_location_is_partial_write_discriminates(spark, tmp_path):
-    """The self-heal gate: _temporary-only debris is scrubbable; a
-    directory holding committed data files is NOT."""
+    """The self-heal gate: STALE _temporary-only debris is scrubbable; a
+    directory holding committed data files is NOT, and neither is FRESH
+    debris (ADVICE r9: a concurrent first-creation saveAsTable by another
+    session is marker-only while alive — only mtime staleness proves the
+    writer is dead)."""
     import os
 
     from astro_sdk_spark.operators.swap import (
@@ -118,12 +121,33 @@ def test_location_is_partial_write_discriminates(spark, tmp_path):
     assert loc is not None
     # absent -> False
     assert location_is_partial_write(spark, "gate_probe_t") is False
-    # debris-only -> True
-    os.makedirs(os.path.join(loc, "_temporary"), exist_ok=True)
+    # FRESH debris (live concurrent writer's shape) -> False
+    tmp = os.path.join(loc, "_temporary")
+    os.makedirs(tmp, exist_ok=True)
+    assert location_is_partial_write(spark, "gate_probe_t") is False
+    # STALE debris -> True; an in-flight file touched recently flips back
+    old = 1.0
+    for p in (loc, tmp):
+        os.utime(p, (old, old))
     assert location_is_partial_write(spark, "gate_probe_t") is True
-    # committed data file -> False (not ours to delete)
+    inflight = os.path.join(tmp, "attempt_0", "part-00000")
+    os.makedirs(os.path.dirname(inflight), exist_ok=True)
+    with open(inflight, "wb") as f:
+        f.write(b"x")
+    os.utime(loc, (old, old))
+    os.utime(tmp, (old, old))
+    assert location_is_partial_write(spark, "gate_probe_t") is False
+    # ...and goes stale again once nothing has been touched for a while
+    for root, dirs, files in os.walk(loc):
+        for n in dirs + files:
+            os.utime(os.path.join(root, n), (old, old))
+    os.utime(loc, (old, old))
+    assert location_is_partial_write(spark, "gate_probe_t") is True
+    # committed data file -> False (not ours to delete), however stale
     with open(os.path.join(loc, "part-00000.parquet"), "wb") as f:
         f.write(b"x")
+    os.utime(os.path.join(loc, "part-00000.parquet"), (old, old))
+    os.utime(loc, (old, old))
     assert location_is_partial_write(spark, "gate_probe_t") is False
     import shutil
 

@@ -18,7 +18,7 @@ WINDOW = 50
 # Members must list EVERY query of the family so the completeness check
 # below can prove the map is total.
 FAMILIES: dict[str, list[str]] = {
-    "scan-filter-project": ["q_filter_project", "q_tpch_q6"],
+    "scan-filter-project": ["q_filter_project", "q_tpch_q6", "q_tpch_q19"],
     "sort-topk": ["q_topk_order"],
     "set-ops": ["q_set_ops"],
     "joins": [
@@ -26,6 +26,8 @@ FAMILIES: dict[str, list[str]] = {
         "q_tpch_q3", "q_tpch_q10", "q_tpch_q18", "q_tpch_q14",
         "q_tpch_q22", "q_tpch_q5", "q_tpch_q7", "q_tpch_q21",
         "q_tpch_q4", "q_tpch_q8", "q_tpch_q13", "q_tpch_q17",
+        "q_tpch_q2", "q_tpch_q9", "q_tpch_q12", "q_tpch_q16",
+        "q_tpch_q20",
     ],
     "range-join": ["q_range_join"],
     "asof-join": ["q_asof_join"],
@@ -43,7 +45,7 @@ FAMILIES: dict[str, list[str]] = {
     "scalar-funcs": [
         "q_scalar_funcs", "q_date_funcs", "q_string_funcs", "q_json_extract",
     ],
-    "subquery": ["q_correlated_agg", "q_tpch_q15"],
+    "subquery": ["q_correlated_agg", "q_tpch_q15", "q_tpch_q11"],
     "events-streaming": [
         "q_events_tumbling", "q_events_sessions", "q_events_sliding",
         "q_events_rollup", "q_events_gapfill", "q_funnel", "q_retention",
@@ -75,7 +77,7 @@ FAMILIES: dict[str, list[str]] = {
     "file-formats": ["q_load_avro"],
     "ivf-pq": [
         "q_ivf_topk", "q_ivf_trained", "q_ivfpq_topk", "q_pq_topk",
-        "q_ivfpq_trained",
+        "q_ivfpq_trained", "q_ann_persist",
     ],
     "text-stats": [
         "q_token_stats", "q_quality_score", "q_doc_fingerprint",

@@ -47,6 +47,52 @@ def normalize(rows, columns):
     return sorted(out)
 
 
+def _run_oracle(con, sql, timeout_s):
+    """Execute one oracle; on timeout raise duckdb.InterruptException.
+
+    The oracle runs on a worker thread and the caller joins with a
+    timeout, interrupting ONLY while that query is provably still live.
+    (The previous threading.Timer design could fire in the window between
+    query completion and timer.cancel(), parking the interrupt flag on
+    the NEXT query — which was then spuriously SKIPped despite finishing
+    well inside the limit.) If the interrupt lands after the worker
+    finished anyway, a sacrificial ``SELECT 1`` absorbs the stale flag so
+    the next oracle starts clean."""
+    if not timeout_s:
+        res = con.execute(sql)
+        return [d[0] for d in res.description], res.fetchall()
+    import threading
+
+    out: dict = {}
+
+    def work():
+        try:
+            res = con.execute(sql)
+            out["cols"] = [d[0] for d in res.description]
+            out["rows"] = res.fetchall()
+        except BaseException as e:  # noqa: BLE001 - re-raised on the caller
+            out["err"] = e
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    interrupted = False
+    if t.is_alive():
+        interrupted = True
+        con.interrupt()
+        t.join()
+    if interrupted and "rows" in out:
+        # completed in the is_alive→interrupt window: the flag may be
+        # parked on the connection — absorb it before the next query
+        try:
+            con.execute("SELECT 1").fetchall()
+        except duckdb.InterruptException:
+            pass
+    if "err" in out:
+        raise out["err"]
+    return out["cols"], out["rows"]
+
+
 def main():
     raw = [a for a in sys.argv[1:] if a != "--plain"]
     plain = "--plain" in sys.argv[1:]
@@ -64,7 +110,9 @@ def main():
         raw = raw[:i] + raw[i + 2:]
     args = raw
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
+    only = set()
+    for a in args[1:]:
+        only.update(x for x in a.split(",") if x)  # commas OR spaces
 
     from astro_sdk_spark.queries import (
         VACUOUS_OK,
@@ -131,6 +179,11 @@ def main():
     oracles = oracle_queries()
     failures = []
     skipped: list[str] = []
+    unknown = only - set(spark_queries())
+    if unknown:
+        # a typo'd name silently matching NOTHING would print the
+        # all-match summary vacuously — fail loudly instead
+        sys.exit(f"unknown queries requested: {sorted(unknown)}")
     for name, fn in spark_queries().items():
         if only and name not in only:
             continue
@@ -156,16 +209,8 @@ def main():
         if name not in oracles:
             print(f"ok*   {name}: rows-only, {len(srows)} rows")
             continue
-        timer = None
-        if oracle_timeout:
-            import threading
-
-            timer = threading.Timer(oracle_timeout, con.interrupt)
-            timer.start()
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            ocols, orows = _run_oracle(con, oracles[name], oracle_timeout)
         except duckdb.InterruptException:
             skipped.append(name)
             print(f"SKIP  {name}: oracle exceeded {oracle_timeout}s "
@@ -175,9 +220,6 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
-        finally:
-            if timer is not None:
-                timer.cancel()
         if sorted(scols) != sorted(ocols):
             failures.append(name)
             print(f"FAIL  {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
