@@ -6801,22 +6801,17 @@ _TAIL_VARIANTS = [
                            # (driver-verified r2-r8)
     "q_events_sessions",   # events: q_events_tumbling + q_events_rollup
                            # in-window (driver-verified r2-r8)
-    "q_semi_anti_join",    # joins: q_join_agg, q_region_revenue, q_tpch_q21
+    "q_semi_anti_join",    # joins: q_join_agg, q_tpch_q21
                            # (anti-join shape) in-window (verified r2-r8)
     "q_rollup",            # grouping analytics: q_grouping_sets + q_cube
                            # in-window (driver-verified r2-r8)
-    "q_merge_update",      # merge: q_merge_ignore rotated in-window
-                           # (driver-verified r2-r8)
-    "q_scalar_funcs",      # scalar fns: q_json_extract + q_date_funcs
+    "q_scalar_funcs",      # scalar fns: q_date_funcs in-window
                            # in-window (driver-verified r2-r8)
     "q_dedup_keeplist",    # dedup-clusters: q_dedup_clusters in-window
                            # (driver-verified r2-r8)
-    "q_check_column",      # data-quality: q_check_table in-window
-                           # (driver-verified r2-r8)
-    "q_ivf_trained",       # ANN: q_embedding_topk, q_ivf_topk, q_ivfpq_topk
+    "q_ivf_trained",       # ANN: q_embedding_topk, q_ivfpq_topk
                            # in-window (driver-verified r5-r8)
-    "q_ann_lsh",           # similarity: q_embedding_topk, q_ivf_topk,
-                           # q_ivfpq_topk
+    "q_ann_lsh",           # similarity: q_embedding_topk, q_ivfpq_topk
     "q_ann_recall",        # similarity: q_embedding_topk (tailed to make
                            # window room for q_load_avro)
     "q_pq_topk",           # PQ: q_ivfpq_topk runs the same encode+ADC
@@ -6828,46 +6823,46 @@ _TAIL_VARIANTS = [
                            # the scale path of the same family)
     "q_window_running",    # windows: q_window_extended (q_window_topk
                            # rotated to tail in round 9)
-    "q_doc_fingerprint",   # text: q_token_stats
-    "q_stratified_sample", # sampling: q_train_split, q_domain_mix, q_seq_packing
+    "q_doc_fingerprint",   # text: q_quality_score, q_repetition_stats
+    "q_stratified_sample", # sampling: q_domain_mix, q_seq_packing
     "q_pivot",             # grouping analytics: q_grouping_sets, q_cube
                            # (q_rollup rotated to tail in round 9)
                            # (tailed to make window room for q_transform_ctas)
     "q_distinct_counts",   # aggregation: q_pricing_summary
     "q_group_having",      # aggregation: q_pricing_summary (tailed to make
                            # window room for q_transform_ctas)
-    "q_string_funcs",      # scalar fns: q_date_funcs, q_json_extract
+    "q_string_funcs",      # scalar fns: q_date_funcs in-window
                            # (q_scalar_funcs rotated to tail in round 9)
     "q_events_sliding",    # events: q_events_tumbling, q_events_rollup
     "q_histogram",         # distribution: q_percentiles
     "q_lang_distribution", # text: q_lang_id
-    "q_top_ngrams",        # text: q_token_stats, q_doc_fingerprint
-    "q_bpe_token_count",   # text: q_token_stats
-    "q_bpe_train",         # tokenizer training: family covered in-window
-                           # by q_token_stats / q_bpe_token_count
+    "q_top_ngrams",        # text: q_quality_score, q_repetition_stats
+    "q_bpe_token_count",   # text: q_quality_score, q_repetition_stats
+    "q_bpe_train",         # tokenizer training: q_quality_score,
+                           # q_repetition_stats in-window (text family)
     "q_bpe_encode",        # tokenizer encode: same family
     "q_profile_table",     # data-quality: q_check_table
     "q_events_gapfill",    # events: q_events_tumbling, q_events_rollup
     "q_gopher_filter",     # text quality: q_quality_score (in-window)
-    "q_c4_rules",          # cleaning: q_pii_redaction, q_line_dedup in-window
-    "q_dsir_weights",      # sampling/selection: q_train_split, q_domain_mix
+    "q_c4_rules",          # cleaning: q_decontaminate in-window
+    "q_dsir_weights",      # sampling/selection: q_domain_mix in-window
     "q_doc_chunks",        # sampling/example-prep: q_seq_packing in-window
                            # (same window-geometry family)
-    "q_quality_classifier",  # model scoring: q_tfidf, q_lm_score in-window
-    "q_sq8_topk",          # ANN compression: q_embedding_topk, q_ivf_topk
+    "q_quality_classifier",  # model scoring: q_lm_score in-window
+    "q_sq8_topk",          # ANN compression: q_embedding_topk
                            # in-window (SQ completes flat/IVF/PQ/SQ)
-    "q_contamination_score",  # cleaning: q_pii_redaction, q_decontaminate
+    "q_contamination_score",  # cleaning: q_decontaminate
                               # in-window (graded variant of decontaminate)
-    "q_unimax",            # sampling/mixture: q_train_split, q_domain_mix
+    "q_unimax",            # sampling/mixture: q_domain_mix in-window
                            # in-window (multilingual budget allocation)
-    "q_lm_backoff",        # model scoring: q_tfidf, q_lm_score in-window
+    "q_lm_backoff",        # model scoring: q_lm_score in-window
                            # (bigram Stupid-Backoff variant)
-    "q_weighted_sample",   # sampling: q_train_split, q_domain_mix,
+    "q_weighted_sample",   # sampling: q_domain_mix,
                            # q_seq_packing in-window (E–S reservoir)
     "q_compact_roundtrip",  # ctas/operator layer: q_transform_ctas in-window
-    "q_leakage_split",     # sampling: q_train_split in-window (split +
+    "q_leakage_split",     # sampling: q_domain_mix in-window (split +
                            # cross-boundary decontamination composition)
-    "q_unicode_normalize",  # cleaning: q_pii_redaction, q_decontaminate
+    "q_unicode_normalize",  # cleaning: q_decontaminate
                             # in-window (canonicalization pass)
     "q_outliers",          # data-quality: q_check_table
                            # in-window (robust-fence variant)
@@ -6875,10 +6870,8 @@ _TAIL_VARIANTS = [
                            # in-window (conversion-analytics variant)
     "q_retention",         # events: q_events_tumbling in-window (cohort
                            # retention triangle)
-    "q_strip_html",        # cleaning: q_pii_redaction, q_decontaminate
+    "q_strip_html",        # cleaning: q_decontaminate
                            # in-window (HTML→text extraction pass)
-    "q_scd2_merge",        # merge: q_merge_ignore in-window (type-2
-                           # history variant of the same staged rewrite)
     "q_table_diff",        # data-quality: q_check_table
                            # in-window (CDC snapshot-compare variant)
     "q_rolling",           # events: q_events_tumbling in-window
@@ -6889,21 +6882,21 @@ _TAIL_VARIANTS = [
                            # (per-event labeling variant)
     "q_skew_report",       # data-quality: q_check_table
                            # in-window (hot-key distribution diagnostic)
-    "q_doc_line_dedup",    # content-dedup: q_line_dedup in-window
+    "q_doc_line_dedup",    # content-dedup: q_substring_dedup in-window
                            # (intra-document variant, shuffle-free)
     "q_incremental_fresh",  # ctas/operator layer: q_transform_ctas
                             # in-window (incremental-load freshness)
     "q_cms_counts",        # aggregation/sketches: q_pricing_summary,
                            # q_distinct_counts family in-window
-    "q_scd2_lookup",       # merge: q_merge_ignore in-window (the
+    "q_scd2_lookup",       # merge: q_merge_ignore, q_scd2_merge in-window (the
                            # point-in-time read side of SCD2)
-    "q_hard_negatives",    # ann: q_embedding_topk, q_ivf_topk in-window
+    "q_hard_negatives",    # ann: q_embedding_topk in-window
                            # (cross-label mining composition)
     "q_temperature_mix",   # sampling/mixture: q_train_split, q_domain_mix
                            # in-window (mT5 n^α rule; UniMax's precursor)
-    "q_tpch_q3",           # joins: q_join_agg, q_region_revenue in-window
+    "q_tpch_q3",           # joins: q_join_agg, q_tpch_q13 in-window
                            # (classic 3-table report shape)
-    "q_tpch_q10",          # joins: q_join_agg, q_region_revenue in-window
+    "q_tpch_q10",          # joins: q_join_agg, q_tpch_q13 in-window
                            # (classic 4-table report shape)
     "q_impute",            # data-quality: q_check_table
                            # in-window (null-repair transform)
@@ -6916,22 +6909,14 @@ _TAIL_VARIANTS = [
     "q_jaccard_join",      # joins/content-dedup: q_minhash_neardup,
                            # q_fuzzy_join family (exact set-similarity
                            # counterpart of the LSH path)
-    "q_pagerank",          # graph/iterative: q_dedup_clusters family
-                           # in-window (connected components); fixed-point
-                           # link analysis with an unrolled-SQL oracle
     "q_unpivot",           # grouping analytics: q_grouping_sets, q_cube
                            # in-window (pivot's inverse reshape)
     "q_stream_join",       # events: q_events_tumbling, q_events_rollup
                            # in-window (stream-stream interval join class,
                            # batch mode of the same operator)
-    "q_publish",           # ctas/operator layer: q_transform_ctas in-window
-                           # (write-audit-publish staged swap)
-    "q_quantile_sketch",   # aggregation/sketches: q_pricing_summary,
-                           # q_percentiles in-window (mergeable quantile
-                           # member of the HLL/Bloom/CMS family)
     "q_group_quantiles",   # aggregation/sketches: same family (grouped
                            # per-key variant of q_quantile_sketch)
-    "q_tpch_q18",          # joins: q_join_agg, q_region_revenue in-window
+    "q_tpch_q18",          # joins: q_join_agg, q_tpch_q17 in-window
                            # (large-volume-customer HAVING shape)
     "q_tpch_q14",          # joins: same family (promo-share conditional
                            # aggregation over a dim join)
@@ -6940,7 +6925,7 @@ _TAIL_VARIANTS = [
     "q_stream_group_quantiles",  # aggregation/sketches + streaming:
                            # q_quantile_sketch/q_group_quantiles family,
                            # maintained via the streaming sketch store
-    "q_tpch_q5",           # joins: q_join_agg, q_region_revenue in-window
+    "q_tpch_q5",           # joins: q_join_agg, q_tpch_q7 in-window
                            # (six-table local-supplier star join)
     "q_tpch_q4",           # joins: q_tpch_q21 in-window (correlated-EXISTS
                            # semi-join family; Q4 is the single-EXISTS form)
@@ -6948,17 +6933,36 @@ _TAIL_VARIANTS = [
                            # family; Q8 is the share-ratio variant)
     "q_tpch_q6",           # scan-filter-project: q_filter_project in-window
                            # (pure pushdown + exact-sum scan query)
-    "q_tpch_q13",          # joins: q_join_agg, q_tpch_q21 in-window (left-
-                           # outer + aggregate-of-aggregate shape)
-    "q_tpch_q17",          # joins: q_tpch_q21 in-window (correlated-scalar
-                           # per-part average, integer cross-multiplied)
-    "q_tpch_q15",          # subquery: q_correlated_agg in-window (scalar
-                           # MAX over a derived aggregate, integer-exact)
+    #
+    # Round-10 rotation: nine r2-r9 veterans rotate OUT to give nine
+    # never-driver-verified tail queries their first driver window
+    # (q_check_column, q_merge_update, q_scd2_merge, q_quantile_sketch,
+    # q_pagerank, q_publish, q_tpch_q13/q15/q17 — removed from this list).
+    "q_region_revenue",    # joins: q_join_agg, q_tpch_q7, q_tpch_q21,
+                           # q_tpch_q13, q_tpch_q17 in-window
+                           # (driver-verified r2-r9)
+    "q_json_extract",      # scalar fns: q_date_funcs in-window
+                           # (driver-verified r2-r9)
+    "q_train_split",       # sampling: q_seq_packing, q_domain_mix
+                           # in-window (driver-verified r2-r9)
+    "q_token_stats",       # text: q_quality_score, q_repetition_stats
+                           # in-window (driver-verified r2-r9)
+    "q_pii_redaction",     # cleaning: q_decontaminate in-window
+                           # (driver-verified r2-r9)
+    "q_line_dedup",        # content-dedup: q_substring_dedup in-window
+                           # (driver-verified r2-r9)
+    "q_semantic_dedup",    # embedding-dedup: q_embedding_neardup
+                           # in-window (driver-verified r5-r9)
+    "q_tfidf",             # model scoring: q_lm_score in-window
+                           # (driver-verified r2-r9)
+    "q_ivf_topk",          # ivf-pq: q_ivfpq_topk, q_ann_persist family
+                           # in-window (driver-verified r5-r9)
     #
     # Round-10 additions: the seven synthesized-partsupp TPC-H shapes
     # enter at the tail (their families are all represented in-window);
-    # local sweeps + pytest cover them at 3 SFs.
-    "q_tpch_q2",           # joins: q_join_agg, q_region_revenue in-window
+    # local sweeps + pytest cover them at 3 SFs, and q_ann_persist gates
+    # the persisted-index build.
+    "q_tpch_q2",           # joins: q_join_agg, q_tpch_q13 in-window
                            # (dim-chain broadcast + correlated-min shape)
     "q_tpch_q9",           # joins: q_tpch_q7 in-window (multi-fact star
                            # with computed profit)

@@ -144,3 +144,37 @@ def test_grouped_store_equals_one_shot_sketch_under_any_schedule(
         assert got == want
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_checkpoint_rdd_ids_identifies_only_its_own_checkpoint(spark):
+    """ADVICE r9 (medium): the old before/after persistent-set diff
+    swallowed RDDs persisted CONCURRENTLY by other queries and unpersisted
+    them mid-use — lineage-truncated blocks, so the victim stream died
+    with block-not-found. checkpoint_rdd_ids must return exactly the one
+    RDD the checkpointed DataFrame owns, whatever else is persisted."""
+    from astro_sdk_spark.functions._cache import (
+        checkpoint_rdd_ids,
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
+    bystander = spark.range(100).toDF("x")
+    bystander.persist()
+    bystander.count()
+    a = spark.range(50).toDF("x").localCheckpoint(eager=True)
+    other = spark.range(70).toDF("x").localCheckpoint(eager=True)  # "concurrent"
+    ids_a = checkpoint_rdd_ids(a)
+    ids_other = checkpoint_rdd_ids(other)
+    try:
+        assert len(ids_a) == 1 and len(ids_other) == 1
+        assert ids_a.isdisjoint(ids_other)
+        assert ids_a <= persistent_rdd_ids(spark)
+        # releasing a's checkpoint must leave the other two readable
+        unpersist_rdd_ids(spark, ids_a)
+        assert other.count() == 70
+        assert bystander.count() == 100
+        # non-checkpointed plan → empty set (never a guess)
+        assert checkpoint_rdd_ids(bystander) == set()
+    finally:
+        unpersist_rdd_ids(spark, ids_other)
+        bystander.unpersist()
