@@ -327,34 +327,34 @@ def _scale_probe_stage(spark, sf_dir: str, factor: int) -> dict:
     emb = _T(spark, sf_dir, "embeddings")
 
     def rep_docs(n: int):
-        """n× the corpus, texts made distinct per replica: a per-replica
-        STRIDE permutation of the word sequence destroys adjacency, so
-        word-k-gram shingle sets between replicas are near-disjoint —
-        the dedup ops see n× genuine volume, not n× copies."""
+        """n× the corpus, texts made distinct per replica: every WORD is
+        prefixed with the replica tag. Tagging is a bijection on the
+        vocabulary, so within-replica similarity structure is EXACTLY the
+        original's (A_r ~ B_r iff A ~ B) while cross-replica word-shingle
+        Jaccard is identically 0 — the dedup ops see n× genuine volume
+        with n× the output pairs, never an n²-pair cross-replica cluster.
+        (A first cut used per-replica stride permutations of the word
+        order; same-stride replicas of SIMILAR docs stayed similar and
+        short docs collided across replicas, which measured 30-67× at
+        10× — a probe artifact, not an operator regression. Tagging
+        removes the artifact by construction.)"""
         if n == 1:
             return docs
-        strides = [1, 3, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47]
-        while len(strides) < n:
-            strides.append(strides[-1] + 6)
         r = spark.range(n).select(SF.col("id").alias("_r"))
-        stride = SF.element_at(
-            SF.array(*[SF.lit(s) for s in strides[:n]]),
-            (SF.col("_r") + 1).cast("int"),
-        )
-        words = SF.split(SF.col("text"), r"\s+")
-        nw = SF.size(words)
-        perm = SF.concat_ws(
+        # split on single spaces (not \s+) so newlines survive inside
+        # tokens — line_dedup keeps the original line structure
+        tagged = SF.concat_ws(
             " ",
             SF.transform(
-                SF.sequence(SF.lit(0), nw - 1),
-                lambda i: SF.element_at(
-                    words, ((i * stride) % nw + 1).cast("int")
+                SF.split(SF.col("text"), " "),
+                lambda w: SF.concat(
+                    SF.lit("r"), SF.col("_r").cast("string"), SF.lit("·"), w
                 ),
             ),
         )
         return docs.crossJoin(r).select(
             (SF.col("doc_id") * n + SF.col("_r")).alias("doc_id"),
-            SF.when(nw > 0, perm).otherwise(SF.col("text")).alias("text"),
+            tagged.alias("text"),
         )
 
     def rep_emb(n: int):
