@@ -14,19 +14,26 @@ Layout (all plain managed parquet tables — readable by any engine):
 
 - ``{name}__centroids``: ``(cent_id, vec)`` — the (contractually small)
   coarse quantizer, broadcast at query/add time.
-- ``{name}__lists``:     ``(cent_id, cand_id, vec)`` — the inverted lists,
-  i.e. every indexed vector tagged with its nearest centroid. At scale
-  this is THE big table; it is written partitioned by nothing but read
-  with a cent_id equi-join, so Catalyst prunes probed lists via the join
-  (or via partition pruning if the caller repartitions by cent_id).
-- ``{name}__meta``:      one row of build parameters, checked on every
+- ``{name}__lists``: PARTITIONED BY ``cent_id`` — the inverted lists. At
+  scale this is THE big table; the directory-per-centroid layout means a
+  query that probes ``nprobe`` of ``n_centroids`` lists reads exactly
+  that fraction of the table's FILES (static partition pruning on the
+  IN-filter the probe set produces — asserted by the pruning payoff
+  test), not just that fraction of its rows. Row payload depends on the
+  index kind: ``(cand_id, vec)`` for a flat index (exact cosine rescoring
+  inside probed lists), ``(cand_id, pq_code)`` for a PQ index — a few
+  BYTES per vector, the IVFADC shape that makes a 100 TB corpus scannable
+  as table lookups.
+- ``{name}__codebooks``: ``(s, j, vec)`` PQ codeword table (pq kind only;
+  contractually small — m × k rows, collected + broadcast at query time).
+- ``{name}__meta``: one row of build parameters, checked on every
   add/query so an index built under one geometry can't silently serve
   another (same discipline as streaming/store.py's param columns).
 
-Determinism contract: assignment/probing/rescoring round cosines to
-``round_digits`` and break ties on ascending id — identical to ivf_topk,
+Determinism contract: assignment/probing/rescoring round before every
+rank and break ties on ascending id — identical to ivf_topk / ivfpq_topk,
 so an incrementally-built index answers queries bit-for-bit like a
-one-shot build (gated by q_ann_persist's oracle).
+one-shot build (gated by q_ann_persist / q_annpq_persist's oracles).
 """
 
 from __future__ import annotations
@@ -49,18 +56,36 @@ __all__ = [
 _ROUND_DIGITS = 4
 
 
-def _tables(name: str) -> tuple[str, str, str]:
-    return f"{name}__centroids", f"{name}__lists", f"{name}__meta"
+def _tables(name: str) -> tuple[str, str, str, str]:
+    return (
+        f"{name}__centroids",
+        f"{name}__lists",
+        f"{name}__meta",
+        f"{name}__codebooks",
+    )
 
 
 def _read_meta(spark: SparkSession, name: str) -> dict:
-    _, _, meta_t = _tables(name)
+    meta_t = _tables(name)[2]
     if not spark.catalog.tableExists(meta_t):
         raise ValueError(f"ANN index {name!r} does not exist (no {meta_t})")
     row = spark.table(meta_t).head()
     if row is None:
         raise ValueError(f"ANN index {name!r} has an empty meta table")
     return row.asDict()
+
+
+def _read_codebooks(spark: SparkSession, name: str, meta: dict):
+    cb_t = _tables(name)[3]
+    rows = spark.table(cb_t).collect()
+    m, k = meta["pq_m"], meta["pq_k"]
+    if len(rows) != m * k:
+        raise ValueError(
+            f"ANN index {name!r}: codebook table holds {len(rows)} rows, "
+            f"expected m×k = {m}×{k}"
+        )
+    by_sj = {(r.s, r.j): list(r.vec) for r in rows}
+    return [[by_sj[(s, j)] for j in range(k)] for s in range(m)]
 
 
 def build_ann_index(
@@ -70,15 +95,23 @@ def build_ann_index(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks=None,
+    encode_round_digits: int | None = None,
 ) -> None:
     """Create the index tables and assign ``corpus`` to its lists.
 
     ``centroids`` is caller-supplied — train_centroids output, a coreset,
     or a deterministic sample — keeping the quantizer choice outside the
     storage layer (same contract as ivf_topk). One broadcast-assign pass
-    over the corpus, no shuffle; the lists table append is the only
-    write."""
-    cent_t, lists_t, meta_t = _tables(name)
+    over the corpus, no shuffle; the lists table write is the only one
+    that scales with the corpus.
+
+    With ``codebooks`` (``[m][k][dsub]``, e.g. from train_pq), the lists
+    store PQ CODES instead of raw vectors — the IVFADC layout — and
+    queries answer through the ADC scan (ivfpq_topk's contract).
+    ``encode_round_digits`` is forwarded to pq_encode; set it when the
+    codebooks were trained (see the determinism note there)."""
+    cent_t, lists_t, meta_t, cb_t = _tables(name)
     drop_ann_index(spark, name)
     cent = centroids.select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("vec")
@@ -86,10 +119,29 @@ def build_ann_index(
     cent.write.format("parquet").saveAsTable(cent_t)
     n_cent = spark.table(cent_t).count()
     dim_row = spark.table(cent_t).select(F.size("vec").alias("d")).head()
+    kind = "flat" if codebooks is None else "pq"
+    pq_m = len(codebooks) if codebooks is not None else 0
+    pq_k = len(codebooks[0]) if codebooks is not None else 0
+    enc_rd = -1 if encode_round_digits is None else encode_round_digits
     spark.createDataFrame(
-        [(int(n_cent), int(dim_row.d), _ROUND_DIGITS, "cosine")],
-        "n_centroids int, dim int, round_digits int, metric string",
+        [
+            (
+                int(n_cent), int(dim_row.d), _ROUND_DIGITS, "cosine",
+                kind, pq_m, pq_k, enc_rd,
+            )
+        ],
+        "n_centroids int, dim int, round_digits int, metric string, "
+        "kind string, pq_m int, pq_k int, encode_round_digits int",
     ).write.format("parquet").saveAsTable(meta_t)
+    if codebooks is not None:
+        spark.createDataFrame(
+            [
+                (s, j, [float(x) for x in codebooks[s][j]])
+                for s in range(pq_m)
+                for j in range(pq_k)
+            ],
+            "s int, j int, vec array<double>",
+        ).write.format("parquet").saveAsTable(cb_t)
     _append_assigned(spark, corpus, name, id_col, vec_col, first=True)
 
 
@@ -101,11 +153,11 @@ def ann_index_add(
     vec_col: str = "embedding",
     dedupe: bool = True,
 ) -> None:
-    """Incrementally index new vectors: assign against the STORED
-    centroids (broadcast — the corpus lists are never rescanned) and
-    append to the lists table. With ``dedupe`` (default), ids already in
-    the index are skipped, making re-adds idempotent — the anti-join
-    touches only the lists table's id column (column-pruned scan)."""
+    """Incrementally index new vectors: assign (and for a PQ index,
+    encode) against the STORED centroids/codebooks — the corpus lists are
+    never rescanned. With ``dedupe`` (default), ids already in the index
+    are skipped, making re-adds idempotent — the anti-join touches only
+    the lists table's id column (column-pruned scan)."""
     _read_meta(spark, name)  # existence + geometry check
     _append_assigned(spark, batch, name, id_col, vec_col, dedupe=dedupe)
 
@@ -119,7 +171,7 @@ def _append_assigned(
     first: bool = False,
     dedupe: bool = True,
 ) -> None:
-    cent_t, lists_t, _ = _tables(name)
+    cent_t, lists_t, _, _ = _tables(name)
     meta = _read_meta(spark, name)
     dim = df.select(F.size(F.col(vec_col)).alias("d")).head()
     if dim is not None and dim.d != meta["dim"]:
@@ -144,8 +196,27 @@ def _append_assigned(
         cent_vec_col="vec",
         round_digits=meta["round_digits"],
     )
-    out = vecs.join(assigned, "cand_id").select("cent_id", "cand_id", "vec")
-    writer = out.write.format("parquet")
+    if meta["kind"] == "pq":
+        from astro_sdk_spark.functions.pq import pq_encode
+
+        enc_rd = meta["encode_round_digits"]
+        codes = pq_encode(
+            vecs,
+            _read_codebooks(spark, name, meta),
+            id_col="cand_id",
+            vec_col="vec",
+            round_digits=None if enc_rd < 0 else enc_rd,
+        )
+        out = codes.join(assigned, "cand_id").select(
+            "cent_id", "cand_id", "pq_code"
+        )
+    else:
+        out = vecs.join(assigned, "cand_id").select(
+            "cent_id", "cand_id", "vec"
+        )
+    # directory-per-centroid layout: probing nprobe lists then reads
+    # exactly nprobe/n_centroids of the table's FILES (static pruning)
+    writer = out.write.format("parquet").partitionBy("cent_id")
     if first and not spark.catalog.tableExists(lists_t):
         writer.saveAsTable(lists_t)
     else:
@@ -161,15 +232,38 @@ def ann_index_topk(
     nprobe: int = 4,
     k: int = 10,
 ) -> DataFrame:
-    """Top-k cosine search against the persisted index. Each query probes
-    its ``nprobe`` nearest stored centroids and exact-scores only those
-    lists — the cent_id equi-join against the lists table is the pruning
-    step, so work is O(Q · N · nprobe / n_centroids), and the queries side
-    broadcasts (a query batch is small next to a 100 TB corpus). Output
-    matches ivf_topk exactly: (query_id, cand_id, cosine, rank)."""
-    cent_t, lists_t, _ = _tables(name)
+    """Top-k search against the persisted index. Each query probes its
+    ``nprobe`` nearest stored centroids and scans only those lists — the
+    probe set becomes a static partition filter on the lists table, so
+    work AND I/O are O(Q · N · nprobe / n_centroids); the queries side
+    broadcasts (a query batch is small next to a 100 TB corpus).
+
+    Output matches the in-query operator of the same kind exactly:
+    flat → ``(query_id, cand_id, cosine, rank)`` (ivf_topk's contract,
+    self-matches excluded); pq → ``(query_id, vec_id, adist, rank)``
+    (ivfpq_topk's ADC contract, self-matches kept)."""
+    cent_t, lists_t, _, _ = _tables(name)
     meta = _read_meta(spark, name)
     digits = meta["round_digits"]
+    if meta["kind"] == "pq":
+        from astro_sdk_spark.functions.pq import ivfpq_scan_lists
+
+        lists = spark.table(lists_t).select(
+            F.col("cand_id").alias(id_col), "pq_code", "cent_id"
+        )
+        return ivfpq_scan_lists(
+            queries.select(id_col, vec_col),
+            lists,
+            spark.table(cent_t),
+            _read_codebooks(spark, name, meta),
+            nprobe=nprobe,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_digits=digits,
+            cent_id_col="cent_id",
+            cent_vec_col="vec",
+        )
     qdf = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
@@ -183,8 +277,17 @@ def ann_index_topk(
         cent_vec_col="vec",
         round_digits=digits,
     )
+    # the probe set is contractually small (|queries| × nprobe — the same
+    # tiny-side device as the PQ codebooks), so collect the probed list
+    # ids once and push them as a STATIC partition filter: the lists scan
+    # then opens only the probed directories, no dynamic-pruning luck
+    # required
+    probed_ids = sorted(
+        {r.cent_id for r in probes.select("cent_id").distinct().collect()}
+    )
+    lists = spark.table(lists_t).filter(F.col("cent_id").isin(probed_ids))
     pairs = (
-        probes.join(spark.table(lists_t), "cent_id")
+        probes.join(lists, "cent_id")
         .join(F.broadcast(qdf), "query_id")
         .filter(F.col("query_id") != F.col("cand_id"))
     )
@@ -204,9 +307,9 @@ def ann_index_topk(
 
 
 def drop_ann_index(spark: SparkSession, name: str) -> None:
-    """Drop the three index tables, including orphaned warehouse
-    locations a previous session left behind (the derived ``__centroids``
-    /``__lists``/``__meta`` names are operator-owned, so the
+    """Drop the index tables, including orphaned warehouse locations a
+    previous session left behind (the derived ``__centroids``/``__lists``
+    /``__meta``/``__codebooks`` names are operator-owned, so the
     unconditional scrub is safe — same contract as the sketch store's
     staging names)."""
     from astro_sdk_spark.operators.swap import scrub_orphaned_location

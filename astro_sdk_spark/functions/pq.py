@@ -385,9 +385,6 @@ def ivfpq_topk(
 
     from astro_sdk_spark.functions.similarity import nearest_centroids
 
-    m, kc, dsub = _check_codebooks(codebooks)
-    cb = np.asarray(codebooks, dtype=np.float64)
-
     codes = pq_encode(
         candidates, codebooks, id_col=id_col, vec_col=vec_col,
         round_digits=encode_round_digits,
@@ -397,11 +394,49 @@ def ivfpq_topk(
         cent_id_col=id_col, cent_vec_col=vec_col,
     )
     lists = codes.join(assigned, on=id_col)
+    return ivfpq_scan_lists(
+        queries, lists, centroids, codebooks, nprobe=nprobe, k=k,
+        id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+        cent_id_col=id_col, cent_vec_col=vec_col,
+    )
+
+
+def ivfpq_scan_lists(
+    queries: DataFrame,
+    lists: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+    code_col: str = "pq_code",
+    cent_col: str = "cent_id",
+    cent_id_col: str | None = None,
+    cent_vec_col: str | None = None,
+) -> DataFrame:
+    """The IVFADC scan of :func:`ivfpq_topk` over PRE-BUILT inverted
+    lists — ``lists`` carries ``(id_col, code_col, cent_col)`` rows, e.g.
+    read back from a persisted index (functions/ann_index.py) instead of
+    encoded inline. Probe map and distance tables are driver-computed
+    from the contractually small query side; the lists scan is pruned to
+    the union of probed cells BEFORE the Arrow boundary (a static
+    partition filter when the lists table is partitioned by cell)."""
+    import numpy as np
+    import pandas as pd
+
+    from astro_sdk_spark.functions.similarity import nearest_centroids
+
+    m, kc, dsub = _check_codebooks(codebooks)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    cent_id_col = cent_id_col or id_col
+    cent_vec_col = cent_vec_col or vec_col
 
     probe_rows = nearest_centroids(
         queries.select(F.col(id_col).alias("_qid"), F.col(vec_col)),
         centroids, id_col="_qid", vec_col=vec_col, n=nprobe,
-        cent_id_col=id_col, cent_vec_col=vec_col,
+        cent_id_col=cent_id_col, cent_vec_col=cent_vec_col,
     ).collect()
     probe_map: dict = {}
     for r in probe_rows:
@@ -417,9 +452,9 @@ def ivfpq_topk(
     tables = ((qmat[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
 
     all_probed = sorted({c for s in probe_map.values() for c in s})
-    pruned = lists.filter(F.col("cent_id").isin(all_probed))
+    pruned = lists.filter(F.col(cent_col).isin(all_probed))
 
-    spark = candidates.sparkSession
+    spark = lists.sparkSession
     bc = spark.sparkContext.broadcast((qids, tables, probe_map))
     local_k = k
     # same tie-safe bounded local selection as pq_topk (see _local_topk)
@@ -452,11 +487,11 @@ def ivfpq_topk(
     # derive id dtypes from the inputs (nearest_centroids pattern) so
     # string / non-long id columns pass through instead of null-casting
     qtype = dict(queries.dtypes)[id_col]
-    ctype = dict(candidates.dtypes)[id_col]
+    ctype = dict(lists.dtypes)[id_col]
     scanned = pruned.select(
         F.col(id_col).alias("_id"),
-        F.col("pq_code").alias("_code"),
-        F.col("cent_id").alias("_cent"),
+        F.col(code_col).alias("_code"),
+        F.col(cent_col).alias("_cent"),
     ).mapInPandas(_scan, f"_qid {qtype}, _id {ctype}, _d double")
 
     adist = F.round("_d", round_digits) if round_digits is not None else F.col("_d")

@@ -2998,6 +2998,48 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_annpq_persist", _IVFPQ_ORACLE)
+def q_annpq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF-PQ index (functions/ann_index.py, kind='pq'): the
+    inverted lists hold PQ CODES — bytes per vector, the IVFADC layout a
+    100 TB similarity service actually stores — partitioned by cent_id,
+    with codebooks/centroids/meta as sibling tables. The corpus is
+    indexed in TWO disjoint batches (build on even ids, ann_index_add on
+    odd ids) and queried from storage through the shared ADC scan
+    (pq.py:ivfpq_scan_lists). The oracle is the ONE-SHOT IVFPQ
+    computation (q_ivfpq_topk's) — hash equality proves incremental
+    add == full rebuild for the coded index too."""
+    from astro_sdk_spark.functions.ann_index import (
+        ann_index_add,
+        ann_index_topk,
+        build_ann_index,
+        drop_ann_index,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    cw = (
+        emb.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    m, dsub = 4, 16
+    codebooks = [
+        [[float(r.embedding[s * dsub + t]) for t in range(dsub)] for r in cw]
+        for s in range(m)
+    ]
+    idx = "q_annpq_idx"
+    drop_ann_index(spark, idx)
+    build_ann_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 0), idx,
+        centroids=emb.filter(F.col("vec_id") < 16), codebooks=codebooks,
+    )
+    ann_index_add(spark, emb.filter(F.col("vec_id") % 2 == 1), idx)
+    return ann_index_topk(
+        spark, emb.filter(F.col("vec_id") < 8), idx, nprobe=4, k=10
+    )
+
+
 # --------------------------------------------------------------------------
 # Trained k-means centroids under the oracle gate: seeds are an explicit,
 # engine-agnostic id set (stride 31 — present at every SF), and the oracle
@@ -6976,8 +7018,10 @@ _TAIL_VARIANTS = [
                            # (disjunctive predicate extraction)
     "q_tpch_q20",          # joins: q_tpch_q21 in-window (nested semi-joins
                            # + correlated quantity aggregate)
-    "q_ann_persist",       # ivf-pq: q_ivf_topk, q_ivfpq_topk in-window
+    "q_ann_persist",       # ivf-pq: q_ivfpq_topk in-window
                            # (persisted-index variant of the same probe)
+    "q_annpq_persist",     # ivf-pq: q_ivfpq_topk in-window (persisted
+                           # IVFADC lists, shared ADC scan)
 ]
 
 

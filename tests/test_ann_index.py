@@ -64,6 +64,66 @@ def test_every_vector_lands_in_exactly_one_list(spark, emb, idx):
     assert lists.select("cand_id").distinct().count() == emb.count()
 
 
+def test_probe_scan_prunes_unprobed_list_partitions(spark, emb, idx):
+    """The 100 TB payoff of the directory-per-centroid layout: a probe of
+    nprobe lists must OPEN only those partitions' files. Measured the
+    same way file_skip_report measures clustering: distinct
+    input_file_name() counts."""
+    build_ann_index(spark, emb, idx, emb.filter(F.col("vec_id") < 16))
+    lists = spark.table(f"{idx}__lists")
+    total_files = lists.select(F.input_file_name()).distinct().count()
+    probed = lists.filter(F.col("cent_id").isin([0, 1])).select(
+        F.input_file_name()
+    ).distinct().count()
+    assert probed < total_files, (total_files, probed)
+    # and the partition filter shows up as pruning in the scan plan
+    plan = lists.filter(F.col("cent_id").isin([0, 1]))._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def _codebooks_from(emb):
+    cw = (
+        emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()
+    )
+    m, dsub = 4, 16
+    return [
+        [[float(r.embedding[s * dsub + t]) for t in range(dsub)] for r in cw]
+        for s in range(m)
+    ]
+
+
+def test_pq_incremental_build_equals_one_shot_ivfpq(spark, emb, idx):
+    from astro_sdk_spark.functions.pq import ivfpq_topk
+
+    cents = emb.filter(F.col("vec_id") < 16)
+    cbs = _codebooks_from(emb)
+    build_ann_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 0), idx, cents, codebooks=cbs
+    )
+    ann_index_add(spark, emb.filter(F.col("vec_id") % 2 == 1), idx)
+    got = ann_index_topk(spark, emb.filter(F.col("vec_id") < 8), idx, nprobe=4, k=10)
+    want = ivfpq_topk(
+        emb.filter(F.col("vec_id") < 8), emb, centroids=cents,
+        codebooks=cbs, nprobe=4, k=10,
+    )
+    key = lambda df: sorted(
+        map(tuple, df.select("query_id", "vec_id", "adist", "rank").collect())
+    )
+    assert key(got) == key(want)
+
+
+def test_pq_lists_store_codes_not_vectors(spark, emb, idx):
+    build_ann_index(spark, emb, idx, emb.filter(F.col("vec_id") < 16),
+                    codebooks=_codebooks_from(emb))
+    lists = spark.table(f"{idx}__lists")
+    assert set(lists.columns) == {"cent_id", "cand_id", "pq_code"}
+    row = lists.head()
+    assert len(row.pq_code) == 4  # m subspace codes — bytes, not floats
+    meta = spark.table(f"{idx}__meta").head()
+    assert meta.kind == "pq" and meta.pq_m == 4 and meta.pq_k == 16
+
+
 def test_dim_mismatch_and_missing_index_fail_loudly(spark, emb, idx):
     with pytest.raises(ValueError, match="does not exist"):
         ann_index_topk(spark, emb.limit(1), "no_such_index")

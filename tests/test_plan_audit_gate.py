@@ -97,6 +97,9 @@ PY_BOUNDARY_WHITELIST = {
     "q_ann_persist": 1,      # query-probe matmul (nearest_centroids) — the
                              # q_ivf_topk boundary; list assignment runs
                              # eagerly at build/add time, outside this plan
+    "q_annpq_persist": 1,    # the ADC scan over the persisted coded lists
+                             # (ivfpq_scan_lists) — q_ivfpq_topk's boundary;
+                             # probe map + encode run eagerly at build/add
 }
 
 # queries adjudicated as carrying parquet filter pushdown (PLAN_AUDIT.md
