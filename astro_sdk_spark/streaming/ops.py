@@ -315,6 +315,45 @@ def _duration_to_ms(duration: str) -> int:
     return int(float(qty) * per)
 
 
+def stream_ann_index_ingest(
+    stream: DataFrame,
+    index_name: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_once: bool = True,
+):
+    """Maintain a persisted ANN index (functions/ann_index.py) over an
+    unbounded vector stream: each micro-batch is assigned (and, for a PQ
+    index, encoded) against the STORED quantizer and appended to the
+    inverted lists — the similarity service keeps answering from tables
+    that grow per batch, and the corpus is never rescanned.
+
+    The index must already exist (``build_ann_index``): the quantizer /
+    codebook choice is a BUILD-time decision, not something a micro-batch
+    should improvise. Replay safety needs no run/batch watermark here —
+    ``ann_index_add``'s id-dedupe anti-join makes a replayed batch a
+    no-op (same contract the test pins), which is the right idempotence
+    key for an index: identity is the vector id, not the batch."""
+    from astro_sdk_spark.functions.ann_index import _read_meta, ann_index_add
+
+    spark = stream.sparkSession
+    _read_meta(spark, index_name)  # fail at wiring time, not mid-stream
+
+    def add_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ann_index_add(
+            batch_df.sparkSession, batch_df, index_name,
+            id_col=id_col, vec_col=vec_col,
+        )
+
+    writer = stream.writeStream.option(
+        "checkpointLocation", checkpoint_dir
+    ).foreachBatch(add_batch)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_to_table(
     stream: DataFrame,
     table_name: str,

@@ -134,3 +134,53 @@ def test_dim_mismatch_and_missing_index_fail_loudly(spark, emb, idx):
     )
     with pytest.raises(ValueError, match="dim"):
         ann_index_add(spark, bad, idx)
+
+
+def test_stream_ann_index_ingest_matches_one_shot(spark, emb, idx, tmp_path):
+    """Streaming maintenance: two micro-batches of new vectors flow into
+    the persisted index via foreachBatch; the final index answers exactly
+    like the one-shot build, and a REPLAYED batch (same data streamed
+    again under a fresh checkpoint) is a no-op thanks to id-dedupe."""
+    from astro_sdk_spark.functions.similarity import ivf_topk
+    from astro_sdk_spark.streaming.ops import stream_ann_index_ingest
+    from astro_sdk_spark.streaming.testing import stage_microbatch_files
+
+    cents = emb.filter(F.col("vec_id") < 16)
+    build_ann_index(spark, emb.filter(F.col("vec_id") < 0), idx, cents)  # empty
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    d = stage_microbatch_files([b1, b2], str(tmp_path / "ann_stream"))
+    schema = spark.read.parquet(d).schema
+    q = stream_ann_index_ingest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d),
+        idx, str(tmp_path / "ck_ann"),
+    )
+    assert q.awaitTermination(180)
+    assert q.exception() is None
+    got = ann_index_topk(spark, emb.filter(F.col("vec_id") < 8), idx, nprobe=4, k=10)
+    want = ivf_topk(
+        emb.filter(F.col("vec_id") < 8), emb, centroids=cents, nprobe=4, k=10
+    )
+    assert _rows(got) == _rows(want)
+    n = spark.table(f"{idx}__lists").count()
+    # replay the same files under a NEW checkpoint: ids already indexed
+    q2 = stream_ann_index_ingest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d),
+        idx, str(tmp_path / "ck_ann_replay"),
+    )
+    assert q2.awaitTermination(180)
+    assert q2.exception() is None
+    assert spark.table(f"{idx}__lists").count() == n
+
+
+def test_stream_ann_index_ingest_requires_existing_index(spark, emb, tmp_path):
+    from astro_sdk_spark.streaming.ops import stream_ann_index_ingest
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    with pytest.raises(ValueError, match="does not exist"):
+        stream_ann_index_ingest(
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .parquet(str(src)),
+            "no_such_index", str(tmp_path / "ck_missing"),
+        )
