@@ -137,3 +137,36 @@ def test_stream_monitoring_example_covers_every_event_type(spark, monitored):
     # state is sketch-bounded: quantile rows <= types * bucket range,
     # cms rows <= types * depth * width
     assert monitored["cms_state_rows"] <= len(types) * 4 * 1024
+
+
+# examples/similarity_service.py — persisted ANN index + streaming adds
+
+
+def test_similarity_service_example(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "similarity_service",
+        os.path.join(
+            os.path.dirname(__file__), "..", "examples", "similarity_service.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.serve(spark, "/root/testdata/sf0.001")
+    try:
+        # the stream-extended index covers the WHOLE corpus (build half +
+        # two streamed micro-batches), and every query's best neighbour
+        # is itself (ADC distance of a vector to its own code is minimal
+        # here because the codebooks are inlined from corpus vectors)
+        assert out["n_indexed"] == out["n_corpus"]
+        by_q: dict = {}
+        for r in out["hits"]:
+            by_q.setdefault(r.query_id, []).append(r)
+        assert set(by_q) == {0, 1, 2, 3}
+        for qid, rows in by_q.items():
+            assert rows[0].rank == 1 and rows[0].vec_id == qid
+    finally:
+        from astro_sdk_spark.functions.ann_index import drop_ann_index
+
+        drop_ann_index(spark, out["index"])
