@@ -38,6 +38,8 @@ one-shot build (gated by q_ann_persist / q_annpq_persist's oracles).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -50,10 +52,29 @@ __all__ = [
     "build_ann_index",
     "ann_index_add",
     "ann_index_topk",
+    "ann_index_stats",
+    "ann_index_compact",
+    "ann_index_retrain",
     "drop_ann_index",
 ]
 
 _ROUND_DIGITS = 4
+
+# index names become managed-table identifiers AND warehouse directory
+# names (drop_ann_index scrubs the derived locations), so they must be
+# bare identifiers — validated BEFORE any SQL interpolation or
+# filesystem operation (a hyphen/space/quote would otherwise break the
+# DROP statement, and a crafted name could point the scrub elsewhere)
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_name(name: str) -> None:
+    if not isinstance(name, str) or not _IDENT.match(name):
+        raise ValueError(
+            f"ANN index name {name!r} must be a bare SQL identifier "
+            f"([A-Za-z_][A-Za-z0-9_]*): it names managed tables and "
+            f"their warehouse directories"
+        )
 
 
 def _tables(name: str) -> tuple[str, str, str, str]:
@@ -111,6 +132,7 @@ def build_ann_index(
     queries answer through the ADC scan (ivfpq_topk's contract).
     ``encode_round_digits`` is forwarded to pq_encode; set it when the
     codebooks were trained (see the determinism note there)."""
+    _check_name(name)
     cent_t, lists_t, meta_t, cb_t = _tables(name)
     drop_ann_index(spark, name)
     cent = centroids.select(
@@ -158,8 +180,9 @@ def ann_index_add(
     never rescanned. With ``dedupe`` (default), ids already in the index
     are skipped, making re-adds idempotent — the anti-join touches only
     the lists table's id column (column-pruned scan)."""
-    _read_meta(spark, name)  # existence + geometry check
-    _append_assigned(spark, batch, name, id_col, vec_col, dedupe=dedupe)
+    _check_name(name)
+    meta = _read_meta(spark, name)  # existence + geometry check
+    _append_assigned(spark, batch, name, id_col, vec_col, dedupe=dedupe, meta=meta)
 
 
 def _append_assigned(
@@ -170,17 +193,27 @@ def _append_assigned(
     vec_col: str,
     first: bool = False,
     dedupe: bool = True,
+    meta: dict | None = None,
 ) -> None:
     cent_t, lists_t, _, _ = _tables(name)
-    meta = _read_meta(spark, name)
-    dim = df.select(F.size(F.col(vec_col)).alias("d")).head()
-    if dim is not None and dim.d != meta["dim"]:
-        raise ValueError(
-            f"ANN index {name!r} holds dim-{meta['dim']} vectors; "
-            f"got dim-{dim.d}"
-        )
+    if meta is None:
+        meta = _read_meta(spark, name)
+    # geometry guard folded INTO the assignment job (no per-batch extra
+    # Spark action — this runs per micro-batch on an unbounded stream),
+    # and row-level: EVERY vector is checked, so a mixed-dimension batch
+    # whose first row happens to match can't poison the lists
+    dim_err = F.concat(
+        F.lit(
+            f"ANN_DIM_MISMATCH: index {name!r} holds dim-{meta['dim']} "
+            f"vectors; got dim-"
+        ),
+        F.size(F.col(vec_col)).cast("string"),
+    )
+    guarded_vec = F.when(
+        F.size(F.col(vec_col)) == F.lit(int(meta["dim"])), F.col(vec_col)
+    ).otherwise(F.raise_error(dim_err))
     vecs = df.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("cand_id"), guarded_vec.alias("vec")
     )
     if not first and dedupe and spark.catalog.tableExists(lists_t):
         vecs = vecs.join(
@@ -217,10 +250,20 @@ def _append_assigned(
     # directory-per-centroid layout: probing nprobe lists then reads
     # exactly nprobe/n_centroids of the table's FILES (static pruning)
     writer = out.write.format("parquet").partitionBy("cent_id")
-    if first and not spark.catalog.tableExists(lists_t):
-        writer.saveAsTable(lists_t)
-    else:
-        writer.mode("append").saveAsTable(lists_t)
+    try:
+        if first and not spark.catalog.tableExists(lists_t):
+            writer.saveAsTable(lists_t)
+        else:
+            writer.mode("append").saveAsTable(lists_t)
+    except Exception as e:  # noqa: BLE001
+        # the in-flight guard raises lazily inside the write job —
+        # translate back into the call-time ValueError contract
+        if "ANN_DIM_MISMATCH" in str(e):
+            raise ValueError(
+                f"ANN index {name!r} holds dim-{meta['dim']} vectors; the "
+                f"batch contains a different dimension (see cause)"
+            ) from e
+        raise
 
 
 def ann_index_topk(
@@ -242,6 +285,7 @@ def ann_index_topk(
     flat → ``(query_id, cand_id, cosine, rank)`` (ivf_topk's contract,
     self-matches excluded); pq → ``(query_id, vec_id, adist, rank)``
     (ivfpq_topk's ADC contract, self-matches kept)."""
+    _check_name(name)
     cent_t, lists_t, _, _ = _tables(name)
     meta = _read_meta(spark, name)
     digits = meta["round_digits"]
@@ -298,12 +342,54 @@ def ann_index_topk(
             cosine_similarity_col(F.col("_qvec"), F.col("vec")), digits
         ).alias("cosine"),
     )
+    # bounded pre-rank (pq.py:_local_topk's device for the flat path):
+    # without it the global window sorts the FULL probed-list volume
+    # (~N·nprobe/n_centroids rows per query — unbounded at 10⁹-vector
+    # lists); after it the sort sees ≤ batches×k rows per query
+    scored = _flat_local_topk(scored, k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         scored.dropDuplicates(["query_id", "cand_id"])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _flat_local_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-Arrow-batch bounded pre-selection for the flat probe scan.
+
+    ``scored.cosine`` is ALREADY rounded, so the global ranking key
+    ``(cosine desc, cand_id asc)`` is a total order computable locally —
+    keeping the top ``k`` rows per (batch, query) in exactly that order
+    is a lossless filter: every global top-k row survives some local
+    top-k (unlike the PQ path, no rounding-quantum slack is needed
+    because rounding happened upstream). Duplicate ``cand_id`` rows
+    (possible only under ``dedupe=False`` re-adds) collapse locally to
+    their best-scoring copy so copies can't crowd distinct candidates
+    out of the k slots; the global ``dropDuplicates`` still runs after.
+
+    Batch granularity (Arrow batches subdivide partitions) only makes
+    the filter KEEP more rows — correctness never depends on it."""
+    try:
+        import numpy as np  # noqa: F401
+        import pandas as pd  # noqa: F401
+    except ImportError:  # pragma: no cover - numpy/pandas are baked in
+        return scored
+
+    def _sel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(
+                ["query_id", "cosine", "cand_id"],
+                ascending=[True, False, True],
+                kind="stable",
+            )
+            pdf = pdf.drop_duplicates(["query_id", "cand_id"], keep="first")
+            pdf["_r"] = pdf.groupby("query_id").cumcount()
+            yield pdf[pdf["_r"] < k].drop(columns=["_r"])
+
+    return scored.mapInPandas(_sel, scored.schema)
 
 
 def drop_ann_index(spark: SparkSession, name: str) -> None:
@@ -314,8 +400,170 @@ def drop_ann_index(spark: SparkSession, name: str) -> None:
     staging names)."""
     from astro_sdk_spark.operators.swap import scrub_orphaned_location
 
+    _check_name(name)
     for t in _tables(name):
         if spark.catalog.tableExists(t):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         else:
             scrub_orphaned_location(spark, t)
+
+
+def ann_index_stats(spark: SparkSession, name: str) -> DataFrame:
+    """Per-list health report — the input to every maintenance decision.
+
+    ``(cent_id, rows, files, frac, imbalance)``: row count and parquet
+    FILE count per inverted list, the list's fraction of the corpus, and
+    its row count relative to the mean list (skew_report's shape applied
+    to the index layout). Read it for two failure modes the layout
+    invites at scale: ``files`` growth (streaming ingest appends ≥1 file
+    per touched list per micro-batch — thousands of batches erode the
+    probe locality the directory layout buys; fix = ann_index_compact)
+    and ``imbalance`` (a hot centroid owning a large corpus fraction
+    makes every probe that hits it scan that fraction; fix =
+    ann_index_retrain with better centroids).
+
+    One column-pruned scan of the lists table: a partial-aggregatable
+    groupBy(cent_id), output bounded by n_centroids (contractually
+    small — the same bound that lets the quantizer broadcast)."""
+    _check_name(name)
+    _read_meta(spark, name)
+    lists_t = _tables(name)[1]
+    # input_file_name() is non-deterministic to Catalyst, so it must be
+    # materialized in a projection BEFORE the aggregate references it
+    per_list = (
+        spark.table(lists_t)
+        .select("cent_id", F.input_file_name().alias("_f"))
+        .groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("_f").alias("files"),
+        )
+    )
+    totals = per_list.agg(
+        F.sum("rows").alias("_total"), F.avg("rows").alias("_mean")
+    )
+    return (
+        per_list.join(F.broadcast(totals))
+        .select(
+            "cent_id",
+            "rows",
+            "files",
+            F.round(F.col("rows") / F.col("_total"), 6).alias("frac"),
+            F.round(F.col("rows") / F.col("_mean"), 4).alias("imbalance"),
+        )
+        .orderBy(F.desc("rows"), F.asc("cent_id"))
+    )
+
+
+def ann_index_compact(
+    spark: SparkSession,
+    name: str,
+    target_file_mb: int = 128,
+    min_files: int = 2,
+) -> dict:
+    """Rewrite fragmented inverted lists into right-sized files.
+
+    Streaming maintenance (stream_ann_index_ingest) appends one file per
+    touched ``cent_id`` directory per micro-batch; after N batches a
+    probe that should read one right-sized file per list opens N small
+    ones. This op finds every list holding ≥ ``min_files`` files (one
+    bounded stats scan) and rewrites EACH through
+    ``engine.compact_table``'s per-partition dynamic INSERT OVERWRITE —
+    Spark's commit protocol swaps one partition directory at a time, so
+    concurrent readers never see a partial list and untouched lists'
+    files are not rewritten. Candidate discovery is driver-side but
+    bounded by n_centroids (the quantizer-broadcast contract).
+
+    Query answers are BYTE-IDENTICAL before/after (file layout is not
+    part of the ranking contract — pinned by the payoff test). Returns
+    ``{"lists_compacted", "files_before", "files_after"}``."""
+    _check_name(name)
+    _read_meta(spark, name)
+    lists_t = _tables(name)[1]
+    stats = ann_index_stats(spark, name).select("cent_id", "files").collect()
+    frag = [r.cent_id for r in stats if r.files >= min_files]
+    files_before = sum(r.files for r in stats)
+    from astro_sdk_spark.engine import SparkEngine
+    from astro_sdk_spark.table import Table
+
+    eng = SparkEngine(spark)
+    tbl = Table(name=lists_t)
+    for cid in frag:
+        eng.compact_table(
+            tbl, target_file_mb=target_file_mb, partitions={"cent_id": cid}
+        )
+    files_after = (
+        spark.table(lists_t)
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    return {
+        "lists_compacted": len(frag),
+        "files_before": files_before,
+        "files_after": files_after,
+    }
+
+
+def ann_index_retrain(
+    spark: SparkSession,
+    name: str,
+    centroids: DataFrame,
+    corpus: DataFrame | None = None,
+    codebooks=None,
+    encode_round_digits: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Re-bucket the index under fresh ``centroids`` (and, for a PQ
+    index, fresh ``codebooks``) when the vector distribution has drifted
+    off the stored quantizer (diagnosed via ann_index_stats imbalance).
+
+    A flat index re-reads its own lists as the corpus — the stored rows
+    ARE the raw vectors. A PQ index stores CODES only (the IVFADC point:
+    bytes per vector), so the original vectors are unrecoverable from
+    the index and the caller must pass ``corpus`` (and fresh codebooks
+    trained on it) — refusing loudly beats silently re-encoding lossy
+    reconstructions.
+
+    The rebuild happens under a staging name and goes live table-by-
+    table through the merge machinery's atomic swap (operators/swap.py —
+    partitioned staging gets its MSCK repair there), so queries against
+    the live index keep answering during the rebuild."""
+    _check_name(name)
+    meta = _read_meta(spark, name)
+    lists_t = _tables(name)[1]
+    if corpus is None:
+        if meta["kind"] == "pq":
+            raise ValueError(
+                f"ANN index {name!r} is PQ-coded: its lists hold codes, "
+                f"not vectors, so retraining needs the original corpus — "
+                f"pass corpus= (and codebooks trained on it)"
+            )
+        corpus = spark.table(lists_t).select(
+            F.col("cand_id").alias(id_col), F.col("vec").alias(vec_col)
+        )
+    if meta["kind"] == "pq" and codebooks is None:
+        raise ValueError(
+            f"ANN index {name!r} is PQ-coded: pass codebooks= trained "
+            f"against the new centroids' residual space (train_pq)"
+        )
+    staging = f"{name}__retrain"
+    build_ann_index(
+        spark,
+        corpus,
+        staging,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        codebooks=codebooks,
+        encode_round_digits=encode_round_digits,
+    )
+    from astro_sdk_spark.operators.swap import swap_table
+
+    for st, tt in zip(_tables(staging), _tables(name)):
+        if spark.catalog.tableExists(st):
+            swap_table(spark, st, tt)
+        elif spark.catalog.tableExists(tt):
+            # e.g. a pq→flat retrain leaves no staging codebooks table
+            spark.sql(f"DROP TABLE IF EXISTS {tt}")

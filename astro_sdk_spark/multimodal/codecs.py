@@ -4,7 +4,7 @@ The container has no Pillow/librosa/av, but PNG, uncompressed BMP, WAV,
 and baseline JPEG (``multimodal.jpeg`` — a pure-numpy T.81 codec) are
 fully decodable with ``zlib``/``struct``/``wave`` + numpy — so the
 decode/resize stages in ``multimodal.ops`` are REAL for these formats;
-only codecs that require external libraries (progressive JPEG, MP3,
+only codecs that require external libraries (WebP, arithmetic JPEG, MP3,
 H.264, …) remain env-gated behind NotImplementedError.
 
 Throughput note: these codecs favor clarity over speed (the PNG unfilter
@@ -181,8 +181,9 @@ def sniff_image(blob: bytes) -> str | None:
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Baseline JPEG → (H, W, C) uint8; see ``multimodal.jpeg`` (pure
-    numpy T.81 baseline codec — progressive raises NotImplementedError)."""
+    """JPEG → (H, W, C) uint8; see ``multimodal.jpeg`` (pure numpy T.81
+    codec: baseline SOF0/1 AND progressive SOF2 — arithmetic/lossless
+    raise NotImplementedError)."""
     from astro_sdk_spark.multimodal.jpeg import decode_jpeg as _dec
 
     return _dec(blob)

@@ -1,16 +1,22 @@
-"""Baseline JPEG codec (ITU-T T.81 / ISO 10918-1), stdlib + numpy only.
+"""Baseline + progressive JPEG codec (ITU-T T.81 / ISO 10918-1),
+stdlib + numpy only.
 
 Makes the JPEG path of ``multimodal.codecs`` REAL instead of env-gated:
 baseline sequential DCT decoding (SOF0) with arbitrary sampling factors
 (4:4:4, 4:2:2, 4:2:0), multiple DQT/DHT segments, and restart markers;
-plus an encoder (4:4:4 or 4:2:0, standard Annex K quantization and
-Huffman tables) used both as a legitimate writer and as the test-fixture
-generator — the container ships no Pillow to make fixtures with.
+PROGRESSIVE decoding (SOF2, T.81 Annex G: spectral selection +
+successive approximation, DC/AC first and refinement scans, EOB runs) —
+the most common still-gated variant a crawled corpus actually contains;
+plus encoders for both modes (4:4:4 or 4:2:0, standard Annex K
+quantization and Huffman tables) used both as legitimate writers and as
+the test-fixture generators — the container ships no Pillow to make
+fixtures with. Progressive coefficient transport is lossless relative
+to baseline (same quantized DCT coefficients, reorganized), so the
+round-trip tests pin decode(progressive) == decode(baseline) EXACTLY.
 
-Progressive (SOF2), arithmetic coding, and 12-bit precision remain
-honestly gated behind NotImplementedError — baseline covers the
-overwhelming majority of training-corpus JPEGs; swap in Pillow/turbojpeg
-for the rest via the same per-blob function contract.
+Arithmetic coding, 12-bit precision, and hierarchical mode remain
+honestly gated behind NotImplementedError; swap in Pillow/turbojpeg
+for those via the same per-blob function contract.
 
 Performance note: the Huffman entropy loop is Python-level (the DCT/color
 math is vectorized numpy). That is fine for the metadata/feature passes
@@ -216,11 +222,13 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Baseline JPEG → (H, W, C) uint8 (C = 1 grayscale or 3 RGB).
+    """JPEG → (H, W, C) uint8 (C = 1 grayscale or 3 RGB).
 
-    Supports SOF0 (baseline sequential) with any sampling factors,
-    multiple DQT/DHT segments, and DRI/RSTn restarts. SOF2 (progressive)
-    and friends raise NotImplementedError."""
+    Supports SOF0/SOF1 (baseline/extended sequential) and SOF2
+    (progressive: spectral selection + successive approximation, DC/AC
+    first and refinement scans, EOB runs) with any sampling factors,
+    multiple DQT/DHT segments, and DRI/RSTn restarts. Arithmetic/
+    lossless/hierarchical SOFs raise NotImplementedError."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -229,6 +237,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     comps: list[dict] = []
     w = h = 0
     restart_interval = 0
+    progressive = False
+    prog: dict | None = None  # coefficient state across progressive scans
     pos = 2
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
@@ -265,24 +275,34 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     bits, values
                 )
                 sp += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("jpeg: only 8-bit precision")
+            progressive = marker == 0xC2
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"jpeg: SOF marker 0x{marker:02X} (progressive/arithmetic/"
-                "lossless) not supported by the baseline codec — use Pillow"
+                f"jpeg: SOF marker 0x{marker:02X} (arithmetic/lossless/"
+                "hierarchical) not supported by the built-in codec — "
+                "use Pillow"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
+            if progressive:
+                if prog is None:
+                    prog = _init_prog_state(comps, w, h)
+                pos = _decode_prog_scan(
+                    blob, pos + 2 + seglen, seg, comps, prog,
+                    dc_tabs, ac_tabs, restart_interval,
+                )
+                continue
             ns = seg[0]
             if ns != len(comps):
                 # a legal baseline variant, but the interleaved-MCU walker
@@ -305,6 +325,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 restart_interval,
             )
         pos += 2 + seglen
+    if prog is not None:
+        return _reconstruct_progressive(comps, prog, qt, w, h)
     raise ValueError("jpeg: no SOS marker found")
 
 
@@ -355,9 +377,14 @@ def _decode_scan(blob, pos, w, h, scan, qt, dc_tabs, ac_tabs, dri):
                     y0 = (my * c["v"] + by) * 8
                     x0 = (mx * c["h"] + bx) * 8
                     planes[ci][y0:y0 + 8, x0:x0 + 8] = px
-    # upsample chroma to full resolution (nearest), crop, color-convert
+    return _finish_image(scan, planes, w, h, hmax, vmax)
+
+
+def _finish_image(comps, planes, w, h, hmax, vmax) -> np.ndarray:
+    """Upsample chroma to full resolution (nearest), crop, color-convert
+    — shared by the baseline and progressive reconstruction paths."""
     full = []
-    for c, p in zip(scan, planes):
+    for c, p in zip(comps, planes):
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
@@ -369,6 +396,219 @@ def _decode_scan(blob, pos, w, h, scan, qt, dc_tabs, ac_tabs, dri):
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------- progressive decode (G.2)
+
+
+def _init_prog_state(comps, w, h) -> dict:
+    """Per-component coefficient accumulators, filled in across scans.
+
+    ``coefs[ci]`` is (blocks_y, blocks_x, 64) int32 in ZIGZAG SCAN ORDER
+    (coef[k] = k-th zigzag coefficient — the order every scan codes in);
+    the array covers the padded MCU grid (interleaved DC scans walk it),
+    while non-interleaved scans touch only the component's real block
+    region (T.81 A.2.4 — padding blocks beyond it are never coded)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = []
+    nblocks = []  # (blocks_high, blocks_wide) of the REAL region per comp
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        nblocks.append((-(-ch // 8), -(-cw // 8)))
+        coefs.append(
+            np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        )
+    return {
+        "coefs": coefs, "nblocks": nblocks,
+        "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+    }
+
+
+def _decode_prog_scan(blob, data_start, seg, comps, prog,
+                      dc_tabs, ac_tabs, dri) -> int:
+    """Decode ONE progressive scan's entropy data into the coefficient
+    state; returns the byte offset of the next marker."""
+    ns = seg[0]
+    members = []  # (comp index, dc table id, ac table id)
+    for i in range(ns):
+        cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+        ci = next(j for j, c in enumerate(comps) if c["id"] == cs)
+        members.append((ci, tdta >> 4, tdta & 0x0F))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ah_al = seg[3 + 2 * ns]
+    ah, al = ah_al >> 4, ah_al & 0x0F
+    reader = _BitReader(blob, data_start)
+    if ss == 0:  # DC scan (first or refinement)
+        if se != 0:
+            raise ValueError("jpeg: DC scan with Se != 0")
+        _decode_prog_dc(reader, comps, prog, members, ah, al, dc_tabs, dri)
+    else:  # AC scan: exactly one component (T.81 G.1.1.1.1)
+        if ns != 1:
+            raise ValueError("jpeg: progressive AC scan must be 1-component")
+        _decode_prog_ac(
+            reader, prog, members[0], ss, se, ah, al, ac_tabs, dri
+        )
+    # skip pad bits / stray restarts up to the next true marker
+    p = reader.pos
+    while p + 1 < len(blob):
+        b2 = blob[p + 1]
+        if blob[p] == 0xFF and b2 != 0x00 and not (0xD0 <= b2 <= 0xD7):
+            return p
+        p += 1
+    return p
+
+
+def _decode_prog_dc(reader, comps, prog, members, ah, al, dc_tabs, dri):
+    mcux, mcuy = prog["mcux"], prog["mcuy"]
+    interleaved = len(members) > 1
+    preds = [0] * len(members)
+    n_rst = 0
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        bh, bw_ = prog["nblocks"][members[0][0]]
+        units = bh * bw_
+    for m in range(units):
+        if dri and m and m % dri == 0:
+            reader.align_and_expect_restart(n_rst)
+            n_rst = (n_rst + 1) & 7
+            preds = [0] * len(members)
+        for mi, (ci, td, _) in enumerate(members):
+            c = comps[ci]
+            blocks = []
+            if interleaved:
+                my, mx = divmod(m, mcux)
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blocks.append((my * c["v"] + by, mx * c["h"] + bx))
+            else:
+                blocks.append(divmod(m, prog["nblocks"][ci][1]))
+            for (y, x) in blocks:
+                coef = prog["coefs"][ci][y, x]
+                if ah == 0:  # first DC scan (G.2.1)
+                    t = reader.decode_symbol(dc_tabs[td])
+                    preds[mi] += _extend(reader.read_bits(t), t)
+                    coef[0] = preds[mi] << al
+                else:  # refinement: one bit per block (G.2.2)
+                    if reader.read_bit():
+                        coef[0] |= 1 << al
+
+
+def _decode_prog_ac(reader, prog, member, ss, se, ah, al, ac_tabs, dri):
+    ci, _, ta = member
+    tab = ac_tabs[ta]
+    bh, bw_ = prog["nblocks"][ci]
+    arr = prog["coefs"][ci]
+    eobrun = 0
+    n_rst = 0
+    for m in range(bh * bw_):
+        if dri and m and m % dri == 0:
+            reader.align_and_expect_restart(n_rst)
+            n_rst = (n_rst + 1) & 7
+            eobrun = 0
+        by, bx = divmod(m, bw_)
+        block = arr[by, bx]
+        if ah == 0:
+            eobrun = _ac_first_block(reader, tab, block, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine_block(reader, tab, block, ss, se, al, eobrun)
+
+
+def _ac_first_block(reader, tab, block, ss, se, al, eobrun) -> int:
+    """First AC scan for one block (T.81 G.2.3 / figure G.3)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("jpeg: AC index overflow")
+            block[k] = _extend(reader.read_bits(s), s) << al
+        else:
+            if r != 15:  # EOBn: run of 2^r + appended-bits end-of-bands
+                eobrun = (1 << r) - 1  # this block is a member
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            k += 15  # ZRL skips 16 zeros with the k += 1 below
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, tab, block, ss, se, al, eobrun) -> int:
+    """AC successive-approximation refinement for one block (T.81
+    G.1.2.3 / figure G.7): already-nonzero coefficients receive one
+    correction bit each as the decoder advances; newly-significant
+    coefficients arrive as ±1<<Al after a coded zero-run. The
+    ``coef & p1`` set-bit test relies on two's-complement semantics for
+    negatives — numpy int32 bitwise ops provide exactly that."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(tab)
+            r, s = rs >> 4, rs & 0x0F
+            sval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("jpeg: bad refinement magnitude")
+                sval = p1 if reader.read_bit() else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15 (ZRL): sval stays 0, skip 16 zero-history coefs
+            while k <= se:
+                if block[k] != 0:
+                    if reader.read_bit():
+                        if (int(block[k]) & p1) == 0:
+                            block[k] += p1 if block[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                    # a zero coefficient consumed by the run
+                k += 1
+            if sval and k <= se:
+                block[k] = sval
+            k += 1
+    if eobrun > 0:
+        # end-of-band: remaining nonzero coefs still get correction bits
+        while k <= se:
+            if block[k] != 0:
+                if reader.read_bit():
+                    if (int(block[k]) & p1) == 0:
+                        block[k] += p1 if block[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(comps, prog, qt, w, h) -> np.ndarray:
+    """Dequantize + inverse DCT the accumulated coefficients (vectorized
+    over all blocks of each component), then assemble like baseline."""
+    planes = []
+    for ci, c in enumerate(comps):
+        cf = prog["coefs"][ci]
+        by, bx = cf.shape[:2]
+        nat = np.zeros((by, bx, 64), dtype=np.float64)
+        nat[..., ZIGZAG] = cf  # zigzag scan order → natural order
+        nat = nat.reshape(by, bx, 8, 8) * qt[c["tq"]][None, None]
+        px = np.einsum("ij,abjk,kl->abil", _C.T, nat, _C) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+    hmax = prog["hmax"]
+    vmax = prog["vmax"]
+    return _finish_image(comps, planes, w, h, hmax, vmax)
 
 
 # ----------------------------------------------------------------- encode
@@ -444,17 +684,10 @@ def _encode_block(bw, block, qtab, dc_tab, ac_tab, pred) -> int:
     return pred
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """(H, W, 1|3) uint8 → baseline JPEG bytes. ``subsample=True`` writes
-    4:2:0 chroma (exercises the decoder's upsampling path); default is
-    4:4:4. ``restart_interval`` > 0 emits a DRI segment and RSTn markers
-    every N MCUs (DC predictors reset). Standard Annex K quantization
-    (quality-scaled) and Huffman tables."""
+def _plane_setup(arr: np.ndarray, quality: int, subsample: bool):
+    """Color-convert, subsample, MCU-pad — shared by both encoders.
+
+    Returns ``(planes, hv, ql, qc, h, w, mcux, mcuy)``."""
     if arr.ndim == 2:
         arr = arr[..., None]
     h, w, nc = arr.shape
@@ -495,6 +728,24 @@ def encode_jpeg(
             np.pad(ch, ((0, th - ch.shape[0]), (0, tw - ch.shape[1])),
                    mode="edge")
         )
+    return planes, hv, ql, qc, h, w, mcux, mcuy
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W, 1|3) uint8 → baseline JPEG bytes. ``subsample=True`` writes
+    4:2:0 chroma (exercises the decoder's upsampling path); default is
+    4:4:4. ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every N MCUs (DC predictors reset). Standard Annex K quantization
+    (quality-scaled) and Huffman tables."""
+    planes, hv, ql, qc, h, w, mcux, mcuy = _plane_setup(
+        arr, quality, subsample
+    )
+    chans = planes
 
     dc_l = _build_encode_table(*DC_LUMA_SPEC)
     ac_l = _build_encode_table(*AC_LUMA_SPEC)
@@ -561,5 +812,280 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------ progressive encode (G.1)
+
+
+def _quantized_blocks(planes, hv, ql, qc):
+    """Quantized DCT coefficients per component, zigzag scan order —
+    computed block-by-block with the SAME arithmetic as the baseline
+    encoder (``_encode_block``), so the progressive transport carries
+    bit-identical coefficients and decode(prog) == decode(baseline)."""
+    coefs = []
+    for ci, plane in enumerate(planes):
+        qtab = ql if ci == 0 else qc
+        by, bx = plane.shape[0] // 8, plane.shape[1] // 8
+        out = np.zeros((by, bx, 64), dtype=np.int32)
+        for y in range(by):
+            for x in range(bx):
+                block = plane[y * 8:y * 8 + 8, x * 8:x * 8 + 8]
+                q = np.round(_fdct(block - 128.0) / qtab).astype(np.int64)
+                out[y, x] = q.reshape(64)[ZIGZAG]
+        coefs.append(out)
+    return coefs
+
+
+# The Annex K.3 AC tables define only EOB0 (0x00) and ZRL (0xF0) among
+# the s==0 symbols; progressive scans also emit EOBn run codes
+# ((r<<4)|0, r=1..14), which baseline tables have no codes for. Real
+# encoders build per-scan optimal tables; this fixture-grade writer uses
+# a FLAT spec instead — every possible RS byte at 9 bits (255 of them)
+# plus one at 10 — trivially canonical, never the all-ones code, and a
+# few percent larger output, which is irrelevant for a correctness
+# transport (the decoder handles any legal DHT either way).
+FLAT_AC_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
+class _AcScanState:
+    """Cross-block entropy state for one AC scan: the pending end-of-band
+    run and the correction bits buffered with it (refinement scans)."""
+
+    def __init__(self, bw: _BitWriter, ac_tab: dict) -> None:
+        self.bw = bw
+        self.ac_tab = ac_tab
+        self.eobrun = 0
+        self.be_bits: list[int] = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nb = self.eobrun.bit_length() - 1
+            code, ln = self.ac_tab[nb << 4]
+            self.bw.write(code, ln)
+            if nb:
+                self.bw.write(self.eobrun & ((1 << nb) - 1), nb)
+            self.eobrun = 0
+            for b in self.be_bits:
+                self.bw.write(b, 1)
+            self.be_bits = []
+
+
+def _enc_ac_first_block(st: _AcScanState, block, ss, se, al) -> None:
+    """First AC scan for one block (T.81 G.1.2.2): magnitudes are
+    point-transformed (|v| >> Al), zero runs and EOB runs coded."""
+    bw, ac_tab = st.bw, st.ac_tab
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(block[k])
+        t = (-v if v < 0 else v) >> al
+        if t == 0:
+            r += 1
+            continue
+        st.flush_eobrun()
+        while r > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw.write(code, ln)
+            r -= 16
+        s = t.bit_length()
+        t2 = t if v >= 0 else ~t  # one's complement carries the sign
+        code, ln = ac_tab[(r << 4) | s]
+        bw.write(code, ln)
+        bw.write(t2 & ((1 << s) - 1), s)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
+def _enc_ac_refine_block(st: _AcScanState, block, ss, se, al) -> None:
+    """AC refinement scan for one block (T.81 G.1.2.3 / figure G.7,
+    the IJG buffered-correction-bits organization): coefficients already
+    significant at coarser precision emit one correction bit (buffered
+    until the next Huffman symbol so decoder and encoder interleave
+    identically); newly-significant ones emit (run, 1) + a sign bit."""
+    bw, ac_tab = st.bw, st.ac_tab
+    absv = [0] * (se + 1)
+    eob_k = ss - 1  # index of last NEWLY-significant coefficient
+    for k in range(ss, se + 1):
+        v = int(block[k])
+        absv[k] = (-v if v < 0 else v) >> al
+        if absv[k] == 1:
+            eob_k = k
+    r = 0
+    br: list[int] = []  # this block's pending correction bits
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        # ZRLs that can't fold into the EOB must be emitted now, each
+        # carrying the correction bits buffered so far
+        while r > 15 and k <= eob_k:
+            st.flush_eobrun()
+            code, ln = ac_tab[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in br:
+                bw.write(b, 1)
+            br = []
+        if t > 1:  # previously significant: one buffered correction bit
+            br.append(t & 1)
+            continue
+        # newly significant (t == 1)
+        st.flush_eobrun()
+        code, ln = ac_tab[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(block[k]) >= 0 else 0, 1)
+        for b in br:
+            bw.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.be_bits.extend(br)
+        if st.eobrun == 0x7FFF or len(st.be_bits) > 937:
+            st.flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """(H, W, 1|3) uint8 → progressive JPEG bytes (SOF2).
+
+    Scan script mirrors the common cjpeg default: an interleaved DC
+    first scan at Al=1, per-component AC first scans at Al=1 (luma
+    spectrally split 1-5 / 6-63), then DC and AC refinement passes down
+    to Al=0 — so a decoder must exercise spectral selection, successive
+    approximation, EOB runs, AND both refinement paths to read the
+    output. Coefficient transport is lossless vs the baseline encoder at
+    the same quality (pinned by the round-trip tests)."""
+    planes, hv, ql, qc, h, w, mcux, mcuy = _plane_setup(
+        arr, quality, subsample
+    )
+    nchan = len(planes)
+    coefs = _quantized_blocks(planes, hv, ql, qc)
+    hmax = max(x for x, _ in hv[:nchan])
+    vmax = max(v for _, v in hv[:nchan])
+    # real (non-MCU-padded) block regions, walked by non-interleaved scans
+    nblocks = []
+    for ci in range(nchan):
+        fh, fv = hv[ci]
+        cw = -(-w * fh // hmax)
+        ch = -(-h * fv // vmax)
+        nblocks.append((-(-ch // 8), -(-cw // 8)))
+
+    dc_tabs = [
+        _build_encode_table(*(DC_LUMA_SPEC if ci == 0 else DC_CHROMA_SPEC))
+        for ci in range(nchan)
+    ]
+    flat_ac = _build_encode_table(*FLAT_AC_SPEC)
+    ac_tabs = [flat_ac for _ in range(nchan)]
+
+    def dc_first_scan(bw, al):
+        preds = [0] * nchan
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci in range(nchan):
+                fh, fv = hv[ci]
+                tab = dc_tabs[ci]
+                for by in range(fv):
+                    for bx in range(fh):
+                        v = int(coefs[ci][my * fv + by, mx * fh + bx, 0]) >> al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        t = diff.bit_length() if diff != 0 else 0
+                        mag = diff if diff >= 0 else diff + (1 << t) - 1
+                        code, ln = tab[t]
+                        bw.write(code, ln)
+                        if t:
+                            bw.write(mag & ((1 << t) - 1), t)
+
+    def dc_refine_scan(bw, al):
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci in range(nchan):
+                fh, fv = hv[ci]
+                for by in range(fv):
+                    for bx in range(fh):
+                        v = int(coefs[ci][my * fv + by, mx * fh + bx, 0])
+                        bw.write((v >> al) & 1, 1)
+
+    def ac_scan(bw, ci, ss, se, ah, al):
+        st = _AcScanState(bw, ac_tabs[ci])
+        bh, bw_blocks = nblocks[ci]
+        enc = _enc_ac_first_block if ah == 0 else _enc_ac_refine_block
+        for m in range(bh * bw_blocks):
+            by, bx = divmod(m, bw_blocks)
+            enc(st, coefs[ci][by, bx], ss, se, al)
+        st.flush_eobrun()
+
+    # (members, Ss, Se, Ah, Al); members = component indices
+    script: list[tuple[list[int], int, int, int, int]] = [
+        (list(range(nchan)), 0, 0, 0, 1),  # DC first, Al=1
+    ]
+    if nchan == 1:
+        script += [([0], 1, 63, 0, 1), ([0], 1, 63, 1, 0)]
+    else:
+        script += [
+            ([0], 1, 5, 0, 1),    # luma low band first
+            ([1], 1, 63, 0, 1),
+            ([2], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 1),   # luma high band first
+            ([0], 1, 63, 1, 0),   # luma refinement
+            ([1], 1, 63, 1, 0),
+            ([2], 1, 63, 1, 0),
+        ]
+    script.append((list(range(nchan)), 0, 0, 1, 0))  # DC refinement
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def dqt(tq: int, tbl: np.ndarray) -> bytes:
+        return seg(
+            0xDB,
+            bytes([tq]) + bytes(int(x) for x in tbl.reshape(64)[ZIGZAG]),
+        )
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, values = spec
+        return seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(values))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, ql)
+    if nchan == 3:
+        out += dqt(1, qc)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nchan])
+    for ci in range(nchan):
+        fh, fv = hv[ci]
+        sof += bytes([ci + 1, fh << 4 | fv, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)  # SOF2: progressive DCT, Huffman
+    out += dht(0, 0, DC_LUMA_SPEC)
+    out += dht(1, 0, FLAT_AC_SPEC)  # shared by every AC scan
+    if nchan == 3:
+        out += dht(0, 1, DC_CHROMA_SPEC)
+
+    for members, ss, se, ah, al in script:
+        sos = bytes([len(members)])
+        for ci in members:
+            td = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (td << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        bw = _BitWriter()
+        if ss == 0 and ah == 0:
+            dc_first_scan(bw, al)
+        elif ss == 0:
+            dc_refine_scan(bw, al)
+        else:
+            ac_scan(bw, members[0], ss, se, ah, al)
+        bw.flush()
+        out += bw.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -1,11 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched pandas UDFs.
 
-Decode is REAL for PNG, uncompressed BMP, GIF, baseline JPEG, and WAV via
-the stdlib+numpy codecs in ``multimodal.codecs`` / ``multimodal.jpeg``
-(decode, pixel resize + PNG re-encode, perceptual hashing, PCM samples,
-spectral fingerprints); formats whose codecs need external libraries
-absent from this container (WebP, progressive JPEG, MP3, H.264, …) raise
+Decode is REAL for PNG, uncompressed BMP, GIF, baseline AND progressive
+JPEG, and WAV via the stdlib+numpy codecs in ``multimodal.codecs`` /
+``multimodal.jpeg`` (decode, pixel resize + PNG re-encode, perceptual
+hashing, PCM samples, spectral fingerprints); formats whose codecs need
+external libraries absent from this container (WebP, MP3, H.264, …) raise
 NotImplementedError unless the caller opts into ``on_unsupported="stub"``
 (deterministic fake dims) or ``"skip"``. Swapping in Pillow/turbojpeg
 changes one per-blob function, not the pipeline.
@@ -97,7 +97,7 @@ def _decode_image_array(blob: bytes):
     """(H, W, C) array via the built-in codecs, dispatched on magic bytes.
 
     Raises NotImplementedError for formats (or in-format variants —
-    progressive JPEG, 16-bit PNG, compressed BMP) the codecs gate, and
+    arithmetic JPEG, 16-bit PNG, compressed BMP) the codecs gate, and
     ValueError/other errors for corrupt data in a supported format. The
     ONE dispatch site shared by decode/resize/phash so the format list
     can't drift between them."""
@@ -113,8 +113,8 @@ def _decode_image_array(blob: bytes):
     if fmt == "gif":
         return codecs.decode_gif(blob)
     raise NotImplementedError(
-        "built-in codecs decode PNG/BMP/GIF/baseline-JPEG only; "
-        "WebP/progressive-JPEG need Pillow (absent in this env) "
+        "built-in codecs decode PNG/BMP/GIF/JPEG (baseline+progressive) "
+        "only; WebP needs Pillow (absent in this env) "
         "— pass a non-'error' on_unsupported to proceed"
     )
 

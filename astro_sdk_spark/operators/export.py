@@ -70,11 +70,12 @@ def export_to_file(
         # collect() is gated: counting past the cap aborts BEFORE any rows
         # move to the driver, so a 100 TB table pointed at .xlsx fails in
         # one cheap aggregate instead of OOMing the driver. (XLS/BIFF8
-        # itself caps a sheet at 65,536 rows; XLSX at 1,048,576.)
+        # itself caps a sheet at 65,536 rows; XLSX at 1,048,576 — and the
+        # writers emit a header row, so the DATA cap is one less.)
         cap = int(
             os.environ.get(
                 "ASTRO_EXCEL_EXPORT_MAX_ROWS",
-                str(65_536 if ftype == FileType.XLS else 1_048_576),
+                str(65_535 if ftype == FileType.XLS else 1_048_575),
             )
         )
         n_rows = df.limit(cap + 1).count()

@@ -153,8 +153,6 @@ def swap_table(spark: SparkSession, staging_qname: str, target_qname: str) -> No
     try:
         spark.sql(f"DROP TABLE IF EXISTS {tq}")
         spark.sql(f"ALTER TABLE {sq} RENAME TO {tq}")
-        if partitioned:
-            spark.sql(f"MSCK REPAIR TABLE {tq}")
     except Exception:
         # If the target was dropped but the rename failed, the staged result
         # still holds the full post-swap contents — recover via write-back.
@@ -164,3 +162,19 @@ def swap_table(spark: SparkSession, staging_qname: str, target_qname: str) -> No
             _write_back(spark, staging_qname, target_qname)
         else:
             raise
+        return
+    # the rename has COMMITTED at this point: a failure below must not
+    # read as "the swap failed" (the target exists, staging is gone) —
+    # repair partition metadata in its own recovery block instead
+    if partitioned:
+        try:
+            spark.sql(f"MSCK REPAIR TABLE {tq}")
+        except Exception as msck_err:  # noqa: BLE001
+            try:
+                spark.catalog.recoverPartitions(target_qname)
+            except Exception:  # noqa: BLE001
+                raise RuntimeError(
+                    f"table swap to {target_qname!r} SUCCEEDED but "
+                    f"partition metadata recovery failed; run "
+                    f"'MSCK REPAIR TABLE {tq}' manually before querying"
+                ) from msck_err

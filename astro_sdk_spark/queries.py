@@ -6861,8 +6861,6 @@ _TAIL_VARIANTS = [
     "q_ivfpq_trained",     # PQ: q_ivfpq_topk (in-window) + q_ivf_trained
                            # cover the probe/scan and trainer families
     "q_neardup_renamed_cols",  # minhash: q_minhash_neardup (same oracle)
-    "q_bloom_dedup",       # exact dedup: q_dedup_exact (bloom prefilter is
-                           # the scale path of the same family)
     "q_window_running",    # windows: q_window_extended (q_window_topk
                            # rotated to tail in round 9)
     "q_doc_fingerprint",   # text: q_quality_score, q_repetition_stats
@@ -6901,7 +6899,6 @@ _TAIL_VARIANTS = [
                            # (bigram Stupid-Backoff variant)
     "q_weighted_sample",   # sampling: q_domain_mix,
                            # q_seq_packing in-window (E–S reservoir)
-    "q_compact_roundtrip",  # ctas/operator layer: q_transform_ctas in-window
     "q_leakage_split",     # sampling: q_domain_mix in-window (split +
                            # cross-boundary decontamination composition)
     "q_unicode_normalize",  # cleaning: q_decontaminate
@@ -6948,9 +6945,6 @@ _TAIL_VARIANTS = [
                            # (clip variant of the q_outliers family)
     "q_cms_merged",        # aggregation/sketches: q_pricing_summary
                            # family in-window (mergeability contract)
-    "q_jaccard_join",      # joins/content-dedup: q_minhash_neardup,
-                           # q_fuzzy_join family (exact set-similarity
-                           # counterpart of the LSH path)
     "q_unpivot",           # grouping analytics: q_grouping_sets, q_cube
                            # in-window (pivot's inverse reshape)
     "q_stream_join",       # events: q_events_tumbling, q_events_rollup
@@ -7000,28 +6994,40 @@ _TAIL_VARIANTS = [
     "q_ivf_topk",          # ivf-pq: q_ivfpq_topk, q_ann_persist family
                            # in-window (driver-verified r5-r9)
     #
-    # Round-10 additions: the seven synthesized-partsupp TPC-H shapes
-    # enter at the tail (their families are all represented in-window);
-    # local sweeps + pytest cover them at 3 SFs, and q_ann_persist gates
-    # the persisted-index build.
-    "q_tpch_q2",           # joins: q_join_agg, q_tpch_q13 in-window
-                           # (dim-chain broadcast + correlated-min shape)
-    "q_tpch_q9",           # joins: q_tpch_q7 in-window (multi-fact star
-                           # with computed profit)
-    "q_tpch_q11",          # subquery: q_correlated_agg in-window (global
-                           # threshold over a derived aggregate)
-    "q_tpch_q12",          # joins: q_join_agg in-window (computed-column
-                           # filters + conditional counts)
-    "q_tpch_q16",          # joins: q_semi_anti_join family rep in-window
-                           # (broadcast anti-join + distinct count)
-    "q_tpch_q19",          # scan-filter-project: q_filter_project in-window
-                           # (disjunctive predicate extraction)
-    "q_tpch_q20",          # joins: q_tpch_q21 in-window (nested semi-joins
-                           # + correlated quantity aggregate)
-    "q_ann_persist",       # ivf-pq: q_ivfpq_topk in-window
-                           # (persisted-index variant of the same probe)
-    "q_annpq_persist",     # ivf-pq: q_ivfpq_topk in-window (persisted
-                           # IVFADC lists, shared ADC scan)
+    # Round-10 additions: two of the seven synthesized-partsupp TPC-H
+    # shapes stay at the tail (their families are all represented
+    # in-window); local sweeps + pytest cover them at 3 SFs.
+    "q_tpch_q12",          # joins: q_join_agg family in-window
+                           # (computed-column filters + conditional counts)
+    "q_tpch_q16",          # joins: q_tpch_q21/q_tpch_q20 anti-join shapes
+                           # in-window (broadcast anti-join + distinct count)
+    #
+    # Round-11 rotation: nine never-driver-verified queries rotate IN
+    # (q_tpch_q2, q_tpch_q9, q_tpch_q11, q_tpch_q19, q_tpch_q20,
+    # q_ann_persist, q_annpq_persist, q_bloom_dedup, q_jaccard_join,
+    # q_compact_roundtrip — removed from this list) and nine r2-r10
+    # veterans rotate OUT, keeping every family represented in-window.
+    "q_join_agg",          # joins: q_fuzzy_join, q_tpch_q2/q7/q9/q13/q17/
+                           # q21 in-window (driver-verified r2-r10)
+    "q_correlated_agg",    # subquery: q_tpch_q11, q_tpch_q15 in-window
+                           # (driver-verified r2-r10)
+    "q_filter_project",    # scan-filter-project: q_tpch_q19 in-window
+                           # (driver-verified r2-r10)
+    "q_ivfpq_topk",        # ivf-pq: q_ann_persist + q_annpq_persist
+                           # in-window — the persisted variants run the
+                           # SAME assign/ADC machinery (verified r5-r10)
+    "q_dedup_exact",       # exact-dedup: q_bloom_dedup in-window
+                           # (driver-verified r2-r10)
+    "q_substring_dedup",   # content-dedup: q_jaccard_join in-window
+                           # (driver-verified r2-r10)
+    "q_transform_ctas",    # ctas-operator: q_publish + q_compact_roundtrip
+                           # in-window (driver-verified r2-r10)
+    "q_events_tumbling",   # events: q_events_rollup in-window
+                           # (driver-verified r2-r10)
+    "q_dedup_clusters",    # dedup-clusters: q_pagerank in-window
+                           # (driver-verified r2-r10)
+    "q_append_map",        # merge-append: q_merge_update, q_merge_ignore,
+                           # q_scd2_merge in-window (driver-verified r2-r10)
 ]
 
 

@@ -335,15 +335,20 @@ def stream_ann_index_ingest(
     ``ann_index_add``'s id-dedupe anti-join makes a replayed batch a
     no-op (same contract the test pins), which is the right idempotence
     key for an index: identity is the vector id, not the batch."""
-    from astro_sdk_spark.functions.ann_index import _read_meta, ann_index_add
+    from astro_sdk_spark.functions.ann_index import _append_assigned, _read_meta
 
     spark = stream.sparkSession
-    _read_meta(spark, index_name)  # fail at wiring time, not mid-stream
+    # read meta ONCE at wiring time (fail here, not mid-stream) and close
+    # over it: per micro-batch the only Spark work is the dedupe
+    # anti-join + assign + append — no meta re-read, no separate
+    # dim-check action (the geometry guard rides inside the assignment
+    # job, see _append_assigned)
+    meta = _read_meta(spark, index_name)
 
     def add_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ann_index_add(
+        _append_assigned(
             batch_df.sparkSession, batch_df, index_name,
-            id_col=id_col, vec_col=vec_col,
+            id_col, vec_col, meta=meta,
         )
 
     writer = stream.writeStream.option(

@@ -291,6 +291,42 @@ def main() -> None:
         else ({"scale_probe": scale_probe} if scale_probe else {})
     )
 
+    # Deeper probe at 30× for the two STEEPEST ops from the 10× curve
+    # (pagerank 4.8×, jaccard 4.6× in the r10 artifact) — does the curve
+    # bend super-linear past 10×, or is the 10× slope just fixed-cost
+    # amortization? Opt out with SPARK_GRAFT_BENCH_SCALE30=0.
+    factor30 = max(2, int(os.environ.get("SPARK_GRAFT_SCALE30_FACTOR", "30")))
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
+        and os.environ.get("SPARK_GRAFT_BENCH_SCALE30", "1") != "0"
+    ):
+        try:
+            probe30 = _scale_probe_stage(
+                spark, sf_dir, factor30, only=("pagerank", "jaccard_join")
+            )
+            r30 = [v["ratio"] for v in probe30.values() if "ratio" in v]
+            scale_out["scale_probe_30x"] = probe30
+            scale_out["scale_probe_30x_factor"] = factor30
+            if r30:
+                scale_out["scale_probe_30x_max_ratio"] = max(r30)
+        except Exception as e:  # noqa: BLE001 - probe stage is best-effort
+            print(f"# bench 30x scale-probe stage error: {e}", file=sys.stderr)
+
+    # Persisted-ANN build vs probe split: q_ann_persist / q_annpq_persist
+    # rebuild their index INSIDE the timed query (the correctness gate
+    # wants the full incremental-build lifecycle), so the headline number
+    # is build-dominated and a probe regression would hide behind build
+    # noise. Report the two phases separately: "build" = the full
+    # two-batch ingest (build + incremental add), "probe" = ann_index_topk
+    # against the already-persisted index (min-of-reps, like the queries).
+    # Opt out with SPARK_GRAFT_BENCH_ANN=0.
+    ann_split: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_ANN", "1") != "0":
+        try:
+            ann_split = _ann_split_stage(spark, sf_dir, reps)
+        except Exception as e:  # noqa: BLE001 - split stage is best-effort
+            print(f"# bench ann-split stage error: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -303,13 +339,80 @@ def main() -> None:
                 **ingest,
                 **skew_out,
                 **scale_out,
+                **({"ann_split": ann_split} if ann_split else {}),
             }
         )
     )
 
 
-def _scale_probe_stage(spark, sf_dir: str, factor: int) -> dict:
-    """Time each heavy-family op at 1× and factor× volume; see main()."""
+def _ann_split_stage(spark, sf_dir: str, reps: int) -> dict:
+    """Build vs probe timings for the persisted ANN index, both kinds.
+
+    Mirrors q_ann_persist / q_annpq_persist exactly (two-batch incremental
+    ingest, nprobe=4, k=10) so the sum of the two phases is comparable to
+    the headline entries; the probe number is the one that matters for a
+    serving regression."""
+    from pyspark.sql import functions as SF
+
+    from astro_sdk_spark.functions.ann_index import (
+        ann_index_add,
+        ann_index_topk,
+        build_ann_index,
+        drop_ann_index,
+    )
+    from astro_sdk_spark.queries import T as _T
+
+    emb = _T(spark, sf_dir, "embeddings")
+    cw = (
+        emb.filter(SF.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    m, dsub = 4, 16
+    codebooks = [
+        [[float(r.embedding[s * dsub + t]) for t in range(dsub)] for r in cw]
+        for s in range(m)
+    ]
+    out: dict = {}
+    for kind, cb in (("flat", None), ("pq", codebooks)):
+        idx = f"bench_ann_{kind}"
+        entry: dict = {}
+        try:
+            t0 = time.perf_counter()
+            drop_ann_index(spark, idx)
+            build_ann_index(
+                spark, emb.filter(SF.col("vec_id") % 2 == 0), idx,
+                centroids=emb.filter(SF.col("vec_id") < 16), codebooks=cb,
+            )
+            ann_index_add(spark, emb.filter(SF.col("vec_id") % 2 == 1), idx)
+            entry["build"] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(max(1, reps)):
+                t0 = time.perf_counter()
+                ann_index_topk(
+                    spark, emb.filter(SF.col("vec_id") < 8), idx,
+                    nprobe=4, k=10,
+                ).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+            entry["probe"] = round(best, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"# bench ann-split error ({kind}): {e}", file=sys.stderr)
+        finally:
+            try:
+                drop_ann_index(spark, idx)
+            except Exception:  # noqa: BLE001
+                pass
+        if entry:
+            out[kind] = entry
+    return out
+
+
+def _scale_probe_stage(spark, sf_dir: str, factor: int, only=None) -> dict:
+    """Time each heavy-family op at 1× and factor× volume; see main().
+    ``only`` restricts to a subset of op names (the 30× deep probe)."""
     from pyspark.sql import functions as SF
 
     from astro_sdk_spark.functions.cleaning import line_dedup
@@ -437,6 +540,8 @@ def _scale_probe_stage(spark, sf_dir: str, factor: int) -> dict:
     }
     out: dict = {}
     for op_name, (mk, op) in probes.items():
+        if only is not None and op_name not in only:
+            continue
         entry: dict = {}
         for label, n in (("x1", 1), (f"x{factor}", factor)):
             try:

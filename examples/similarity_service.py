@@ -50,6 +50,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from astro_sdk_spark import get_session  # noqa: E402
 from astro_sdk_spark.functions.ann_index import (  # noqa: E402
+    ann_index_compact,
+    ann_index_stats,
     ann_index_topk,
     build_ann_index,
     drop_ann_index,
@@ -102,11 +104,25 @@ def serve(spark, sf_dir: str) -> dict:
         hits = ann_index_topk(
             spark, emb.filter(F.col("vec_id") < 4), idx, nprobe=4, k=5
         ).orderBy("query_id", "rank").collect()
+
+        # 4. maintain: every micro-batch appended ≥1 small file per
+        # touched list — read the health report, compact the fragmented
+        # lists (per-partition dynamic INSERT OVERWRITE; readers keep
+        # answering), and verify the answers didn't move a byte
+        stats_before = ann_index_stats(spark, idx).collect()
+        report = ann_index_compact(spark, idx, min_files=2)
+        hits_after = ann_index_topk(
+            spark, emb.filter(F.col("vec_id") < 4), idx, nprobe=4, k=5
+        ).orderBy("query_id", "rank").collect()
+        assert hits_after == hits, "compaction must not change answers"
         return {
             "n_indexed": spark.table(f"{idx}__lists").count(),
             "n_corpus": emb.count(),
             "hits": hits,
             "index": idx,
+            "files_before": report["files_before"],
+            "files_after": report["files_after"],
+            "max_list_files_before": max(r.files for r in stats_before),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -118,6 +134,11 @@ def main(sf_dir: str) -> None:
     out = serve(spark, sf_dir)
     try:
         print(f"indexed vectors: {out['n_indexed']} (of {out['n_corpus']})")
+        print(
+            f"maintenance: {out['files_before']} list files "
+            f"(max {out['max_list_files_before']}/list after streaming) "
+            f"→ {out['files_after']} after compaction, answers unchanged"
+        )
         for r in out["hits"][:10]:
             print(
                 f"query {r.query_id}: neighbour {r.vec_id} "

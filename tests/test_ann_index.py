@@ -184,3 +184,178 @@ def test_stream_ann_index_ingest_requires_existing_index(spark, emb, tmp_path):
             .parquet(str(src)),
             "no_such_index", str(tmp_path / "ck_missing"),
         )
+
+
+def test_mixed_dim_batch_rejected_rowwise(spark, emb, idx):
+    """The geometry guard is ROW-level and rides inside the assignment
+    job: a batch whose FIRST row matches the index dim but whose later
+    rows don't must fail loudly AND leave the lists unpoisoned (the
+    head()-only check this replaces admitted exactly this batch)."""
+    build_ann_index(spark, emb.filter(F.col("vec_id") < 32), idx,
+                    emb.filter(F.col("vec_id") < 16))
+    n_before = spark.table(f"{idx}__lists").count()
+    mixed = emb.filter(F.col("vec_id").between(32, 47)).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.when(F.col("vec_id") == 32, F.col("embedding"))
+        .otherwise(F.slice("embedding", 1, 3))
+        .alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="dim"):
+        ann_index_add(spark, mixed, idx)
+    assert spark.table(f"{idx}__lists").count() == n_before
+
+
+def test_index_name_must_be_identifier(spark, emb):
+    """Names become SQL identifiers and warehouse directories — anything
+    but a bare identifier is rejected BEFORE any SQL or filesystem op."""
+    for bad in ("t-ann", "t ann", "t'ann", "a.b", "x; DROP TABLE y", ""):
+        with pytest.raises(ValueError, match="identifier"):
+            build_ann_index(spark, emb, bad, emb.limit(4))
+        with pytest.raises(ValueError, match="identifier"):
+            ann_index_topk(spark, emb.limit(1), bad)
+        with pytest.raises(ValueError, match="identifier"):
+            drop_ann_index(spark, bad)
+
+
+def test_flat_local_topk_bounds_volume_and_is_lossless(spark, emb, idx):
+    """The flat probe's pre-rank: (a) the global answer is IDENTICAL to
+    ranking the full scored set (lossless filter), (b) the volume
+    reaching the global sort is bounded by partitions×k per query, not
+    by list size."""
+    from pyspark.sql import Window
+
+    from astro_sdk_spark.functions.ann_index import _flat_local_topk
+
+    build_ann_index(spark, emb, idx, emb.filter(F.col("vec_id") < 4))
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = ann_index_topk(spark, queries, idx, nprobe=2, k=5)
+
+    # reference: same probe WITHOUT the local stage — full global window
+    # (reconstructed by scoring all probed candidates directly)
+    from astro_sdk_spark.functions.similarity import ivf_topk
+
+    want = ivf_topk(queries, emb, centroids=emb.filter(F.col("vec_id") < 4),
+                    nprobe=2, k=5)
+    assert _rows(got) == _rows(want)
+
+    # volume bound: per (partition, query), at most k rows survive
+    scored = spark.createDataFrame(
+        [(0, i, float((i * 37) % 100) / 100.0) for i in range(400)],
+        "query_id long, cand_id long, cosine double",
+    ).repartition(4)
+    kept = _flat_local_topk(scored, 5)
+    assert kept.count() <= 4 * 5
+    # and the global top-5 over the filtered set equals the unfiltered one
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    full = scored.withColumn("r", F.row_number().over(w)).filter("r <= 5")
+    filt = kept.withColumn("r", F.row_number().over(w)).filter("r <= 5")
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, filt.collect()))
+
+
+def test_ann_index_stats_shape(spark, emb, idx):
+    from astro_sdk_spark.functions.ann_index import ann_index_stats
+
+    build_ann_index(spark, emb, idx, emb.filter(F.col("vec_id") < 16))
+    stats = ann_index_stats(spark, idx).collect()
+    assert [c for c in ann_index_stats(spark, idx).columns] == [
+        "cent_id", "rows", "files", "frac", "imbalance",
+    ]
+    assert sum(r.rows for r in stats) == emb.count()
+    assert abs(sum(r.frac for r in stats) - 1.0) < 1e-3
+    assert all(r.files >= 1 for r in stats)
+    # ordered hottest-first
+    assert [r.rows for r in stats] == sorted((r.rows for r in stats), reverse=True)
+
+
+def test_compact_bounds_files_and_preserves_answers(spark, emb, idx):
+    """The maintenance payoff: after N incremental adds every touched
+    list holds ~N files; compaction rewrites fragmented lists to one
+    right-sized file each WITHOUT changing a single answer byte."""
+    from astro_sdk_spark.functions.ann_index import (
+        ann_index_compact,
+        ann_index_stats,
+    )
+
+    cents = emb.filter(F.col("vec_id") < 16)
+    build_ann_index(spark, emb.filter(F.col("vec_id") % 4 == 0), idx, cents)
+    for m in (1, 2, 3):  # three more micro-batches
+        ann_index_add(spark, emb.filter(F.col("vec_id") % 4 == m), idx)
+    before = ann_index_stats(spark, idx).collect()
+    assert max(r.files for r in before) >= 2, "fixture failed to fragment"
+    answers_before = _rows(
+        ann_index_topk(spark, emb.filter(F.col("vec_id") < 8), idx,
+                       nprobe=4, k=10)
+    )
+    report = ann_index_compact(spark, idx, min_files=2)
+    assert report["lists_compacted"] >= 1
+    assert report["files_after"] < report["files_before"]
+    after = ann_index_stats(spark, idx).collect()
+    assert max(r.files for r in after) == 1
+    # row content untouched
+    assert sum(r.rows for r in after) == sum(r.rows for r in before)
+    answers_after = _rows(
+        ann_index_topk(spark, emb.filter(F.col("vec_id") < 8), idx,
+                       nprobe=4, k=10)
+    )
+    assert answers_after == answers_before
+
+
+def test_retrain_flat_rebuckets_under_new_centroids(spark, emb, idx):
+    """Centroid-drift repair: a flat index re-reads its own lists as the
+    corpus and re-buckets under the new quantizer; afterwards it answers
+    exactly like a fresh one-shot build on those centroids."""
+    from astro_sdk_spark.functions.ann_index import ann_index_retrain
+
+    old_cents = emb.filter(F.col("vec_id") < 8)
+    new_cents = emb.filter(F.col("vec_id").between(16, 31))
+    build_ann_index(spark, emb, idx, old_cents)
+    ann_index_retrain(spark, idx, new_cents)
+    meta = spark.table(f"{idx}__meta").head()
+    assert meta.n_centroids == 16
+    got = ann_index_topk(spark, emb.filter(F.col("vec_id") < 8), idx,
+                         nprobe=4, k=10)
+    want = ivf_topk(emb.filter(F.col("vec_id") < 8), emb,
+                    centroids=new_cents, nprobe=4, k=10)
+    assert _rows(got) == _rows(want)
+
+
+def test_retrain_pq_requires_corpus_and_codebooks(spark, emb, idx):
+    from astro_sdk_spark.functions.ann_index import ann_index_retrain
+
+    cbs = _codebooks_from(emb)
+    build_ann_index(spark, emb, idx, emb.filter(F.col("vec_id") < 16),
+                    codebooks=cbs)
+    with pytest.raises(ValueError, match="codes, not vectors"):
+        ann_index_retrain(spark, idx, emb.filter(F.col("vec_id") < 16))
+    with pytest.raises(ValueError, match="codebooks"):
+        ann_index_retrain(spark, idx, emb.filter(F.col("vec_id") < 16),
+                          corpus=emb)
+
+
+def test_stream_batch_path_job_count_is_bounded(spark, emb, idx):
+    """The per-micro-batch path (what stream_ann_index_ingest runs via
+    foreachBatch) must not accumulate per-batch fixed Spark actions: the
+    meta row is read ONCE at wiring time and the geometry guard rides
+    INSIDE the assignment job (see _append_assigned) — so one batch add
+    is one logical action (anti-join + assign + append write, ≤5 jobs
+    counting AQE sub-jobs and the centroid-broadcast collect). A
+    regression that reintroduces a per-batch head()/meta job pushes the
+    count past the pin."""
+    from astro_sdk_spark.functions.ann_index import _append_assigned, _read_meta
+
+    cents = emb.filter(F.col("vec_id") < 16)
+    build_ann_index(spark, emb.filter(F.col("vec_id") % 2 == 0), idx, cents)
+    meta = _read_meta(spark, idx)
+    sc = spark.sparkContext
+    sc.setJobGroup("ann_batch_add", "job-count pin")
+    try:
+        _append_assigned(
+            spark, emb.filter(F.col("vec_id") % 2 == 1), idx,
+            "vec_id", "embedding", meta=meta,
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("ann_batch_add")
+    assert 1 <= len(jobs) <= 6, f"per-batch job count crept up: {jobs}"

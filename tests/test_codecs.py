@@ -273,18 +273,81 @@ def test_jpeg_noise_stress_high_quality():
     assert np.abs(dec.astype(float) - noise).mean() < 6.0
 
 
-def test_jpeg_progressive_gated():
+def test_jpeg_progressive_matches_baseline_exactly():
+    """Progressive transport is a lossless reorganization of the same
+    quantized coefficients, so decode(SOF2 file) must equal decode(SOF0
+    file of the same image/quality) BYTE-FOR-BYTE — this pins spectral
+    selection, successive approximation (DC and AC first + refinement
+    scans), and EOB-run decoding all at once."""
+    import numpy as np
+
+    from astro_sdk_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        ((16, 16, 1), False, 85),   # grayscale
+        ((24, 17, 3), False, 85),   # color, non-multiple-of-8 width
+        ((24, 17, 3), True, 85),    # 4:2:0 subsampling
+        ((40, 33, 3), True, 70),    # subsampled + odd dims + lower q
+        ((64, 48, 3), False, 50),   # denser AC coefficients
+    ]
+    for shape, sub, q in cases:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, q, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, q, subsample=sub))
+        assert np.array_equal(base, prog), (shape, sub, q)
+    # smooth gradients produce the LONG EOB runs real photos have
+    yy, xx = np.mgrid[0:48, 0:64]
+    grad = np.stack(
+        [(yy * 2) % 256, (xx * 3) % 256, (yy + xx) % 256], axis=-1
+    ).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(grad, 85)),
+        decode_jpeg(encode_jpeg_progressive(grad, 85)),
+    )
+
+
+def test_jpeg_progressive_corrupt_blobs_fail_loudly():
+    import numpy as np
+    import pytest
+
+    from astro_sdk_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    blob = encode_jpeg_progressive(img, 85)
+    # truncation mid-scan must raise, not return garbage silently
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(blob[: len(blob) // 2])
+    # scan-less progressive frame: header only, no SOS
+    import struct
+
+    sof2 = struct.pack(">BBHBHHB", 0xFF, 0xC2, 11, 8, 1, 1, 1) + bytes(
+        [1, 0x11, 0]
+    )
+    with pytest.raises(ValueError, match="no SOS"):
+        decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
+
+
+def test_jpeg_arithmetic_still_gated():
     import struct
 
     import pytest
 
     from astro_sdk_spark.multimodal.jpeg import decode_jpeg
 
-    sof2 = struct.pack(">BBHBHHB", 0xFF, 0xC2, 11, 8, 1, 1, 1) + bytes(
+    sof9 = struct.pack(">BBHBHHB", 0xFF, 0xC9, 11, 8, 1, 1, 1) + bytes(
         [1, 0x11, 0]
     )
-    with pytest.raises(NotImplementedError, match="progressive|SOF"):
-        decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(b"\xff\xd8" + sof9 + b"\xff\xd9")
 
 
 def test_jpeg_sniff_and_batch_decode(spark, tmp_path):

@@ -166,6 +166,10 @@ def test_similarity_service_example(spark):
         assert set(by_q) == {0, 1, 2, 3}
         for qid, rows in by_q.items():
             assert rows[0].rank == 1 and rows[0].vec_id == qid
+        # maintenance payoff: streaming fragmented ≥1 list, compaction
+        # strictly reduced the file count (answers pinned inside serve())
+        assert out["max_list_files_before"] >= 2
+        assert out["files_after"] < out["files_before"]
     finally:
         from astro_sdk_spark.functions.ann_index import drop_ann_index
 

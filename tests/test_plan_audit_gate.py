@@ -94,9 +94,12 @@ PY_BOUNDARY_WHITELIST = {
     "q_unicode_normalize": 1,  # unicodedata.normalize pandas_udf — Spark
                                # has no Unicode-normalization builtin; one
                                # Arrow-batched projection, no shuffle
-    "q_ann_persist": 1,      # query-probe matmul (nearest_centroids) — the
+    "q_ann_persist": 2,      # query-probe matmul (nearest_centroids) — the
                              # q_ivf_topk boundary; list assignment runs
                              # eagerly at build/add time, outside this plan
+                             # — plus _flat_local_topk (r11): the bounded
+                             # per-batch pre-rank that caps the global
+                             # window's input at batches×k rows per query
     "q_annpq_persist": 1,    # the ADC scan over the persisted coded lists
                              # (ivfpq_scan_lists) — q_ivfpq_topk's boundary;
                              # probe map + encode run eagerly at build/add
