@@ -2998,6 +2998,57 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_STATS_ORACLE = """
+    WITH cent AS (
+      SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 16),
+    cand AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+    assign_scored AS (
+      SELECT cand_id, cent_id,
+             row_number() OVER (
+               PARTITION BY cand_id
+               ORDER BY round(list_cosine_similarity(v, cvec), 4) DESC,
+                        cent_id) AS rk
+      FROM cand CROSS JOIN cent),
+    assigned AS (SELECT cand_id, cent_id FROM assign_scored WHERE rk = 1),
+    counts AS (
+      SELECT cent_id, count(*) AS n_rows FROM assigned GROUP BY cent_id),
+    tot AS (
+      SELECT sum(n_rows) AS total, avg(n_rows) AS mean FROM counts)
+    SELECT cent_id, n_rows,
+           round(CAST(n_rows AS DOUBLE) / total, 6) AS frac,
+           round(CAST(n_rows AS DOUBLE) / mean, 4) AS imbalance
+    FROM counts CROSS JOIN tot
+"""
+
+
+@q("q_ann_stats", _ANN_STATS_ORACLE)
+def q_ann_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index health report (functions/ann_index.py:
+    ann_index_stats): per-list row counts, corpus fraction, and
+    imbalance vs the mean list — the maintenance diagnostic that decides
+    when to compact (file growth) or retrain (hot centroids). The oracle
+    recomputes the full assignment (argmax rounded cosine, lowest-id
+    tiebreak — the shared IVF determinism contract) and the same
+    normalized stats in SQL; the ``files`` column is physical layout,
+    not data, so it stays outside the hash (pinned by the compaction
+    payoff test instead)."""
+    from astro_sdk_spark.functions.ann_index import (
+        ann_index_stats,
+        build_ann_index,
+        drop_ann_index,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    idx = "q_ann_stats_idx"
+    drop_ann_index(spark, idx)
+    build_ann_index(spark, emb, idx, centroids=emb.filter(F.col("vec_id") < 16))
+    return ann_index_stats(spark, idx).select(
+        "cent_id", F.col("rows").alias("n_rows"), "frac", "imbalance"
+    )
+
+
 @q("q_annpq_persist", _IVFPQ_ORACLE)
 def q_annpq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted IVF-PQ index (functions/ann_index.py, kind='pq'): the
@@ -7028,6 +7079,11 @@ _TAIL_VARIANTS = [
                            # (driver-verified r2-r10)
     "q_append_map",        # merge-append: q_merge_update, q_merge_ignore,
                            # q_scd2_merge in-window (driver-verified r2-r10)
+    #
+    # Round-11 addition: the persisted-index maintenance diagnostic
+    # enters at the tail (ivf-pq family: q_ann_persist + q_annpq_persist
+    # in-window run the same assignment machinery under the hash gate).
+    "q_ann_stats",
 ]
 
 

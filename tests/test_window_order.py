@@ -78,6 +78,7 @@ FAMILIES: dict[str, list[str]] = {
     "ivf-pq": [
         "q_ivf_topk", "q_ivf_trained", "q_ivfpq_topk", "q_pq_topk",
         "q_ivfpq_trained", "q_ann_persist", "q_annpq_persist",
+        "q_ann_stats",
     ],
     "text-stats": [
         "q_token_stats", "q_quality_score", "q_doc_fingerprint",
