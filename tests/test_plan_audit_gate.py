@@ -66,6 +66,9 @@ NESTED_LOOP_WHITELIST = {
                              # device over ≤range/width sketch cells)
     "q_tpch_q11": 1,         # one-row global-threshold broadcast (the
                              # q_tpch_q15 MAX device, integer-exact)
+    "q_ann_stats": 1,        # one-row totals broadcast (sum+mean over the
+                             # per-list counts — the tf_idf normalizer
+                             # device; output bounded by n_centroids)
 }
 
 # query → max allowed Python/Arrow boundary nodes (MapInPandas etc.).
