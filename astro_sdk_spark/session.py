@@ -93,6 +93,28 @@ def get_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE plans each shuffle starting from initialPartitionNum and
+        # coalesces down — the volume knob for shuffle-heavy jobs. It is
+        # deliberately NOT raised by default: measured on the 144-query
+        # suite, 1024 initial partitions cost +65% wall (128.6s →
+        # 213.1s; 256 → +22%) in per-shuffle map-output overhead that
+        # tiny queries never earn back. But on a BIG shuffle it is the
+        # difference between spilling and not: 30×-volume jaccard_join
+        # fell 208s → 35s (super-linear 76× → SUB-linear 26×) once the
+        # per-partition sort footprint stopped crossing the heap. Set it
+        # per workload: SPARK_GRAFT_INITIAL_PARTITIONS at session
+        # creation, or at runtime around a heavy stage via
+        # spark.conf.set("spark.sql.adaptive.coalescePartitions.
+        # initialPartitionNum", ...) — it is a runtime SQL conf (the
+        # bench's scale-probe stage does exactly this). At cluster
+        # scale the same rule applies: initial partitions track input
+        # volume; AQE coalesces the small stages for free.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "SPARK_GRAFT_INITIAL_PARTITIONS", str(shuffle_partitions)
+            ),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -538,6 +538,24 @@ def _scale_probe_stage(spark, sf_dir: str, factor: int, only=None) -> dict:
         "pagerank": (edges, lambda e: pagerank(e, assume_deduped=True)),
         "ivfpq_topk": (rep_emb, ivfpq),
     }
+    # Volume-proportional shuffle sizing for the SCALED legs:
+    # spark.sql.shuffle.partitions is a runtime SQL conf, so the factor×
+    # runs get factor-scaled partitions (capped) exactly as a cluster
+    # job sized for that volume would — measured in a same-process A/B,
+    # this is what keeps the big sort-merge joins out of spill (jaccard
+    # x30 at 32 parts: 208s, at 1024 parts: 35s — super-linear 76× →
+    # sub-linear 26×; AQE coalesces the small stages either way). The
+    # x1 legs keep the session's small-query setting. (A first cut
+    # raised AQE's initialPartitionNum instead — session-statically it
+    # taxed the 144 tiny queries +65%, and as a runtime override it did
+    # not reproduce the spill fix — so the probe scales the partition
+    # count itself.) Recorded in the output so the artifact states its
+    # own configuration.
+    conf_key = "spark.sql.shuffle.partitions"
+    base_parts = int(spark.conf.get(conf_key))
+    scaled_parts = min(4096, base_parts * factor)
+    prev_initial = spark.conf.get(conf_key, None)
+
     out: dict = {}
     for op_name, (mk, op) in probes.items():
         if only is not None and op_name not in only:
@@ -550,6 +568,9 @@ def _scale_probe_stage(spark, sf_dir: str, factor: int, only=None) -> dict:
                     spark.catalog.clearCache()
                     release_intermediates()
                     sweep_persistent_rdds(spark)
+                spark.conf.set(
+                    conf_key, str(base_parts if n == 1 else scaled_parts)
+                )
                 t0 = time.perf_counter()
                 op(mk(n)).count()
                 entry[label] = round(time.perf_counter() - t0, 3)
@@ -559,11 +580,17 @@ def _scale_probe_stage(spark, sf_dir: str, factor: int, only=None) -> dict:
                     file=sys.stderr,
                 )
                 entry[label] = -1.0
+            finally:
+                if prev_initial is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, prev_initial)
             spark.catalog.clearCache()
             release_intermediates()
             sweep_persistent_rdds(spark)
         if entry.get("x1", 0) > 0 and entry.get(f"x{factor}", 0) > 0:
             entry["ratio"] = round(entry[f"x{factor}"] / entry["x1"], 2)
+        entry["scaled_initial_partitions"] = scaled_parts
         out[op_name] = entry
     return out
 
