@@ -98,12 +98,21 @@ def _read_meta(spark: SparkSession, name: str) -> dict:
 
 def _read_codebooks(spark: SparkSession, name: str, meta: dict):
     cb_t = _tables(name)[3]
-    rows = spark.table(cb_t).collect()
+    # bind to the meta row's generation: a read racing a retrain's
+    # go-live sees 0 matching rows and fails LOUDLY below instead of
+    # decoding against the wrong generation's codebooks
+    rows = (
+        spark.table(cb_t)
+        .filter(F.col("gen") == F.lit(int(meta.get("generation", 0))))
+        .collect()
+    )
     m, k = meta["pq_m"], meta["pq_k"]
     if len(rows) != m * k:
         raise ValueError(
-            f"ANN index {name!r}: codebook table holds {len(rows)} rows, "
-            f"expected m×k = {m}×{k}"
+            f"ANN index {name!r}: codebook table holds {len(rows)} rows "
+            f"for generation {meta.get('generation', 0)}, expected "
+            f"m×k = {m}×{k} — if a retrain is in flight, retry after it "
+            f"commits"
         )
     by_sj = {(r.s, r.j): list(r.vec) for r in rows}
     return [[by_sj[(s, j)] for j in range(k)] for s in range(m)]
@@ -118,6 +127,7 @@ def build_ann_index(
     vec_col: str = "embedding",
     codebooks=None,
     encode_round_digits: int | None = None,
+    _generation: int = 0,
 ) -> None:
     """Create the index tables and assign ``corpus`` to its lists.
 
@@ -135,8 +145,16 @@ def build_ann_index(
     _check_name(name)
     cent_t, lists_t, meta_t, cb_t = _tables(name)
     drop_ann_index(spark, name)
+    # every table row is stamped with the index GENERATION (bumped by
+    # ann_index_retrain): readers bind their lists scan to the
+    # generation of the centroids they actually probed, so a read that
+    # races a retrain's table-by-table go-live can never mix quantizer
+    # generations — see ann_index_topk
+    gen = int(_generation)
     cent = centroids.select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("vec"),
+        F.lit(gen).alias("gen"),
     )
     cent.write.format("parquet").saveAsTable(cent_t)
     n_cent = spark.table(cent_t).count()
@@ -149,20 +167,21 @@ def build_ann_index(
         [
             (
                 int(n_cent), int(dim_row.d), _ROUND_DIGITS, "cosine",
-                kind, pq_m, pq_k, enc_rd,
+                kind, pq_m, pq_k, enc_rd, gen,
             )
         ],
         "n_centroids int, dim int, round_digits int, metric string, "
-        "kind string, pq_m int, pq_k int, encode_round_digits int",
+        "kind string, pq_m int, pq_k int, encode_round_digits int, "
+        "generation int",
     ).write.format("parquet").saveAsTable(meta_t)
     if codebooks is not None:
         spark.createDataFrame(
             [
-                (s, j, [float(x) for x in codebooks[s][j]])
+                (s, j, [float(x) for x in codebooks[s][j]], gen)
                 for s in range(pq_m)
                 for j in range(pq_k)
             ],
-            "s int, j int, vec array<double>",
+            "s int, j int, vec array<double>, gen int",
         ).write.format("parquet").saveAsTable(cb_t)
     _append_assigned(spark, corpus, name, id_col, vec_col, first=True)
 
@@ -215,9 +234,18 @@ def _append_assigned(
     vecs = df.select(
         F.col(id_col).alias("cand_id"), guarded_vec.alias("vec")
     )
+    gen = int(meta.get("generation", 0))
     if not first and dedupe and spark.catalog.tableExists(lists_t):
+        # dedupe against the CURRENT generation only: rows a stale
+        # stream appended under a pre-retrain generation are invisible
+        # to queries (see ann_index_topk) and must not block the same
+        # ids from being re-added under the live quantizer
         vecs = vecs.join(
-            spark.table(lists_t).select("cand_id"), "cand_id", "left_anti"
+            spark.table(lists_t)
+            .filter(F.col("gen") == F.lit(gen))
+            .select("cand_id"),
+            "cand_id",
+            "left_anti",
         )
     assigned = nearest_centroids(
         vecs,
@@ -241,11 +269,11 @@ def _append_assigned(
             round_digits=None if enc_rd < 0 else enc_rd,
         )
         out = codes.join(assigned, "cand_id").select(
-            "cent_id", "cand_id", "pq_code"
+            "cent_id", "cand_id", "pq_code", F.lit(gen).alias("gen")
         )
     else:
         out = vecs.join(assigned, "cand_id").select(
-            "cent_id", "cand_id", "vec"
+            "cent_id", "cand_id", "vec", F.lit(gen).alias("gen")
         )
     # directory-per-centroid layout: probing nprobe lists then reads
     # exactly nprobe/n_centroids of the table's FILES (static pruning)
@@ -289,16 +317,44 @@ def ann_index_topk(
     cent_t, lists_t, _, _ = _tables(name)
     meta = _read_meta(spark, name)
     digits = meta["round_digits"]
+    # Generation binding (retrain-concurrency contract): read the
+    # centroid table's generation with its dim in ONE bounded job, fail
+    # loudly on a mid-swap mismatch, and pin the lists scan to that same
+    # generation. A read racing ann_index_retrain's table-by-table
+    # go-live then returns the consistent OLD answer, the consistent NEW
+    # answer, an empty result, or this error — never neighbors ranked
+    # under one generation's centroids against another generation's
+    # lists.
+    crow = (
+        spark.table(cent_t)
+        .select(
+            F.min("gen").alias("g0"),
+            F.max("gen").alias("g1"),
+            F.max(F.size("vec")).alias("d"),
+        )
+        .head()
+    )
+    if crow is None or crow.g0 != crow.g1 or crow.d != meta["dim"]:
+        raise ValueError(
+            f"ANN index {name!r}: centroid table is inconsistent with "
+            f"meta (generation {crow and (crow.g0, crow.g1)}, dim "
+            f"{crow and crow.d} vs meta dim {meta['dim']}) — a retrain "
+            f"is likely mid-commit; retry after it completes"
+        )
+    g_c = int(crow.g0)
+    cent = spark.table(cent_t).select("cent_id", "vec")
     if meta["kind"] == "pq":
         from astro_sdk_spark.functions.pq import ivfpq_scan_lists
 
-        lists = spark.table(lists_t).select(
-            F.col("cand_id").alias(id_col), "pq_code", "cent_id"
+        lists = (
+            spark.table(lists_t)
+            .filter(F.col("gen") == F.lit(g_c))
+            .select(F.col("cand_id").alias(id_col), "pq_code", "cent_id")
         )
         return ivfpq_scan_lists(
             queries.select(id_col, vec_col),
             lists,
-            spark.table(cent_t),
+            cent,
             _read_codebooks(spark, name, meta),
             nprobe=nprobe,
             k=k,
@@ -313,7 +369,7 @@ def ann_index_topk(
     )
     probes = nearest_centroids(
         qdf,
-        spark.table(cent_t),
+        cent,
         id_col="query_id",
         vec_col="_qvec",
         n=nprobe,
@@ -329,7 +385,9 @@ def ann_index_topk(
     probed_ids = sorted(
         {r.cent_id for r in probes.select("cent_id").distinct().collect()}
     )
-    lists = spark.table(lists_t).filter(F.col("cent_id").isin(probed_ids))
+    lists = spark.table(lists_t).filter(
+        F.col("cent_id").isin(probed_ids) & (F.col("gen") == F.lit(g_c))
+    )
     pairs = (
         probes.join(lists, "cent_id")
         .join(F.broadcast(qdf), "query_id")
@@ -526,10 +584,18 @@ def ann_index_retrain(
     trained on it) — refusing loudly beats silently re-encoding lossy
     reconstructions.
 
-    The rebuild happens under a staging name and goes live table-by-
+    The rebuild happens under a staging name (queries keep answering
+    from the live tables for its whole duration) and goes live table-by-
     table through the merge machinery's atomic swap (operators/swap.py —
-    partitioned staging gets its MSCK repair there), so queries against
-    the live index keep answering during the rebuild."""
+    partitioned staging gets its MSCK repair there) under a BUMPED
+    generation. Reads racing the short go-live window return the
+    consistent old answer, the consistent new answer, an empty result,
+    or a loud mid-commit error — never a cross-generation mix (see
+    ann_index_topk's generation binding). A stream_ann_index_ingest
+    stream wired BEFORE the retrain keeps appending under the old
+    generation: those rows are invisible to queries and don't block
+    re-adding the same ids — restart the stream (or let its maintenance
+    tick adopt the new meta) after retraining."""
     _check_name(name)
     meta = _read_meta(spark, name)
     lists_t = _tables(name)[1]
@@ -540,8 +606,16 @@ def ann_index_retrain(
                 f"not vectors, so retraining needs the original corpus — "
                 f"pass corpus= (and codebooks trained on it)"
             )
-        corpus = spark.table(lists_t).select(
-            F.col("cand_id").alias(id_col), F.col("vec").alias(vec_col)
+        # current generation only, one row per id: stale-generation rows
+        # (appended by a stream still holding pre-retrain meta) were
+        # assigned under a DIFFERENT quantizer and are invisible to
+        # queries; an id present in both generations must not enter the
+        # rebuild twice
+        corpus = (
+            spark.table(lists_t)
+            .filter(F.col("gen") == F.lit(int(meta.get("generation", 0))))
+            .select(F.col("cand_id").alias(id_col), F.col("vec").alias(vec_col))
+            .dropDuplicates([id_col])
         )
     if meta["kind"] == "pq" and codebooks is None:
         raise ValueError(
@@ -558,10 +632,23 @@ def ann_index_retrain(
         vec_col=vec_col,
         codebooks=codebooks,
         encode_round_digits=encode_round_digits,
+        _generation=int(meta.get("generation", 0)) + 1,
     )
     from astro_sdk_spark.operators.swap import swap_table
 
-    for st, tt in zip(_tables(staging), _tables(name)):
+    # Go-live order: lists first, then centroids, codebooks, meta last.
+    # Combined with the GENERATION binding in ann_index_topk (the lists
+    # scan is pinned to the generation of the centroids the read
+    # actually probed, codebooks to meta's), a read that lands anywhere
+    # inside this window gets the consistent old answer, the consistent
+    # new answer, an empty result, or a loud mid-commit error — the
+    # cross-generation silent-wrong read (new centroids ranked against
+    # old lists) is impossible by construction. Swapping lists/centroids
+    # adjacently keeps the empty-result window to the swap gap itself.
+    tables_s, tables_n = _tables(staging), _tables(name)
+    order = (1, 0, 3, 2)  # lists, centroids, codebooks, meta
+    for i in order:
+        st, tt = tables_s[i], tables_n[i]
         if spark.catalog.tableExists(st):
             swap_table(spark, st, tt)
         elif spark.catalog.tableExists(tt):

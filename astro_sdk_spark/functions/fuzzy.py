@@ -40,6 +40,59 @@ __all__ = ["edit_distance_join", "jaccard_join"]
 _PAD = "\x01"  # padding char; assumed absent from real text
 
 
+def _volume_partitions(
+    df_a: DataFrame,
+    df_b: DataFrame | None = None,
+    est_bytes_per_partition: int = 8 * 1024 * 1024,
+    cap: int = 4096,
+) -> int | None:
+    """Shuffle width for a set-similarity join's heavy exchanges,
+    proportional to the INPUT's Catalyst size estimate
+    (``optimizedPlan().stats().sizeInBytes()`` — file size for scans,
+    propagated through joins/projections; driver-side analysis only, no
+    job runs). A similarity join inflates its input ~30× in-flight: a
+    gram per exploded row carrying id + frequency + rank through the
+    per-doc prefix window, the prefix-gram join, and the pair-verify
+    join. The session's small-query ``spark.sql.shuffle.partitions``
+    under-splits exactly when the input is big: the per-task sort
+    footprint crosses execution memory and the heavy stages spill.
+
+    The constant is deliberately CONSERVATIVE — 8 MiB of estimated
+    input ≈ 256 MiB in-flight per partition, comfortably inside one
+    task's execution-memory share under the machine-proportional heap
+    (session._default_driver_mem) — because over-widening has its own
+    measured cliff: shuffle files fragment into maps × reducers
+    segments, and a 764-wide explicit repartition of a 2–4 GiB stage
+    turned this box's 30×-volume probe shuffle-WRITE-bound (all 32
+    threads in DiskBlockObjectWriter), slower than the spill it
+    replaced. Width is the remedy for exceeding memory, not a default.
+
+    Returns ``None`` — leave every plan node untouched, byte-identical
+    to the unscaled plan — when the session width already covers the
+    volume or no finite estimate is available. Only ever WIDENS: a
+    cluster session with a large ``spark.sql.shuffle.partitions`` keeps
+    its own floor, and the cap (a local-mode bound on tiny-task
+    overhead) never cuts below that floor.
+    """
+    try:
+        est = int(
+            df_a._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if df_b is not None:
+            est += int(
+                df_b._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+    except Exception:  # noqa: BLE001 - estimation is best-effort
+        return None
+    if est <= 0 or est >= (1 << 60):  # Catalyst's unknown-stats sentinel
+        return None
+    base = int(df_a.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    need = -(-est // est_bytes_per_partition)
+    if need <= base:
+        return None
+    return int(min(need, max(cap, base)))
+
+
 def _grams(col, q: int):
     """Padded q-grams of a string column (multiset, as an array)."""
     padded = F.concat(F.lit(_PAD * (q - 1)), col, F.lit(_PAD * (q - 1)))
@@ -131,9 +184,15 @@ def edit_distance_join(
     cand = (
         pa.join(pb, ["_g", "_k"]).filter(pair_guard).select("_ida", "_idb").distinct()
     )
+    # the rand() barrier keeps the levenshtein verify OUT of the join
+    # condition: Catalyst pushes a both-sides filter into the sort-merge
+    # join, where the expression evaluates per matched row in
+    # interpreted mode — above a nondeterministic project it stays a
+    # codegen'd filter on the same rows (see jaccard_join's verify note)
     verified = (
         cand.join(a, "_ida")
         .join(b, "_idb")
+        .withColumn("_bar", F.rand(11))
         .filter(F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
         .withColumn("_dist", F.levenshtein("_ta", "_tb"))
         .filter(F.col("_dist") <= max_dist)
@@ -244,6 +303,18 @@ def jaccard_join(
     # comparisons overflow-safe for any repr-length τ and corpus-sized n.
     tau = Fraction(str(threshold))
 
+    # Volume-proportional width for the heavy exchanges, sized from the
+    # RAW inputs (before the pre_dedup collapse — the explode/window/
+    # prefix-join volume tracks the live corpus). None on small inputs:
+    # every plan node below stays byte-identical to the unscaled plan,
+    # so callers at interactive scale pay nothing. This lives in the
+    # OPERATOR, not the caller's session conf: a user running a 30×
+    # corpus with session defaults must not hit a spill cliff.
+    n_parts = _volume_partitions(df_a, None if df_b is None else df_b)
+
+    def _widen(df, *cols):
+        return df.repartition(n_parts, *cols) if n_parts else df
+
     def _dec(c):
         return c.cast("decimal(38,0)")
 
@@ -287,32 +358,80 @@ def jaccard_join(
 
     exploded_a = a.select("_ida", "_na", F.explode("_sa").alias("_g"))
     # one consistent global order serves both sides: frequency from side
-    # A (the corpus side in an A×B join), unseen grams rank rarest at 0
-    freq = exploded_a.groupBy("_g").agg(F.count(F.lit(1)).alias("_f"))
+    # A (the corpus side in an A×B join), unseen grams rank rarest at 0.
+    # _widen(…, "_g") both sizes the aggregation's exchange AND satisfies
+    # its distribution requirement — one exchange, volume-proportional.
+    freq = _widen(exploded_a, "_g").groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_f")
+    )
 
     def prefixes(df, idc, nc):
         ex = df.select(idc, nc, F.explode(f"_s{idc[-1]}").alias("_g"))
         w = Window.partitionBy(idc).orderBy(F.asc("_f"), F.asc("_g"))
+        # the row_number window sorts every exploded gram within its doc
+        # partition — the widest sort in the plan; _widen(…, idc) both
+        # sizes it and satisfies the window's required distribution.
+        # _rk (the gram's rank in the doc's full frequency-ordered set)
+        # survives into the output: the candidate join's POSITIONAL
+        # filter needs it.
+        rkc = f"_rk{idc[-1]}"
         return (
-            ex.join(freq, "_g", "left")
-            .withColumn("_f", F.coalesce("_f", F.lit(0)))
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(_prefix_rank_ok(F.col("_rk"), F.col(nc)))
-            .select(idc, nc, "_g")
+            _widen(
+                ex.join(freq, "_g", "left").withColumn(
+                    "_f", F.coalesce("_f", F.lit(0))
+                ),
+                idc,
+            )
+            .withColumn(rkc, F.row_number().over(w))
+            .filter(_prefix_rank_ok(F.col(rkc), F.col(nc)))
+            .select(idc, nc, rkc, "_g")
         )
 
-    pa = track(prefixes(a, "_ida", "_na"))
+    # widened BY THE JOIN KEY before persist: the cached blocks are
+    # already hash-distributed on _g, so the candidate sort-merge join
+    # below (and its self-join mirror, which reuses this exchange) sorts
+    # volume-proportional partitions instead of session-default ones
+    pa = track(_widen(prefixes(a, "_ida", "_na"), "_g"))
     pb = (
         pa.select(
-            F.col("_ida").alias("_idb"), F.col("_na").alias("_nb"), "_g"
+            F.col("_ida").alias("_idb"),
+            F.col("_na").alias("_nb"),
+            F.col("_rka").alias("_rkb"),
+            "_g",
         )
         if self_join
-        else prefixes(b, "_idb", "_nb")
+        else _widen(prefixes(b, "_idb", "_nb"), "_g")
     )
 
+    # PPJoin POSITIONAL filter (Xiao et al. §3.2): a shared prefix gram
+    # at ranks (i, j) of the two frequency-ordered sets bounds the whole
+    # intersection — every shared gram sorts ≥ it, so
+    # ``inter ≤ 1 + min(|A|−i, |B|−j)``. The pair survives only if that
+    # bound reaches the equivalent-overlap threshold
+    # ``t = ⌈τ/(1+τ)·(|A|+|B|)⌉``. No false negatives: if truly
+    # J ≥ τ, the FIRST shared gram's ranks are minimal, its bound is
+    # ≥ the true intersection ≥ t, and that candidate row passes. The
+    # win is on FALSE positives — a random pair meeting on one rare gram
+    # deep in both prefixes bounds well under t and never reaches the
+    # verify join (measured at 30× bench volume: 9.28 M → far fewer
+    # array-carrying verify rows). Integer form: A ≥ ⌈p/q⌉ ⟺ A·q ≥ p,
+    # all DECIMAL(38) cross-multiplication like the filters above.
+    t_num = F.lit(tau.numerator)  # τ = num/den exactly
+    t_den = F.lit(tau.denominator)
+    ub = F.lit(1) + F.least(
+        F.col("_na") - F.col("_rka"), F.col("_nb") - F.col("_rkb")
+    )
+    # The rand() barrier column (dropped before output) keeps the
+    # DECIMAL size + positional tests OUT of the sort-merge join's
+    # condition: as join conditions they evaluate per raw gram-match row
+    # in interpreted mode (BigDecimal tree-walk — the measured hot spot
+    # of the candidate stage at volume); above a nondeterministic
+    # project they run inside whole-stage codegen on the same rows.
+    # ``pair_guard`` stays in the join — one primitive long compare.
     cand = (
         pa.join(pb, "_g")
         .filter(pair_guard)
+        .withColumn("_bar", F.rand(11))
         # rational size filter τ·|B| ≤ |A| ∧ τ·|A| ≤ |B|: num·n ≤ den·m in
         # exact integers — the double form wrongly rejected |B| = τ·|A|
         # boundary pairs when τ·n overshot in binary
@@ -322,13 +441,83 @@ def jaccard_join(
             & (_dec(F.col("_na")) * F.lit(tau.numerator)
                <= _dec(F.col("_nb")) * F.lit(tau.denominator))
         )
+        .filter(
+            _dec(ub) * (t_den + t_num)
+            >= t_num * _dec(F.col("_na") + F.col("_nb"))
+        )
         .select("_ida", "_idb")
+        .transform(lambda d: _widen(d, "_ida", "_idb"))
         .distinct()
     )
+    # ---- verify on INTEGER gram ids, not shingle strings -------------
+    # ``array_intersect`` over array<string> is the measured hot loop at
+    # volume: the interpreted eval builds a hash set of UTF8Strings per
+    # candidate row (30× bench corpus: all 32 executor threads sampled
+    # inside SQLOpenHashSet/UTF8String), and the pair-carrying
+    # intermediate drags ~40 B per shingle through two shuffles. Map
+    # each DISTINCT gram to a long id first — bijective, so the
+    # intersection COUNT is unchanged and the result stays exact — and
+    # intersect array<long> instead: primitive-specialized hashing, no
+    # string allocation, ~5× slimmer verify rows. Ids are assigned
+    # DISTRIBUTED (partition-id high bits | partition-local row_number —
+    # deterministic: hash partitioning on _g fixes the partition, the
+    # per-partition sort fixes the rank), never a single-partition
+    # global window.
+    universe = (
+        freq.select("_g")
+        if self_join
+        else freq.select("_g").unionByName(
+            b.select(F.explode("_sb").alias("_g"))
+        ).distinct()
+    )
+    gid = universe.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_gid",
+        F.col("_pid").cast("long") * F.lit(1 << 40)
+        + F.row_number().over(Window.partitionBy("_pid").orderBy("_g")),
+    ).select("_g", "_gid")
+    gid = track(_widen(gid, "_g"))
+
+    def id_arrays(ex, idc):
+        # rebuild each doc's gram set as array<long>; grouping on the
+        # doc id reuses _widen's volume-proportional width
+        return (
+            _widen(ex.join(gid, "_g"), idc)
+            .groupBy(idc)
+            .agg(F.collect_list("_gid").alias(f"_v{idc[-1]}"))
+        )
+
+    va = id_arrays(exploded_a, "_ida")
+    vb = (
+        va.select(F.col("_ida").alias("_idb"), F.col("_va").alias("_vb"))
+        if self_join
+        else id_arrays(
+            b.select("_idb", F.explode("_sb").alias("_g")), "_idb"
+        )
+    )
+    # The nondeterministic no-op guard around the intersect is
+    # LOAD-BEARING: the threshold filter below references both join
+    # sides, so Catalyst would otherwise push it INTO the sort-merge
+    # join as a join condition — where the expression tree (intersect +
+    # DECIMAL casts) evaluates in interpreted mode, once in the
+    # condition's each side and again in the project. Measured on 3.74 M
+    # candidate pairs × 52-element arrays: 1.9 s as a codegen'd project,
+    # minutes as a join condition. rand() ≥ -1 is always true and the
+    # WHEN never takes its null branch; it exists only to pin the
+    # intersect into THIS projection (filters cannot cross a
+    # nondeterministic project).
     verified = (
-        cand.join(a.select("_ida", "_sa", "_na"), "_ida")
-        .join(b.select("_idb", "_sb", "_nb"), "_idb")
-        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+        cand.join(_widen(va, "_ida"), "_ida")
+        .join(_widen(vb, "_idb"), "_idb")
+        # |set| survives the bijection: _na == size(_va) by construction
+        .withColumn("_na", F.size("_va"))
+        .withColumn("_nb", F.size("_vb"))
+        .withColumn(
+            "_inter",
+            F.when(
+                F.rand(7) >= F.lit(-1.0),
+                F.size(F.array_intersect("_va", "_vb")),
+            ),
+        )
         .withColumn(
             "_j",
             F.col("_inter")

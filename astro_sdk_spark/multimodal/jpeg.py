@@ -442,6 +442,19 @@ def _decode_prog_scan(blob, data_start, seg, comps, prog,
     ah_al = seg[3 + 2 * ns]
     ah, al = ah_al >> 4, ah_al & 0x0F
     reader = _BitReader(blob, data_start)
+    # validate table references up front so a corrupt scan header keeps
+    # the uniform corrupt-data contract (ValueError, never a raw
+    # KeyError from the dict lookup — multimodal.ops classifies decode
+    # failures by exception type)
+    for _ci, _td, _ta in members:
+        if ss == 0 and ah == 0 and _td not in dc_tabs:
+            raise ValueError(
+                f"jpeg: scan references undefined DC Huffman table {_td}"
+            )
+        if ss != 0 and _ta not in ac_tabs:
+            raise ValueError(
+                f"jpeg: scan references undefined AC Huffman table {_ta}"
+            )
     if ss == 0:  # DC scan (first or refinement)
         if se != 0:
             raise ValueError("jpeg: DC scan with Se != 0")

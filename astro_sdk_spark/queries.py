@@ -6939,9 +6939,6 @@ _TAIL_VARIANTS = [
     "q_dsir_weights",      # sampling/selection: q_domain_mix in-window
     "q_doc_chunks",        # sampling/example-prep: q_seq_packing in-window
                            # (same window-geometry family)
-    "q_quality_classifier",  # model scoring: q_lm_score in-window
-    "q_sq8_topk",          # ANN compression: q_embedding_topk
-                           # in-window (SQ completes flat/IVF/PQ/SQ)
     "q_contamination_score",  # cleaning: q_decontaminate
                               # in-window (graded variant of decontaminate)
     "q_unimax",            # sampling/mixture: q_domain_mix in-window
@@ -6956,14 +6953,8 @@ _TAIL_VARIANTS = [
                             # in-window (canonicalization pass)
     "q_outliers",          # data-quality: q_check_table
                            # in-window (robust-fence variant)
-    "q_funnel",            # events: q_events_tumbling, q_events_rollup
-                           # in-window (conversion-analytics variant)
-    "q_retention",         # events: q_events_tumbling in-window (cohort
-                           # retention triangle)
     "q_strip_html",        # cleaning: q_decontaminate
                            # in-window (HTML→text extraction pass)
-    "q_table_diff",        # data-quality: q_check_table
-                           # in-window (CDC snapshot-compare variant)
     "q_rolling",           # events: q_events_tumbling in-window
                            # (trailing-window feature variant)
     "q_anomaly",           # events: q_events_tumbling in-window
@@ -6978,8 +6969,6 @@ _TAIL_VARIANTS = [
                             # in-window (incremental-load freshness)
     "q_cms_counts",        # aggregation/sketches: q_pricing_summary,
                            # q_distinct_counts family in-window
-    "q_scd2_lookup",       # merge: q_merge_ignore, q_scd2_merge in-window (the
-                           # point-in-time read side of SCD2)
     "q_hard_negatives",    # ann: q_embedding_topk in-window
                            # (cross-label mining composition)
     "q_temperature_mix",   # sampling/mixture: q_train_split, q_domain_mix
@@ -7003,8 +6992,6 @@ _TAIL_VARIANTS = [
                            # batch mode of the same operator)
     "q_group_quantiles",   # aggregation/sketches: same family (grouped
                            # per-key variant of q_quantile_sketch)
-    "q_tpch_q18",          # joins: q_join_agg, q_tpch_q17 in-window
-                           # (large-volume-customer HAVING shape)
     "q_tpch_q14",          # joins: same family (promo-share conditional
                            # aggregation over a dim join)
     "q_tpch_q22",          # joins: same family (anti-join + global-average
@@ -7012,12 +6999,8 @@ _TAIL_VARIANTS = [
     "q_stream_group_quantiles",  # aggregation/sketches + streaming:
                            # q_quantile_sketch/q_group_quantiles family,
                            # maintained via the streaming sketch store
-    "q_tpch_q5",           # joins: q_join_agg, q_tpch_q7 in-window
-                           # (six-table local-supplier star join)
     "q_tpch_q4",           # joins: q_tpch_q21 in-window (correlated-EXISTS
                            # semi-join family; Q4 is the single-EXISTS form)
-    "q_tpch_q8",           # joins: q_tpch_q7 in-window (two-nation volume
-                           # family; Q8 is the share-ratio variant)
     "q_tpch_q6",           # scan-filter-project: q_filter_project in-window
                            # (pure pushdown + exact-sum scan query)
     #
@@ -7083,7 +7066,32 @@ _TAIL_VARIANTS = [
     # Round-11 addition: the persisted-index maintenance diagnostic
     # enters at the tail (ivf-pq family: q_ann_persist + q_annpq_persist
     # in-window run the same assignment machinery under the hash gate).
-    "q_ann_stats",
+    #
+    # Round-12 rotation: ten never-driver-verified queries rotate IN
+    # (q_ann_stats, q_sq8_topk, q_quality_classifier, q_scd2_lookup,
+    # q_table_diff, q_funnel, q_retention, q_tpch_q5, q_tpch_q8,
+    # q_tpch_q18 — removed from this list) and ten r2-r11 veterans
+    # rotate OUT, keeping every family represented in-window.
+    "q_merge_update",      # merge-append: q_merge_ignore, q_scd2_merge,
+                           # q_scd2_lookup in-window (verified r2-r11)
+    "q_cube",              # grouping-analytics: q_grouping_sets in-window
+                           # (driver-verified r2-r11)
+    "q_check_column",      # data-quality: q_check_table, q_table_diff
+                           # in-window (driver-verified r2-r11)
+    "q_embedding_topk",    # ann: q_sq8_topk in-window
+                           # (driver-verified r2-r11)
+    "q_fuzzy_join",        # joins: q_tpch_q2/q5/q7/q8/q9/q17/q18/q21
+                           # in-window (driver-verified r2-r11)
+    "q_seq_packing",       # sampling: q_domain_mix in-window
+                           # (driver-verified r2-r11)
+    "q_lm_score",          # tfidf-scoring: q_quality_classifier in-window
+                           # (driver-verified r2-r11)
+    "q_publish",           # ctas-operator: q_compact_roundtrip in-window
+                           # (driver-verified r2-r11)
+    "q_events_rollup",     # events-streaming: q_funnel, q_retention
+                           # in-window (driver-verified r2-r11)
+    "q_tpch_q13",          # joins: family in-window as above
+                           # (driver-verified r10-r11)
 ]
 
 

@@ -61,6 +61,30 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     sc._astro_sdk_pyfiles_added = True
 
 
+def _default_driver_mem() -> str:
+    """Heap for the local[*] JVM (driver == all executors in local
+    mode), sized to the MACHINE instead of Spark's 1g-era default:
+    ~35% of physical RAM, clamped to [8g, 64g]. An N-thread local
+    session divides execution memory across N concurrent tasks — a
+    fixed 8g on a 32-thread/128 GiB box gives each task ~90 MB before
+    sort spill, which is exactly where a wide similarity join's
+    array-carrying verify stage lands (measured: the same 30×-volume
+    jaccard_join leg GC/spill-thrashed at 8g and ran clean at
+    machine-proportional heap). Honors $SPARK_GRAFT_DRIVER_MEM; on a
+    real cluster this conf is inert for executors, which size via
+    spark.executor.memory."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as fh:
+            kb = int(fh.readline().split()[1])  # MemTotal first line
+        gb = max(8, min(64, int(kb / 1024 / 1024 * 0.35)))
+        return f"{gb}g"
+    except Exception:  # noqa: BLE001 - non-Linux / unreadable meminfo
+        return "8g"
+
+
 def get_session(
     app_name: str = "astro_sdk_spark",
     master: str | None = None,
@@ -129,7 +153,7 @@ def get_session(
         # compile is ~70% of a cold LSH-query run. Static conf: must be
         # set before the first session is created.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", _default_driver_mem())
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -322,6 +322,7 @@ def stream_ann_index_ingest(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trigger_once: bool = True,
+    compact_every_n_batches: int | None = None,
 ):
     """Maintain a persisted ANN index (functions/ann_index.py) over an
     unbounded vector stream: each micro-batch is assigned (and, for a PQ
@@ -334,21 +335,48 @@ def stream_ann_index_ingest(
     should improvise. Replay safety needs no run/batch watermark here —
     ``ann_index_add``'s id-dedupe anti-join makes a replayed batch a
     no-op (same contract the test pins), which is the right idempotence
-    key for an index: identity is the vector id, not the batch."""
-    from astro_sdk_spark.functions.ann_index import _append_assigned, _read_meta
+    key for an index: identity is the vector id, not the batch.
+
+    ``compact_every_n_batches`` closes the maintenance lifecycle from
+    inside the loop: every N batches the fragmented lists are rewritten
+    (ann_index_compact — one bounded stats scan + per-partition atomic
+    INSERT OVERWRITE), so an unbounded run keeps files-per-list bounded
+    without an operator ever calling compact by hand. The same tick
+    RE-READS meta: if the index was retrained mid-stream (generation
+    bump), the stream adopts the new quantizer from the next batch on.
+    Batches appended between a retrain and the next tick carry the old
+    generation — queries never see them (ann_index_topk's generation
+    binding) and their ids stay re-addable under the live generation;
+    restart the stream (or re-add those ids) for exact coverage.
+    Without the knob, meta is read ONCE at wiring time and a retrain
+    mid-stream leaves later batches invisible the same way — restart
+    the stream after retraining."""
+    from astro_sdk_spark.functions.ann_index import (
+        _append_assigned,
+        _read_meta,
+        ann_index_compact,
+    )
 
     spark = stream.sparkSession
     # read meta ONCE at wiring time (fail here, not mid-stream) and close
     # over it: per micro-batch the only Spark work is the dedupe
     # anti-join + assign + append — no meta re-read, no separate
     # dim-check action (the geometry guard rides inside the assignment
-    # job, see _append_assigned)
-    meta = _read_meta(spark, index_name)
+    # job, see _append_assigned). The maintenance tick below is the
+    # scheduled exception.
+    state = {"meta": _read_meta(spark, index_name)}
 
     def add_batch(batch_df: DataFrame, batch_id: int) -> None:
+        every = compact_every_n_batches
+        if every and batch_id > 0 and batch_id % every == 0:
+            # maintenance tick: bounded (one stats scan + only the
+            # fragmented lists rewritten), and the cheapest moment to
+            # notice a retrain — adopt the live meta before assigning
+            state["meta"] = _read_meta(batch_df.sparkSession, index_name)
+            ann_index_compact(batch_df.sparkSession, index_name)
         _append_assigned(
             batch_df.sparkSession, batch_df, index_name,
-            id_col, vec_col, meta=meta,
+            id_col, vec_col, meta=state["meta"],
         )
 
     writer = stream.writeStream.option(

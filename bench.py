@@ -554,7 +554,12 @@ def _scale_probe_stage(spark, sf_dir: str, factor: int, only=None) -> dict:
     conf_key = "spark.sql.shuffle.partitions"
     base_parts = int(spark.conf.get(conf_key))
     scaled_parts = min(4096, base_parts * factor)
-    prev_initial = spark.conf.get(conf_key, None)
+    prev_parts = spark.conf.get(conf_key, None)
+    # Ops that size their own heavy exchanges from the input's Catalyst
+    # estimate (fuzzy._volume_partitions) run BOTH legs at session
+    # defaults — the probe then measures what a caller with an untouched
+    # session gets, which is the claim that matters.
+    self_sizing = {"jaccard_join"}
 
     out: dict = {}
     for op_name, (mk, op) in probes.items():
@@ -569,7 +574,12 @@ def _scale_probe_stage(spark, sf_dir: str, factor: int, only=None) -> dict:
                     release_intermediates()
                     sweep_persistent_rdds(spark)
                 spark.conf.set(
-                    conf_key, str(base_parts if n == 1 else scaled_parts)
+                    conf_key,
+                    str(
+                        base_parts
+                        if (n == 1 or op_name in self_sizing)
+                        else scaled_parts
+                    ),
                 )
                 t0 = time.perf_counter()
                 op(mk(n)).count()
@@ -581,16 +591,20 @@ def _scale_probe_stage(spark, sf_dir: str, factor: int, only=None) -> dict:
                 )
                 entry[label] = -1.0
             finally:
-                if prev_initial is None:
+                if prev_parts is None:
                     spark.conf.unset(conf_key)
                 else:
-                    spark.conf.set(conf_key, prev_initial)
+                    spark.conf.set(conf_key, prev_parts)
             spark.catalog.clearCache()
             release_intermediates()
             sweep_persistent_rdds(spark)
         if entry.get("x1", 0) > 0 and entry.get(f"x{factor}", 0) > 0:
             entry["ratio"] = round(entry[f"x{factor}"] / entry["x1"], 2)
-        entry["scaled_initial_partitions"] = scaled_parts
+        # this key names the knob actually set (spark.sql.shuffle.
+        # partitions); ops in self_sizing ran at session defaults
+        entry["scaled_shuffle_partitions"] = (
+            base_parts if op_name in self_sizing else scaled_parts
+        )
         out[op_name] = entry
     return out
 

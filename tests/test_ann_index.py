@@ -117,7 +117,7 @@ def test_pq_lists_store_codes_not_vectors(spark, emb, idx):
     build_ann_index(spark, emb, idx, emb.filter(F.col("vec_id") < 16),
                     codebooks=_codebooks_from(emb))
     lists = spark.table(f"{idx}__lists")
-    assert set(lists.columns) == {"cent_id", "cand_id", "pq_code"}
+    assert set(lists.columns) == {"cent_id", "cand_id", "pq_code", "gen"}
     row = lists.head()
     assert len(row.pq_code) == 4  # m subspace codes — bytes, not floats
     meta = spark.table(f"{idx}__meta").head()
@@ -359,3 +359,85 @@ def test_stream_batch_path_job_count_is_bounded(spark, emb, idx):
         sc.setLocalProperty("spark.jobGroup.id", None)
     jobs = sc.statusTracker().getJobIdsForGroup("ann_batch_add")
     assert 1 <= len(jobs) <= 6, f"per-batch job count crept up: {jobs}"
+
+
+def test_retrain_bumps_generation_and_hides_stale_appends(spark, emb, idx):
+    """Retrain-under-stream contract (documented in ann_index_retrain /
+    stream_ann_index_ingest): a writer still holding PRE-retrain meta
+    appends rows stamped with the old generation — queries bound to the
+    live generation never see them, and the same ids remain addable
+    under the live quantizer (generation-scoped dedupe)."""
+    from astro_sdk_spark.functions.ann_index import (
+        _append_assigned,
+        _read_meta,
+        ann_index_retrain,
+    )
+
+    old_cents = emb.filter(F.col("vec_id") < 8)
+    new_cents = emb.filter(F.col("vec_id").between(16, 31))
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    late = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 200))
+    build_ann_index(spark, base, idx, old_cents)
+    stale_meta = _read_meta(spark, idx)  # a stream's wiring-time closure
+    ann_index_retrain(spark, idx, new_cents)
+    assert _read_meta(spark, idx)["generation"] == stale_meta["generation"] + 1
+
+    # stale writer appends under the old generation: invisible to reads
+    _append_assigned(spark, late, idx, "vec_id", "embedding", meta=stale_meta)
+    got = _rows(
+        ann_index_topk(spark, emb.filter(F.col("vec_id") < 8), idx,
+                       nprobe=4, k=10)
+    )
+    want = _rows(
+        ivf_topk(emb.filter(F.col("vec_id") < 8), base,
+                 centroids=new_cents, nprobe=4, k=10)
+    )
+    assert got == want, "stale-generation rows leaked into a live read"
+
+    # ...and do not block re-adding the same ids under the live quantizer
+    ann_index_add(spark, late, idx)
+    got2 = _rows(
+        ann_index_topk(spark, emb.filter(F.col("vec_id") < 8), idx,
+                       nprobe=4, k=10)
+    )
+    want2 = _rows(
+        ivf_topk(emb.filter(F.col("vec_id") < 8), base.unionByName(late),
+                 centroids=new_cents, nprobe=4, k=10)
+    )
+    assert got2 == want2
+
+
+def test_stream_ingest_auto_compacts(spark, emb, idx, tmp_path):
+    """compact_every_n_batches closes the maintenance lifecycle from
+    inside the stream loop: an N-batch run ends with bounded files per
+    list WITHOUT any manual compact call, and answers byte-identical to
+    the one-shot build."""
+    from astro_sdk_spark.functions.ann_index import ann_index_stats
+    from astro_sdk_spark.streaming.ops import stream_ann_index_ingest
+    from astro_sdk_spark.streaming.testing import stage_microbatch_files
+
+    cents = emb.filter(F.col("vec_id") < 16)
+    build_ann_index(spark, emb.filter(F.col("vec_id") < 0), idx, cents)  # empty
+    batches = [emb.filter(F.col("vec_id") % 4 == m) for m in range(4)]
+    d = stage_microbatch_files(batches, str(tmp_path / "ann_stream_ac"))
+    schema = spark.read.parquet(d).schema
+    q = stream_ann_index_ingest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d),
+        idx, str(tmp_path / "ck_ann_ac"),
+        compact_every_n_batches=2,
+    )
+    assert q.awaitTermination(240)
+    assert q.exception() is None
+    # 4 appends would leave ≥4 files on every touched list; the in-loop
+    # ticks (after batches 2 — covering 0,1 — and the final state) must
+    # keep the max bounded below that
+    stats = ann_index_stats(spark, idx).collect()
+    assert max(r.files for r in stats) < 4, [
+        (r.cent_id, r.files) for r in stats
+    ]
+    got = ann_index_topk(spark, emb.filter(F.col("vec_id") < 8), idx,
+                         nprobe=4, k=10)
+    want = ivf_topk(
+        emb.filter(F.col("vec_id") < 8), emb, centroids=cents, nprobe=4, k=10
+    )
+    assert _rows(got) == _rows(want)

@@ -336,6 +336,47 @@ def test_jpeg_progressive_corrupt_blobs_fail_loudly():
         decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
 
 
+def test_jpeg_progressive_undefined_huffman_table_is_valueerror():
+    """A scan header naming a Huffman table that no DHT defined must
+    surface as ValueError (the uniform corrupt-data contract
+    multimodal.ops classifies on), not a raw KeyError from the table
+    dict lookup."""
+    import numpy as np
+    import pytest
+
+    from astro_sdk_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    blob = bytearray(encode_jpeg_progressive(img, 85))
+    # locate every SOS; classify DC vs AC by its Ss byte
+    sos = [
+        i
+        for i in range(len(blob) - 1)
+        if blob[i] == 0xFF and blob[i + 1] == 0xDA
+    ]
+    assert sos, "encoder emitted no SOS"
+
+    def scan_info(i):
+        ns = blob[i + 4]
+        ss = blob[i + 5 + 2 * ns]
+        return ns, ss
+
+    dc = next(i for i in sos if scan_info(i)[1] == 0)
+    ac = next(i for i in sos if scan_info(i)[1] != 0)
+    for off, nibble, msg in (
+        (dc, 0x70, "undefined DC Huffman table"),
+        (ac, 0x07, "undefined AC Huffman table"),
+    ):
+        bad = bytearray(blob)
+        bad[off + 6] |= nibble  # first component's Td/Ta byte
+        with pytest.raises(ValueError, match=msg):
+            decode_jpeg(bytes(bad))
+
+
 def test_jpeg_arithmetic_still_gated():
     import struct
 
