@@ -1,11 +1,13 @@
 """Real, dependency-free media codecs (stdlib + numpy only).
 
 The container has no Pillow/librosa/av, but PNG, uncompressed BMP, WAV,
-and baseline JPEG (``multimodal.jpeg`` — a pure-numpy T.81 codec) are
-fully decodable with ``zlib``/``struct``/``wave`` + numpy — so the
-decode/resize stages in ``multimodal.ops`` are REAL for these formats;
-only codecs that require external libraries (WebP, arithmetic JPEG, MP3,
-H.264, …) remain env-gated behind NotImplementedError.
+baseline+progressive JPEG (``multimodal.jpeg`` — a pure-numpy T.81
+codec), GIF, and lossless WebP (``multimodal.vp8l`` — a pure-python
+VP8L codec) are fully decodable with ``zlib``/``struct``/``wave`` +
+numpy — so the decode/resize stages in ``multimodal.ops`` are REAL for
+these formats; only codecs that require external libraries (lossy-VP8
+WebP, arithmetic JPEG, MP3, H.264, …) remain env-gated behind
+NotImplementedError.
 
 Throughput note: these codecs favor clarity over speed (the PNG unfilter
 walks filtered rows byte-wise); at production scale swap the per-blob
@@ -177,6 +179,8 @@ def sniff_image(blob: bytes) -> str | None:
         return "jpeg"
     if blob[:4] == b"GIF8":
         return "gif"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -185,6 +189,15 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     codec: baseline SOF0/1 AND progressive SOF2 — arithmetic/lossless
     raise NotImplementedError)."""
     from astro_sdk_spark.multimodal.jpeg import decode_jpeg as _dec
+
+    return _dec(blob)
+
+
+def decode_webp(blob: bytes) -> np.ndarray:
+    """WebP → (H, W, 3|4) uint8; see ``multimodal.vp8l`` (pure-python
+    lossless VP8L codec — lossy VP8 and animation raise
+    NotImplementedError)."""
+    from astro_sdk_spark.multimodal.vp8l import decode_webp as _dec
 
     return _dec(blob)
 

@@ -112,10 +112,12 @@ def _decode_image_array(blob: bytes):
         return codecs.decode_jpeg(blob)
     if fmt == "gif":
         return codecs.decode_gif(blob)
+    if fmt == "webp":
+        return codecs.decode_webp(blob)
     raise NotImplementedError(
-        "built-in codecs decode PNG/BMP/GIF/JPEG (baseline+progressive) "
-        "only; WebP needs Pillow (absent in this env) "
-        "— pass a non-'error' on_unsupported to proceed"
+        "built-in codecs decode PNG/BMP/GIF/JPEG (baseline+progressive)/"
+        "WebP (lossless VP8L) only; lossy-VP8 WebP needs Pillow (absent "
+        "in this env) — pass a non-'error' on_unsupported to proceed"
     )
 
 

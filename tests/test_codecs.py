@@ -613,3 +613,141 @@ def test_jpeg_multi_scan_gated():
     blob[i + 2:i + 2 + seglen] = struct.pack(">H", len(new_payload) + 2) + new_payload
     with pytest.raises(NotImplementedError, match="multi-scan"):
         decode_jpeg(bytes(blob))
+
+
+# ------------------------------------------------------------------- webp
+
+
+def _rt_webp(img, **kw):
+    import numpy as np
+
+    from astro_sdk_spark.multimodal.vp8l import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    out = decode_webp(encode_webp_lossless(img, **kw))
+    assert out.shape == img.shape
+    assert (out == img).all()
+
+
+def test_webp_lossless_roundtrip_literals_cache_lz77_transforms():
+    """VP8L round-trips byte-exact through every encoder-reachable
+    bitstream feature: plain literals, color cache, distance-1 LZ77
+    copies, the subtract-green transform, and their combination."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (23, 31, 3)).astype(np.uint8)
+    for kw in (
+        {},
+        {"cache_bits": 6},
+        {"rle": True},
+        {"subtract_green": True},
+        {"cache_bits": 4, "rle": True, "subtract_green": True},
+    ):
+        _rt_webp(img, **kw)
+    # alpha channel survives and sets the header hint
+    img4 = rng.integers(0, 256, (9, 17, 4)).astype(np.uint8)
+    _rt_webp(img4, cache_bits=5, rle=True)
+
+
+def test_webp_lossless_lz77_and_cache_paths_actually_fire():
+    """The flag variants must EXERCISE their decode paths, not just
+    produce valid streams: a runs-heavy image compresses through the
+    backward-reference path, a few-colors image through the cache."""
+    import numpy as np
+
+    from astro_sdk_spark.multimodal.vp8l import (
+        _join,
+        _tokenize,
+        encode_webp_lossless,
+    )
+
+    img = np.zeros((16, 64, 3), np.uint8)
+    img[:, 20:40] = [5, 9, 250]
+    img[8:, :] = [1, 2, 3]
+    pix = [
+        _join(255, int(img[y, x, 0]), int(img[y, x, 1]), int(img[y, x, 2]))
+        for y in range(16)
+        for x in range(64)
+    ]
+    toks, _ = _tokenize(pix, 0, True)
+    assert any(t[0] == "copy" for t in toks)
+    assert len(encode_webp_lossless(img, rle=True)) < len(
+        encode_webp_lossless(img)
+    )
+    _rt_webp(img, rle=True)
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    imgc = pal[rng.integers(0, 8, (32, 32))]
+    pixc = [
+        _join(255, int(p[0]), int(p[1]), int(p[2]))
+        for row in imgc
+        for p in row
+    ]
+    toks, _ = _tokenize(pixc, 7, False)
+    assert sum(1 for t in toks if t[0] == "cache") > len(toks) // 2
+    _rt_webp(imgc, cache_bits=7)
+
+
+def test_webp_lossless_palette_roundtrip_packed_and_unpacked():
+    """Color-indexing transform: ≤16 colors packs several indices per
+    green byte (the width-reduction path); >16 colors stays unpacked."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    pal3 = np.array([[10, 20, 30], [200, 100, 0], [0, 0, 0]], np.uint8)
+    _rt_webp(pal3[rng.integers(0, 3, (13, 29))], use_palette=True)
+    pal2 = np.array([[255, 255, 255], [0, 0, 0]], np.uint8)  # 8 px/byte
+    _rt_webp(pal2[rng.integers(0, 2, (7, 19))], use_palette=True)
+    big = rng.integers(0, 256, (200, 3)).astype(np.uint8)
+    _rt_webp(big[rng.integers(0, 200, (11, 13))], use_palette=True)
+
+
+def test_webp_lossy_and_corrupt_stay_gated():
+    """Lossy VP8 payloads raise NotImplementedError (env gate — needs
+    Pillow/libwebp); corrupt containers/bitstreams raise ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from astro_sdk_spark.multimodal.vp8l import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    lossy = b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    riff = b"WEBP" + lossy
+    blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_webp(blob)
+
+    with pytest.raises(ValueError):
+        decode_webp(b"RIFF\x00\x00\x00\x00WEBPJUNK")
+    good = encode_webp_lossless(
+        np.arange(96, dtype=np.uint8).reshape(4, 8, 3)
+    )
+    with pytest.raises((ValueError, IndexError)):
+        decode_webp(good[: len(good) // 2])
+
+
+def test_webp_sniff_and_batch_decode(spark, tmp_path):
+    """The .webp extension flows through media_table_from_files /
+    decode_image_batch like the other built-in codecs."""
+    import numpy as np
+
+    from astro_sdk_spark.multimodal.ops import (
+        decode_image_batch,
+        media_table_from_files,
+    )
+    from astro_sdk_spark.multimodal.vp8l import encode_webp_lossless
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (24, 36, 3)).astype(np.uint8)
+    (tmp_path / "x.webp").write_bytes(encode_webp_lossless(img, rle=True))
+    mt = media_table_from_files(spark, str(tmp_path) + "/*.webp")
+    row = decode_image_batch(mt).collect()[0]
+    assert (row.width, row.height, row.channels) == (36, 24, 3)
