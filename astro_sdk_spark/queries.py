@@ -3712,7 +3712,9 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROLLUP_ORACLE = """
     SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
-           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+           event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS total_value
     FROM events GROUP BY 1, 2
 """
 
@@ -3734,9 +3736,14 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         mid = None
     else:
         mid = lo + (hi - lo) / 2
+    # the cents device (events.value is a 2-decimal quantity): integer
+    # window sums are accumulation-order-free, closing the last
+    # round(sum(double)) money-sum site in the registry
     aggs = {
         "n": lambda: F.count(F.lit(1)),
-        "total_value": lambda: F.round(F.sum("value"), 2),
+        "total_value": lambda: (
+            _dsum(_cents("value")).cast("double") / 100
+        ),
     }
 
     def ca(source):

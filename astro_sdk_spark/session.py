@@ -122,17 +122,19 @@ def get_session(
         # deliberately NOT raised by default: measured on the 144-query
         # suite, 1024 initial partitions cost +65% wall (128.6s →
         # 213.1s; 256 → +22%) in per-shuffle map-output overhead that
-        # tiny queries never earn back. But on a BIG shuffle it is the
-        # difference between spilling and not: 30×-volume jaccard_join
-        # fell 208s → 35s (super-linear 76× → SUB-linear 26×) once the
-        # per-partition sort footprint stopped crossing the heap. Set it
-        # per workload: SPARK_GRAFT_INITIAL_PARTITIONS at session
-        # creation, or at runtime around a heavy stage via
-        # spark.conf.set("spark.sql.adaptive.coalescePartitions.
-        # initialPartitionNum", ...) — it is a runtime SQL conf (the
-        # bench's scale-probe stage does exactly this). At cluster
-        # scale the same rule applies: initial partitions track input
-        # volume; AQE coalesces the small stages for free.
+        # tiny queries never earn back. CORRECTION (round 12): an
+        # earlier comment here claimed partition widening took
+        # 30×-volume jaccard_join 208s → 35s; that A/B did not
+        # reproduce on an idle host at ANY width — the real fixes were
+        # keeping filters out of sort-merge-join conditions and integer
+        # gram ids (functions/fuzzy.py), plus the machine-proportional
+        # heap below. Width helps only when a stage exceeds per-task
+        # execution memory, and OVER-widening is its own measured cliff
+        # (maps × reducers shuffle-file segments). Set it per workload:
+        # SPARK_GRAFT_INITIAL_PARTITIONS at session creation, or at
+        # runtime around a heavy stage — it is a runtime SQL conf. At
+        # cluster scale: initial partitions track input volume; AQE
+        # coalesces the small stages for free.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             os.environ.get(
