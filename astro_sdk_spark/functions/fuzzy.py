@@ -184,17 +184,24 @@ def edit_distance_join(
     cand = (
         pa.join(pb, ["_g", "_k"]).filter(pair_guard).select("_ida", "_idb").distinct()
     )
-    # the rand() barrier keeps the levenshtein verify OUT of the join
-    # condition: Catalyst pushes a both-sides filter into the sort-merge
-    # join, where the expression evaluates per matched row in
-    # interpreted mode — above a nondeterministic project it stays a
-    # codegen'd filter on the same rows (see jaccard_join's verify note)
+    # the nondeterministic guard keeps the levenshtein verify OUT of the
+    # join condition: Catalyst pushes a both-sides filter into the
+    # sort-merge join, where the expression evaluates per matched row in
+    # interpreted mode — referencing the guarded projection instead
+    # keeps it a codegen'd filter on the same rows (see jaccard_join's
+    # verify note for why rand()/unused-column barriers don't survive
+    # the optimizer)
     verified = (
         cand.join(a, "_ida")
         .join(b, "_idb")
-        .withColumn("_bar", F.rand(11))
         .filter(F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
-        .withColumn("_dist", F.levenshtein("_ta", "_tb"))
+        .withColumn(
+            "_dist",
+            F.when(
+                F.monotonically_increasing_id() >= F.lit(0),
+                F.levenshtein("_ta", "_tb"),
+            ),
+        )
         .filter(F.col("_dist") <= max_dist)
     )
 
@@ -418,32 +425,42 @@ def jaccard_join(
     # all DECIMAL(38) cross-multiplication like the filters above.
     t_num = F.lit(tau.numerator)  # τ = num/den exactly
     t_den = F.lit(tau.denominator)
+    # Pushdown barrier: ``_nag`` is |A| routed through a projection with
+    # a nondeterministic no-op guard. Every filter below references it,
+    # so Catalyst cannot push them past the projection INTO the
+    # sort-merge join's condition — where they would evaluate per raw
+    # gram-match row in interpreted mode (BigDecimal tree-walk, the
+    # measured hot spot of the candidate stage at volume). Above the
+    # barrier they run inside whole-stage codegen on the same rows.
+    # The guard must be ``monotonically_increasing_id() ≥ 0``
+    # specifically: rand()-based always-true comparisons get
+    # range-FOLDED by the optimizer, and an unused nondeterministic
+    # column gets column-PRUNED — both measured to silently re-enable
+    # the pushdown. ``pair_guard`` stays in the join — one primitive
+    # long compare.
+    def _nd_guard(col):
+        return F.when(F.monotonically_increasing_id() >= F.lit(0), col)
+
+    nag = F.col("_nag")
     ub = F.lit(1) + F.least(
-        F.col("_na") - F.col("_rka"), F.col("_nb") - F.col("_rkb")
+        nag - F.col("_rka"), F.col("_nb") - F.col("_rkb")
     )
-    # The rand() barrier column (dropped before output) keeps the
-    # DECIMAL size + positional tests OUT of the sort-merge join's
-    # condition: as join conditions they evaluate per raw gram-match row
-    # in interpreted mode (BigDecimal tree-walk — the measured hot spot
-    # of the candidate stage at volume); above a nondeterministic
-    # project they run inside whole-stage codegen on the same rows.
-    # ``pair_guard`` stays in the join — one primitive long compare.
     cand = (
         pa.join(pb, "_g")
         .filter(pair_guard)
-        .withColumn("_bar", F.rand(11))
+        .withColumn("_nag", _nd_guard(F.col("_na")))
         # rational size filter τ·|B| ≤ |A| ∧ τ·|A| ≤ |B|: num·n ≤ den·m in
         # exact integers — the double form wrongly rejected |B| = τ·|A|
         # boundary pairs when τ·n overshot in binary
         .filter(
             (_dec(F.col("_nb")) * F.lit(tau.numerator)
-             <= _dec(F.col("_na")) * F.lit(tau.denominator))
-            & (_dec(F.col("_na")) * F.lit(tau.numerator)
+             <= _dec(nag) * F.lit(tau.denominator))
+            & (_dec(nag) * F.lit(tau.numerator)
                <= _dec(F.col("_nb")) * F.lit(tau.denominator))
         )
         .filter(
             _dec(ub) * (t_den + t_num)
-            >= t_num * _dec(F.col("_na") + F.col("_nb"))
+            >= t_num * _dec(nag + F.col("_nb"))
         )
         .select("_ida", "_idb")
         .transform(lambda d: _widen(d, "_ida", "_idb"))
@@ -501,10 +518,11 @@ def jaccard_join(
     # DECIMAL casts) evaluates in interpreted mode, once in the
     # condition's each side and again in the project. Measured on 3.74 M
     # candidate pairs × 52-element arrays: 1.9 s as a codegen'd project,
-    # minutes as a join condition. rand() ≥ -1 is always true and the
-    # WHEN never takes its null branch; it exists only to pin the
-    # intersect into THIS projection (filters cannot cross a
-    # nondeterministic project).
+    # minutes as a join condition. The always-true
+    # ``monotonically_increasing_id() ≥ 0`` pins the intersect into THIS
+    # projection (filters cannot cross a nondeterministic project);
+    # rand()-based guards do NOT work — the optimizer folds their
+    # always-true comparisons away (measured, see the candidate stage).
     verified = (
         cand.join(_widen(va, "_ida"), "_ida")
         .join(_widen(vb, "_idb"), "_idb")
@@ -513,10 +531,7 @@ def jaccard_join(
         .withColumn("_nb", F.size("_vb"))
         .withColumn(
             "_inter",
-            F.when(
-                F.rand(7) >= F.lit(-1.0),
-                F.size(F.array_intersect("_va", "_vb")),
-            ),
+            _nd_guard(F.size(F.array_intersect("_va", "_vb"))),
         )
         .withColumn(
             "_j",
