@@ -201,8 +201,38 @@ def main() -> None:
     # uncapped design exhibits. Timings are reported under their own
     # "skew" key and excluded from the headline total. Opt out with
     # SPARK_GRAFT_BENCH_SKEW=0.
+    def _stage_gc() -> None:
+        """Session hygiene between measurement stages: the scale probes
+        push GiBs through the old generation, and a later stage measured
+        in that session state reads 3–10× slow (the round-12 ann_split
+        42.5 s vs 10 s isolated). A full GC between stages makes each
+        stage's numbers its own."""
+        try:
+            spark._jvm.System.gc()
+        except Exception:  # noqa: BLE001 - hygiene, never fail the bench
+            pass
+
+    # Persisted-ANN build vs probe split — deliberately measured BEFORE
+    # the skew/scale stages: serving latency is the number that matters,
+    # and it must not be taken in a probe-trashed session (see _stage_gc).
+    # q_ann_persist / q_annpq_persist rebuild their index INSIDE the
+    # timed query (the correctness gate wants the full incremental-build
+    # lifecycle), so the headline number is build-dominated and a probe
+    # regression would hide behind build noise; this stage reports the
+    # two phases separately: "build" = the full two-batch ingest,
+    # "probe" = ann_index_topk against the already-persisted index
+    # (min-of-reps, like the queries). Opt out with SPARK_GRAFT_BENCH_ANN=0.
+    ann_split: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_ANN", "1") != "0":
+        try:
+            _stage_gc()
+            ann_split = _ann_split_stage(spark, sf_dir, reps)
+        except Exception as e:  # noqa: BLE001 - split stage is best-effort
+            print(f"# bench ann-split stage error: {e}", file=sys.stderr)
+
     skew: dict = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SKEW", "1") != "0":
+        _stage_gc()
         try:
             from pyspark.sql import functions as SF
 
@@ -277,6 +307,7 @@ def main() -> None:
     factor = max(2, int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10")))
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
         try:
+            _stage_gc()
             scale_probe = _scale_probe_stage(spark, sf_dir, factor)
         except Exception as e:  # noqa: BLE001 - probe stage is best-effort
             print(f"# bench scale-probe stage error: {e}", file=sys.stderr)
@@ -301,8 +332,10 @@ def main() -> None:
         and os.environ.get("SPARK_GRAFT_BENCH_SCALE30", "1") != "0"
     ):
         try:
+            _stage_gc()
             probe30 = _scale_probe_stage(
-                spark, sf_dir, factor30, only=("pagerank", "jaccard_join")
+                spark, sf_dir, factor30, only=("pagerank", "jaccard_join"),
+                min_of=2,
             )
             r30 = [v["ratio"] for v in probe30.values() if "ratio" in v]
             scale_out["scale_probe_30x"] = probe30
@@ -311,21 +344,6 @@ def main() -> None:
                 scale_out["scale_probe_30x_max_ratio"] = max(r30)
         except Exception as e:  # noqa: BLE001 - probe stage is best-effort
             print(f"# bench 30x scale-probe stage error: {e}", file=sys.stderr)
-
-    # Persisted-ANN build vs probe split: q_ann_persist / q_annpq_persist
-    # rebuild their index INSIDE the timed query (the correctness gate
-    # wants the full incremental-build lifecycle), so the headline number
-    # is build-dominated and a probe regression would hide behind build
-    # noise. Report the two phases separately: "build" = the full
-    # two-batch ingest (build + incremental add), "probe" = ann_index_topk
-    # against the already-persisted index (min-of-reps, like the queries).
-    # Opt out with SPARK_GRAFT_BENCH_ANN=0.
-    ann_split: dict = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_ANN", "1") != "0":
-        try:
-            ann_split = _ann_split_stage(spark, sf_dir, reps)
-        except Exception as e:  # noqa: BLE001 - split stage is best-effort
-            print(f"# bench ann-split stage error: {e}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -410,9 +428,14 @@ def _ann_split_stage(spark, sf_dir: str, reps: int) -> dict:
     return out
 
 
-def _scale_probe_stage(spark, sf_dir: str, factor: int, only=None) -> dict:
+def _scale_probe_stage(
+    spark, sf_dir: str, factor: int, only=None, min_of: int = 1
+) -> dict:
     """Time each heavy-family op at 1× and factor× volume; see main().
-    ``only`` restricts to a subset of op names (the 30× deep probe)."""
+    ``only`` restricts to a subset of op names (the 30× deep probe);
+    ``min_of`` repeats each leg and keeps the minimum — the same upward-
+    noise policy the query timings use, applied where a single slow leg
+    would misreport the scaling ratio by 2×."""
     from pyspark.sql import functions as SF
 
     from astro_sdk_spark.functions.cleaning import line_dedup
@@ -581,9 +604,16 @@ def _scale_probe_stage(spark, sf_dir: str, factor: int, only=None) -> dict:
                         else scaled_parts
                     ),
                 )
-                t0 = time.perf_counter()
-                op(mk(n)).count()
-                entry[label] = round(time.perf_counter() - t0, 3)
+                best = None
+                for _ in range(max(1, min_of)):
+                    t0 = time.perf_counter()
+                    op(mk(n)).count()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                    spark.catalog.clearCache()
+                    release_intermediates()
+                    sweep_persistent_rdds(spark)
+                entry[label] = round(best, 3)
             except Exception as e:  # noqa: BLE001
                 print(
                     f"# bench scale-probe error in {op_name}/{label}: {e}",
