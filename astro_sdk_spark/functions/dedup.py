@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from astro_sdk_spark.functions._cache import track
+from astro_sdk_spark.functions._plan import nd_guard as _ndg
 
 
 def _spread_by_id(df: DataFrame, id_col: str) -> DataFrame:
@@ -211,13 +212,18 @@ def jaccard_pairs(
     )
     pruned = df.join(cand_ids, on=id_col, how="left_semi")
     sh = pruned.select(F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("_sh"))
+    from astro_sdk_spark.functions._plan import nd_guard
+
+    # nd_guard keeps the caller's `jaccard >= threshold` filter OUT of
+    # the verify join's condition (where the intersect/union would
+    # evaluate interpreted per matched row — see _plan.py)
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sa"), on="id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sb"), on="id_b")
         .select(
             "id_a",
             "id_b",
-            (
+            nd_guard(
                 F.size(F.array_intersect("_sa", "_sb"))
                 / F.size(F.array_union("_sa", "_sb"))
             ).alias("jaccard"),
@@ -357,7 +363,7 @@ def simhash_near_dup(
     )
     xor = F.col("h_a").bitwiseXOR(F.col("h_b"))
     hamming = F.bit_count(xor)
-    return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
+    return cands.select("id_a", "id_b", _ndg(hamming).alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
 
@@ -469,7 +475,7 @@ def incremental_near_dup(
                 ),
                 on="corpus_id",
             )
-            .select("new_id", "corpus_id", est.alias("jaccard"))
+            .select("new_id", "corpus_id", _ndg(est).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
     new_sh = new_docs.join(
@@ -486,7 +492,7 @@ def incremental_near_dup(
         .select(
             "new_id",
             "corpus_id",
-            (
+            _ndg(
                 F.size(F.array_intersect("_sa", "_sb"))
                 / F.size(F.array_union("_sa", "_sb"))
             ).alias("jaccard"),
@@ -772,8 +778,12 @@ def embedding_near_dup(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # _ndg keeps the threshold test out of the candidate join's
+    # condition (interpreted aggregate-HOF per matched row otherwise)
     return cands.select(
-        "id_a", "id_b", cosine_similarity_col(F.col("_va"), F.col("_vb")).alias("cosine")
+        "id_a",
+        "id_b",
+        _ndg(cosine_similarity_col(F.col("_va"), F.col("_vb"))).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
 
 
@@ -882,9 +892,12 @@ def semantic_dedup(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
-                round_digits,
+            _ndg(
+                F.round(
+                    _dot(F.col("_va"), F.col("_vb"))
+                    / (F.col("_na") * F.col("_nb")),
+                    round_digits,
+                )
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from astro_sdk_spark.functions._plan import nd_guard as _nd_guard
+
 __all__ = ["edit_distance_join", "jaccard_join"]
 
 _PAD = "\x01"  # padding char; assumed absent from real text
@@ -195,13 +197,7 @@ def edit_distance_join(
         cand.join(a, "_ida")
         .join(b, "_idb")
         .filter(F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
-        .withColumn(
-            "_dist",
-            F.when(
-                F.monotonically_increasing_id() >= F.lit(0),
-                F.levenshtein("_ta", "_tb"),
-            ),
-        )
+        .withColumn("_dist", _nd_guard(F.levenshtein("_ta", "_tb")))
         .filter(F.col("_dist") <= max_dist)
     )
 
@@ -219,7 +215,7 @@ def edit_distance_join(
             (F.least("_la", "_lb") <= short_len)
             & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
         )
-        .withColumn("_dist", F.levenshtein("_ta", "_tb"))
+        .withColumn("_dist", _nd_guard(F.levenshtein("_ta", "_tb")))
         .filter(F.col("_dist") <= max_dist)
     )
 
@@ -432,15 +428,9 @@ def jaccard_join(
     # gram-match row in interpreted mode (BigDecimal tree-walk, the
     # measured hot spot of the candidate stage at volume). Above the
     # barrier they run inside whole-stage codegen on the same rows.
-    # The guard must be ``monotonically_increasing_id() ≥ 0``
-    # specifically: rand()-based always-true comparisons get
-    # range-FOLDED by the optimizer, and an unused nondeterministic
-    # column gets column-PRUNED — both measured to silently re-enable
-    # the pushdown. ``pair_guard`` stays in the join — one primitive
-    # long compare.
-    def _nd_guard(col):
-        return F.when(F.monotonically_increasing_id() >= F.lit(0), col)
-
+    # Guard mechanics and why rand()/unused-column barriers fail:
+    # functions/_plan.py. ``pair_guard`` stays in the join — one
+    # primitive long compare.
     nag = F.col("_nag")
     ub = F.lit(1) + F.least(
         nag - F.col("_rka"), F.col("_nb") - F.col("_rkb")
