@@ -21,7 +21,7 @@ import os
 from dataclasses import dataclass, field
 from typing import Any, Callable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -415,6 +415,7 @@ class SparkEngine:
         sort_by: Sequence[str] | None = None,
         zorder_by: Sequence[str] | None = None,
         partitions: dict[str, Any] | None = None,
+        row_filter: Column | None = None,
     ) -> dict:
         """Rewrite a managed table into right-sized files — the small-files
         maintenance op every long-lived 100 TB table needs (each parquet
@@ -470,6 +471,13 @@ class SparkEngine:
         if partitions:
             for col_name, val in partitions.items():
                 df = df.filter(F.col(col_name) == F.lit(val))
+        if row_filter is not None:
+            # maintenance rewrites that DROP rows invisible to readers
+            # (e.g. ann_index_compact purging stale ANN generations):
+            # the rewrite keeps only matching rows. Caller-owned
+            # semantics — compact_table itself stays content-preserving
+            # when the filter is None.
+            df = df.filter(row_filter)
 
         def _file_count(frame: DataFrame) -> int:
             return frame.select(F.input_file_name()).distinct().count()

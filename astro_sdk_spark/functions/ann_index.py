@@ -26,9 +26,20 @@ Layout (all plain managed parquet tables — readable by any engine):
   as table lookups.
 - ``{name}__codebooks``: ``(s, j, vec)`` PQ codeword table (pq kind only;
   contractually small — m × k rows, collected + broadcast at query time).
-- ``{name}__meta``: one row of build parameters, checked on every
+- ``{name}__meta``: APPEND-ONLY generation log of build parameters, one
+  row per generation; readers take the row with the highest
+  ``generation`` and bind every scan (centroids, lists, codebooks) to
+  that one atomically-committed value. Geometry is checked on every
   add/query so an index built under one geometry can't silently serve
   another (same discipline as streaming/store.py's param columns).
+
+Retrain concurrency contract (ann_index_retrain): new-generation rows
+are APPENDED to the live tables (invisible — readers filter on the old
+meta generation), and go-live is ONE parquet append of the new meta row.
+A read racing a retrain therefore returns the consistent old answer or
+the consistent new answer — never empty, never an error, never a
+cross-generation mix, because all three scans derive their generation
+from the same single meta row.
 
 Determinism contract: assignment/probing/rescoring round before every
 rank and break ties on ascending id — identical to ivf_topk / ivfpq_topk,
@@ -87,35 +98,117 @@ def _tables(name: str) -> tuple[str, str, str, str]:
 
 
 def _read_meta(spark: SparkSession, name: str) -> dict:
+    """Live build parameters: the HIGHEST-generation meta row.
+
+    The meta table is an append-only generation log (one row per
+    build/retrain); taking max(generation) is what makes retrain's
+    go-live a single parquet append — a reader sees the old max or the
+    new max, never a half-committed state. Pre-generation indexes
+    (written before the gen columns existed) read as generation 0."""
     meta_t = _tables(name)[2]
     if not spark.catalog.tableExists(meta_t):
         raise ValueError(f"ANN index {name!r} does not exist (no {meta_t})")
-    row = spark.table(meta_t).head()
+    t = spark.table(meta_t)
+    row = (
+        t.orderBy(F.desc("generation")).head()
+        if "generation" in t.columns
+        else t.head()
+    )
     if row is None:
         raise ValueError(f"ANN index {name!r} has an empty meta table")
-    return row.asDict()
+    meta = row.asDict()
+    meta.setdefault("generation", 0)
+    return meta
+
+
+def _live(df: DataFrame, gen: int) -> DataFrame:
+    """Rows visible under generation ``gen``. Tables written before the
+    generation columns existed (round ≤11 layout) have no ``gen`` column:
+    all their rows belong to generation 0, and generations > 0 cannot
+    exist in them — so the filter degrades gracefully instead of failing
+    with an unresolved-column AnalysisException on legacy indexes."""
+    if "gen" in df.columns:
+        return df.filter(F.col("gen") == F.lit(int(gen)))
+    return df if int(gen) == 0 else df.filter(F.lit(False))
 
 
 def _read_codebooks(spark: SparkSession, name: str, meta: dict):
     cb_t = _tables(name)[3]
-    # bind to the meta row's generation: a read racing a retrain's
-    # go-live sees 0 matching rows and fails LOUDLY below instead of
-    # decoding against the wrong generation's codebooks
-    rows = (
-        spark.table(cb_t)
-        .filter(F.col("gen") == F.lit(int(meta.get("generation", 0))))
-        .collect()
-    )
+    # bind to the caller's meta-row generation — the SAME row that binds
+    # the centroid and lists scans, so one atomically-appended meta row
+    # pins all three tables to one generation (no cross-generation mix
+    # is constructible); a crashed/half-written generation fails LOUDLY
+    # on the row-count check below
+    rows = _live(spark.table(cb_t), meta["generation"]).collect()
     m, k = meta["pq_m"], meta["pq_k"]
     if len(rows) != m * k:
         raise ValueError(
             f"ANN index {name!r}: codebook table holds {len(rows)} rows "
-            f"for generation {meta.get('generation', 0)}, expected "
-            f"m×k = {m}×{k} — if a retrain is in flight, retry after it "
-            f"commits"
+            f"for generation {meta['generation']}, expected "
+            f"m×k = {m}×{k} — the index is corrupt (a retrain that "
+            f"crashed mid-append never commits a meta row, so this "
+            f"should be unreachable; rebuild with build_ann_index)"
         )
     by_sj = {(r.s, r.j): list(r.vec) for r in rows}
     return [[by_sj[(s, j)] for j in range(k)] for s in range(m)]
+
+
+def _write_centroids(
+    spark: SparkSession,
+    centroids: DataFrame,
+    cent_t: str,
+    id_col: str,
+    vec_col: str,
+    gen: int,
+    append: bool = False,
+) -> None:
+    cent = centroids.select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("vec"),
+        F.lit(int(gen)).alias("gen"),
+    )
+    w = cent.write.format("parquet")
+    (w.mode("append") if append else w).saveAsTable(cent_t)
+
+
+def _write_codebooks(
+    spark: SparkSession,
+    codebooks,
+    cb_t: str,
+    gen: int,
+    append: bool = False,
+) -> None:
+    pq_m, pq_k = len(codebooks), len(codebooks[0])
+    df = spark.createDataFrame(
+        [
+            (s, j, [float(x) for x in codebooks[s][j]], int(gen))
+            for s in range(pq_m)
+            for j in range(pq_k)
+        ],
+        "s int, j int, vec array<double>, gen int",
+    )
+    w = df.write.format("parquet")
+    (w.mode("append") if append else w).saveAsTable(cb_t)
+
+
+def _write_meta_row(
+    spark: SparkSession, meta_t: str, meta: dict, append: bool = False
+) -> None:
+    df = spark.createDataFrame(
+        [
+            (
+                int(meta["n_centroids"]), int(meta["dim"]),
+                int(meta["round_digits"]), meta["metric"], meta["kind"],
+                int(meta["pq_m"]), int(meta["pq_k"]),
+                int(meta["encode_round_digits"]), int(meta["generation"]),
+            )
+        ],
+        "n_centroids int, dim int, round_digits int, metric string, "
+        "kind string, pq_m int, pq_k int, encode_round_digits int, "
+        "generation int",
+    )
+    w = df.write.format("parquet")
+    (w.mode("append") if append else w).saveAsTable(meta_t)
 
 
 def build_ann_index(
@@ -127,7 +220,6 @@ def build_ann_index(
     vec_col: str = "embedding",
     codebooks=None,
     encode_round_digits: int | None = None,
-    _generation: int = 0,
 ) -> None:
     """Create the index tables and assign ``corpus`` to its lists.
 
@@ -146,43 +238,28 @@ def build_ann_index(
     cent_t, lists_t, meta_t, cb_t = _tables(name)
     drop_ann_index(spark, name)
     # every table row is stamped with the index GENERATION (bumped by
-    # ann_index_retrain): readers bind their lists scan to the
-    # generation of the centroids they actually probed, so a read that
-    # races a retrain's table-by-table go-live can never mix quantizer
-    # generations — see ann_index_topk
-    gen = int(_generation)
-    cent = centroids.select(
-        F.col(id_col).alias("cent_id"),
-        F.col(vec_col).alias("vec"),
-        F.lit(gen).alias("gen"),
-    )
-    cent.write.format("parquet").saveAsTable(cent_t)
+    # ann_index_retrain): readers bind every scan to the single
+    # max-generation meta row, so a read racing a retrain can never mix
+    # quantizer generations — see the module docstring
+    _write_centroids(spark, centroids, cent_t, id_col, vec_col, gen=0)
     n_cent = spark.table(cent_t).count()
     dim_row = spark.table(cent_t).select(F.size("vec").alias("d")).head()
-    kind = "flat" if codebooks is None else "pq"
-    pq_m = len(codebooks) if codebooks is not None else 0
-    pq_k = len(codebooks[0]) if codebooks is not None else 0
-    enc_rd = -1 if encode_round_digits is None else encode_round_digits
-    spark.createDataFrame(
-        [
-            (
-                int(n_cent), int(dim_row.d), _ROUND_DIGITS, "cosine",
-                kind, pq_m, pq_k, enc_rd, gen,
-            )
-        ],
-        "n_centroids int, dim int, round_digits int, metric string, "
-        "kind string, pq_m int, pq_k int, encode_round_digits int, "
-        "generation int",
-    ).write.format("parquet").saveAsTable(meta_t)
+    meta = {
+        "n_centroids": n_cent,
+        "dim": dim_row.d,
+        "round_digits": _ROUND_DIGITS,
+        "metric": "cosine",
+        "kind": "flat" if codebooks is None else "pq",
+        "pq_m": len(codebooks) if codebooks is not None else 0,
+        "pq_k": len(codebooks[0]) if codebooks is not None else 0,
+        "encode_round_digits": (
+            -1 if encode_round_digits is None else encode_round_digits
+        ),
+        "generation": 0,
+    }
+    _write_meta_row(spark, meta_t, meta)
     if codebooks is not None:
-        spark.createDataFrame(
-            [
-                (s, j, [float(x) for x in codebooks[s][j]], gen)
-                for s in range(pq_m)
-                for j in range(pq_k)
-            ],
-            "s int, j int, vec array<double>, gen int",
-        ).write.format("parquet").saveAsTable(cb_t)
+        _write_codebooks(spark, codebooks, cb_t, gen=0)
     _append_assigned(spark, corpus, name, id_col, vec_col, first=True)
 
 
@@ -234,22 +311,30 @@ def _append_assigned(
     vecs = df.select(
         F.col(id_col).alias("cand_id"), guarded_vec.alias("vec")
     )
-    gen = int(meta.get("generation", 0))
-    if not first and dedupe and spark.catalog.tableExists(lists_t):
+    gen = int(meta["generation"])
+    lists_exists = spark.catalog.tableExists(lists_t)
+    # legacy (pre-generation) layout has no gen column anywhere; its
+    # rows are implicitly generation 0 and appends must not introduce
+    # the column mid-table (schema mismatch) — _live handles the reads
+    legacy = lists_exists and "gen" not in spark.table(lists_t).columns
+    if not first and dedupe and lists_exists:
         # dedupe against the CURRENT generation only: rows a stale
         # stream appended under a pre-retrain generation are invisible
         # to queries (see ann_index_topk) and must not block the same
         # ids from being re-added under the live quantizer
         vecs = vecs.join(
-            spark.table(lists_t)
-            .filter(F.col("gen") == F.lit(gen))
-            .select("cand_id"),
+            _live(spark.table(lists_t), gen).select("cand_id"),
             "cand_id",
             "left_anti",
         )
     assigned = nearest_centroids(
         vecs,
-        spark.table(cent_t),
+        # bind the quantizer to the caller's meta generation: during a
+        # retrain the centroid table legitimately holds two generations,
+        # and a stale writer must keep assigning against the quantizer
+        # its meta row describes (those rows stay self-consistent and
+        # invisible), not against a mixed set
+        _live(spark.table(cent_t), gen),
         id_col="cand_id",
         vec_col="vec",
         n=1,
@@ -268,13 +353,13 @@ def _append_assigned(
             vec_col="vec",
             round_digits=None if enc_rd < 0 else enc_rd,
         )
-        out = codes.join(assigned, "cand_id").select(
-            "cent_id", "cand_id", "pq_code", F.lit(gen).alias("gen")
-        )
+        payload = ["cand_id", "pq_code"]
+        out = codes.join(assigned, "cand_id")
     else:
-        out = vecs.join(assigned, "cand_id").select(
-            "cent_id", "cand_id", "vec", F.lit(gen).alias("gen")
-        )
+        payload = ["cand_id", "vec"]
+        out = vecs.join(assigned, "cand_id")
+    cols = ["cent_id", *payload] + ([] if legacy else [F.lit(gen).alias("gen")])
+    out = out.select(*cols)
     # directory-per-centroid layout: probing nprobe lists then reads
     # exactly nprobe/n_centroids of the table's FILES (static pruning)
     writer = out.write.format("parquet").partitionBy("cent_id")
@@ -317,39 +402,33 @@ def ann_index_topk(
     cent_t, lists_t, _, _ = _tables(name)
     meta = _read_meta(spark, name)
     digits = meta["round_digits"]
-    # Generation binding (retrain-concurrency contract): read the
-    # centroid table's generation with its dim in ONE bounded job, fail
-    # loudly on a mid-swap mismatch, and pin the lists scan to that same
-    # generation. A read racing ann_index_retrain's table-by-table
-    # go-live then returns the consistent OLD answer, the consistent NEW
-    # answer, an empty result, or this error — never neighbors ranked
-    # under one generation's centroids against another generation's
-    # lists.
-    crow = (
-        spark.table(cent_t)
-        .select(
-            F.min("gen").alias("g0"),
-            F.max("gen").alias("g1"),
-            F.max(F.size("vec")).alias("d"),
-        )
-        .head()
-    )
-    if crow is None or crow.g0 != crow.g1 or crow.d != meta["dim"]:
+    g = int(meta["generation"])
+    # Generation binding (retrain-concurrency contract): the single
+    # max-generation meta row — committed by ONE parquet append at
+    # retrain go-live — pins the centroid, lists, and codebook scans to
+    # the same generation. A read racing a retrain therefore returns
+    # the consistent OLD answer or the consistent NEW answer; empty
+    # results, errors, and cross-generation mixes (neighbors ranked
+    # under one generation's centroids against another's lists/
+    # codebooks) are unreachable by construction. The one bounded
+    # guard job below catches external corruption (a hand-deleted
+    # generation), not mid-commit states.
+    cent = _live(spark.table(cent_t), g).select("cent_id", "vec")
+    crow = cent.select(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("vec")).alias("d")
+    ).head()
+    if crow.n == 0 or crow.d != meta["dim"]:
         raise ValueError(
-            f"ANN index {name!r}: centroid table is inconsistent with "
-            f"meta (generation {crow and (crow.g0, crow.g1)}, dim "
-            f"{crow and crow.d} vs meta dim {meta['dim']}) — a retrain "
-            f"is likely mid-commit; retry after it completes"
+            f"ANN index {name!r}: generation {g} centroids are "
+            f"inconsistent with meta ({crow.n} rows, dim {crow.d} vs "
+            f"meta dim {meta['dim']}) — the index is corrupt; rebuild "
+            f"with build_ann_index"
         )
-    g_c = int(crow.g0)
-    cent = spark.table(cent_t).select("cent_id", "vec")
     if meta["kind"] == "pq":
         from astro_sdk_spark.functions.pq import ivfpq_scan_lists
 
-        lists = (
-            spark.table(lists_t)
-            .filter(F.col("gen") == F.lit(g_c))
-            .select(F.col("cand_id").alias(id_col), "pq_code", "cent_id")
+        lists = _live(spark.table(lists_t), g).select(
+            F.col("cand_id").alias(id_col), "pq_code", "cent_id"
         )
         return ivfpq_scan_lists(
             queries.select(id_col, vec_col),
@@ -385,8 +464,8 @@ def ann_index_topk(
     probed_ids = sorted(
         {r.cent_id for r in probes.select("cent_id").distinct().collect()}
     )
-    lists = spark.table(lists_t).filter(
-        F.col("cent_id").isin(probed_ids) & (F.col("gen") == F.lit(g_c))
+    lists = _live(spark.table(lists_t), g).filter(
+        F.col("cent_id").isin(probed_ids)
     )
     pairs = (
         probes.join(lists, "cent_id")
@@ -466,7 +545,9 @@ def drop_ann_index(spark: SparkSession, name: str) -> None:
             scrub_orphaned_location(spark, t)
 
 
-def ann_index_stats(spark: SparkSession, name: str) -> DataFrame:
+def ann_index_stats(
+    spark: SparkSession, name: str, live_only: bool = True
+) -> DataFrame:
     """Per-list health report — the input to every maintenance decision.
 
     ``(cent_id, rows, files, frac, imbalance)``: row count and parquet
@@ -482,14 +563,25 @@ def ann_index_stats(spark: SparkSession, name: str) -> DataFrame:
 
     One column-pruned scan of the lists table: a partial-aggregatable
     groupBy(cent_id), output bounded by n_centroids (contractually
-    small — the same bound that lets the quantizer broadcast)."""
+    small — the same bound that lets the quantizer broadcast).
+
+    Scoped to the LIVE generation (the rows queries can actually see):
+    stale-generation rows — appended by a pre-retrain stream, or an
+    abandoned generation from a crashed retrain — must not drive
+    maintenance decisions (a retrain-on-imbalance triggered by rows no
+    query reads would be pure waste). ``live_only=False`` widens the
+    scan to every row on disk, the input for deciding whether a
+    stale-purging compact (ann_index_compact's default) is due."""
     _check_name(name)
-    _read_meta(spark, name)
+    meta = _read_meta(spark, name)
     lists_t = _tables(name)[1]
+    scan = spark.table(lists_t)
+    if live_only:
+        scan = _live(scan, meta["generation"])
     # input_file_name() is non-deterministic to Catalyst, so it must be
     # materialized in a projection BEFORE the aggregate references it
     per_list = (
-        spark.table(lists_t)
+        scan
         .select("cent_id", F.input_file_name().alias("_f"))
         .groupBy("cent_id")
         .agg(
@@ -518,6 +610,7 @@ def ann_index_compact(
     name: str,
     target_file_mb: int = 128,
     min_files: int = 2,
+    drop_stale_generations: bool = True,
 ) -> dict:
     """Rewrite fragmented inverted lists into right-sized files.
 
@@ -532,24 +625,76 @@ def ann_index_compact(
     files are not rewritten. Candidate discovery is driver-side but
     bounded by n_centroids (the quantizer-broadcast contract).
 
+    ``drop_stale_generations`` (default) also purges rows no query can
+    see — generations older than the live meta row (pre-retrain stream
+    appends, abandoned crashed-retrain generations): every partition
+    holding any stale row is rewritten keeping live rows only, and
+    partitions that became ALL-stale (lists of a superseded quantizer)
+    are truncated. This is THE stale-space reclaim path — retrain itself
+    never deletes, so a reader racing it keeps a complete old
+    generation to finish against; run compact from a maintenance window
+    instead. Stale purging changes no visible answer (stale rows were
+    already invisible to ann_index_topk's generation binding).
+
     Query answers are BYTE-IDENTICAL before/after (file layout is not
     part of the ranking contract — pinned by the payoff test). Returns
-    ``{"lists_compacted", "files_before", "files_after"}``."""
+    ``{"lists_compacted", "files_before", "files_after",
+    "stale_rows_dropped"}``."""
     _check_name(name)
-    _read_meta(spark, name)
+    meta = _read_meta(spark, name)
+    gen = int(meta["generation"])
     lists_t = _tables(name)[1]
-    stats = ann_index_stats(spark, name).select("cent_id", "files").collect()
-    frag = [r.cent_id for r in stats if r.files >= min_files]
-    files_before = sum(r.files for r in stats)
+    has_gen = "gen" in spark.table(lists_t).columns
+    # one bounded scan over ALL rows: per-list file count + live/stale
+    # row split (stats' live_only view would hide the stale partitions
+    # this call is responsible for purging)
+    live_flag = (
+        (F.col("gen") == F.lit(gen)).cast("long") if has_gen else F.lit(1)
+    )
+    per_list = (
+        spark.table(lists_t)
+        .select("cent_id", F.input_file_name().alias("_f"),
+                live_flag.alias("_live"))
+        .groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("_live").alias("live_rows"),
+            F.countDistinct("_f").alias("files"),
+        )
+        .collect()
+    )
+    files_before = sum(r.files for r in per_list)
+    purge_stale = drop_stale_generations and has_gen
+    frag = [
+        r
+        for r in per_list
+        if r.files >= min_files or (purge_stale and r.live_rows < r.rows)
+    ]
     from astro_sdk_spark.engine import SparkEngine
     from astro_sdk_spark.table import Table
 
     eng = SparkEngine(spark)
     tbl = Table(name=lists_t)
-    for cid in frag:
+    stale_dropped = 0
+    for r in frag:
+        if purge_stale and r.live_rows == 0:
+            # every row of this list belongs to a dead generation: the
+            # dynamic-overwrite path would write nothing (and leave the
+            # old files), so truncate the partition directly
+            spark.sql(
+                f"ALTER TABLE {lists_t} DROP IF EXISTS "
+                f"PARTITION (cent_id = {int(r.cent_id)})"
+            )
+            stale_dropped += r.rows
+            continue
         eng.compact_table(
-            tbl, target_file_mb=target_file_mb, partitions={"cent_id": cid}
+            tbl,
+            target_file_mb=target_file_mb,
+            partitions={"cent_id": r.cent_id},
+            row_filter=(F.col("gen") == F.lit(gen)) if purge_stale else None,
         )
+        if purge_stale:
+            stale_dropped += r.rows - r.live_rows
     files_after = (
         spark.table(lists_t)
         .select(F.input_file_name())
@@ -560,6 +705,7 @@ def ann_index_compact(
         "lists_compacted": len(frag),
         "files_before": files_before,
         "files_after": files_after,
+        "stale_rows_dropped": stale_dropped,
     }
 
 
@@ -572,6 +718,7 @@ def ann_index_retrain(
     encode_round_digits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _on_step=None,
 ) -> None:
     """Re-bucket the index under fresh ``centroids`` (and, for a PQ
     index, fresh ``codebooks``) when the vector distribution has drifted
@@ -584,21 +731,40 @@ def ann_index_retrain(
     trained on it) — refusing loudly beats silently re-encoding lossy
     reconstructions.
 
-    The rebuild happens under a staging name (queries keep answering
-    from the live tables for its whole duration) and goes live table-by-
-    table through the merge machinery's atomic swap (operators/swap.py —
-    partitioned staging gets its MSCK repair there) under a BUMPED
-    generation. Reads racing the short go-live window return the
-    consistent old answer, the consistent new answer, an empty result,
-    or a loud mid-commit error — never a cross-generation mix (see
-    ann_index_topk's generation binding). A stream_ann_index_ingest
-    stream wired BEFORE the retrain keeps appending under the old
-    generation: those rows are invisible to queries and don't block
-    re-adding the same ids — restart the stream (or let its maintenance
-    tick adopt the new meta) after retraining."""
+    Single-commit go-live: the new generation's rows are APPENDED to the
+    live tables — centroids, then codebooks, then the re-bucketed lists
+    — all invisible to readers, whose scans are bound to the old meta
+    row's generation. The commit point is ONE parquet append of the new
+    meta row: a read racing the whole retrain returns the consistent
+    old answer (it resolved the old max-generation meta row — every old
+    table row is still on disk, untouched) or the consistent new answer
+    (all new rows were committed before the meta row existed). Never
+    empty, never an error, never a cross-generation mix — pinned by the
+    probe-at-every-step test. A retrain that CRASHES anywhere before
+    the meta append leaves only invisible orphan rows (the next retrain
+    allocates a fresh generation above them; ann_index_compact purges
+    them); old-generation rows are likewise left for compact to
+    reclaim, so a reader mid-flight at go-live still finishes against a
+    complete old generation.
+
+    A stream_ann_index_ingest stream wired BEFORE the retrain keeps
+    appending under the old generation: those rows are invisible to
+    queries and don't block re-adding the same ids — restart the stream
+    (or let its maintenance tick adopt the new meta) after retraining.
+
+    ``_on_step`` is a test seam: called with a label after each append
+    so the never-empty/never-error contract can be probed at every
+    internal boundary."""
     _check_name(name)
     meta = _read_meta(spark, name)
-    lists_t = _tables(name)[1]
+    cent_t, lists_t, meta_t, cb_t = _tables(name)
+    step = _on_step or (lambda label: None)
+    if "gen" not in spark.table(lists_t).columns:
+        raise ValueError(
+            f"ANN index {name!r} uses the pre-generation on-disk layout "
+            f"(no 'gen' column): in-place retraining needs generation "
+            f"stamps — rebuild once with build_ann_index, then retrain"
+        )
     if corpus is None:
         if meta["kind"] == "pq":
             raise ValueError(
@@ -612,8 +778,7 @@ def ann_index_retrain(
         # queries; an id present in both generations must not enter the
         # rebuild twice
         corpus = (
-            spark.table(lists_t)
-            .filter(F.col("gen") == F.lit(int(meta.get("generation", 0))))
+            _live(spark.table(lists_t), meta["generation"])
             .select(F.col("cand_id").alias(id_col), F.col("vec").alias(vec_col))
             .dropDuplicates([id_col])
         )
@@ -622,35 +787,48 @@ def ann_index_retrain(
             f"ANN index {name!r} is PQ-coded: pass codebooks= trained "
             f"against the new centroids' residual space (train_pq)"
         )
-    staging = f"{name}__retrain"
-    build_ann_index(
-        spark,
-        corpus,
-        staging,
-        centroids,
-        id_col=id_col,
-        vec_col=vec_col,
-        codebooks=codebooks,
-        encode_round_digits=encode_round_digits,
-        _generation=int(meta.get("generation", 0)) + 1,
-    )
-    from astro_sdk_spark.operators.swap import swap_table
+    # Allocate the new generation ABOVE any orphan rows a crashed
+    # retrain left behind (data-table generations that never got a meta
+    # row): reusing such a number would mix orphaned rows into this
+    # rebuild. One column-pruned bounded aggregate per table.
+    g_floor = int(meta["generation"])
+    for t in (cent_t, lists_t, cb_t):
+        if spark.catalog.tableExists(t) and "gen" in spark.table(t).columns:
+            row = spark.table(t).agg(F.max("gen").alias("g")).head()
+            if row.g is not None:
+                g_floor = max(g_floor, int(row.g))
+    g_new = g_floor + 1
 
-    # Go-live order: lists first, then centroids, codebooks, meta last.
-    # Combined with the GENERATION binding in ann_index_topk (the lists
-    # scan is pinned to the generation of the centroids the read
-    # actually probed, codebooks to meta's), a read that lands anywhere
-    # inside this window gets the consistent old answer, the consistent
-    # new answer, an empty result, or a loud mid-commit error — the
-    # cross-generation silent-wrong read (new centroids ranked against
-    # old lists) is impossible by construction. Swapping lists/centroids
-    # adjacently keeps the empty-result window to the swap gap itself.
-    tables_s, tables_n = _tables(staging), _tables(name)
-    order = (1, 0, 3, 2)  # lists, centroids, codebooks, meta
-    for i in order:
-        st, tt = tables_s[i], tables_n[i]
-        if spark.catalog.tableExists(st):
-            swap_table(spark, st, tt)
-        elif spark.catalog.tableExists(tt):
-            # e.g. a pq→flat retrain leaves no staging codebooks table
-            spark.sql(f"DROP TABLE IF EXISTS {tt}")
+    # 1. new quantizer (invisible: readers filter gen == old meta gen)
+    _write_centroids(
+        spark, centroids, cent_t, id_col, vec_col, gen=g_new, append=True
+    )
+    step("centroids")
+    new_meta = {
+        "n_centroids": _live(spark.table(cent_t), g_new).count(),
+        "dim": meta["dim"],
+        "round_digits": meta["round_digits"],
+        "metric": meta["metric"],
+        "kind": "flat" if codebooks is None else "pq",
+        "pq_m": len(codebooks) if codebooks is not None else 0,
+        "pq_k": len(codebooks[0]) if codebooks is not None else 0,
+        "encode_round_digits": (
+            -1 if encode_round_digits is None else encode_round_digits
+        ),
+        "generation": g_new,
+    }
+    # 2. new codebooks (invisible for the same reason)
+    if codebooks is not None:
+        _write_codebooks(spark, codebooks, cb_t, gen=g_new, append=True)
+        step("codebooks")
+    # 3. re-bucketed lists under the new quantizer (invisible). The
+    # corpus was resolved ABOVE against the old generation, so a flat
+    # index's self-read never sees its own new rows.
+    _append_assigned(
+        spark, corpus, name, id_col, vec_col, dedupe=False, meta=new_meta
+    )
+    step("lists")
+    # 4. THE commit point: one appended meta row makes g_new the
+    # max-generation row every subsequent _read_meta resolves.
+    _write_meta_row(spark, meta_t, new_meta, append=True)
+    step("meta")

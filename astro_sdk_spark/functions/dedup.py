@@ -212,9 +212,7 @@ def jaccard_pairs(
     )
     pruned = df.join(cand_ids, on=id_col, how="left_semi")
     sh = pruned.select(F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("_sh"))
-    from astro_sdk_spark.functions._plan import nd_guard
-
-    # nd_guard keeps the caller's `jaccard >= threshold` filter OUT of
+    # _ndg keeps the caller's `jaccard >= threshold` filter OUT of
     # the verify join's condition (where the intersect/union would
     # evaluate interpreted per matched row — see _plan.py)
     out = (
@@ -223,7 +221,7 @@ def jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            nd_guard(
+            _ndg(
                 F.size(F.array_intersect("_sa", "_sb"))
                 / F.size(F.array_union("_sa", "_sb"))
             ).alias("jaccard"),

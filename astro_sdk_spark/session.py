@@ -70,16 +70,34 @@ def _default_driver_mem() -> str:
     sort spill, which is exactly where a wide similarity join's
     array-carrying verify stage lands (measured: the same 30×-volume
     jaccard_join leg GC/spill-thrashed at 8g and ran clean at
-    machine-proportional heap). Honors $SPARK_GRAFT_DRIVER_MEM; on a
-    real cluster this conf is inert for executors, which size via
+    machine-proportional heap). Sized from ``MemAvailable`` (what the
+    box can actually give us NOW), not ``MemTotal`` — two concurrent
+    local sessions, or other tenants on a shared box, each claim a
+    share of what remains rather than each claiming 35% of the machine
+    and jointly exhausting it — capped at 35% of MemTotal so one
+    session on an idle box behaves as before. Honors
+    $SPARK_GRAFT_DRIVER_MEM (documented in README); on a real cluster
+    this conf is inert for executors, which size via
     spark.executor.memory."""
     env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if env:
         return env
     try:
+        total_kb = avail_kb = None
         with open("/proc/meminfo") as fh:
-            kb = int(fh.readline().split()[1])  # MemTotal first line
-        gb = max(8, min(64, int(kb / 1024 / 1024 * 0.35)))
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_kb = int(line.split()[1])
+                elif line.startswith("MemAvailable:"):
+                    avail_kb = int(line.split()[1])
+                if total_kb is not None and avail_kb is not None:
+                    break
+        if total_kb is None:
+            return "8g"
+        if avail_kb is None:  # pre-3.14 kernels: conservative fallback
+            avail_kb = total_kb // 2
+        budget_kb = min(int(avail_kb * 0.5), int(total_kb * 0.35))
+        gb = max(8, min(64, budget_kb // (1024 * 1024)))
         return f"{gb}g"
     except Exception:  # noqa: BLE001 - non-Linux / unreadable meminfo
         return "8g"

@@ -564,16 +564,17 @@ def _scale_probe_stage(
     # Volume-proportional shuffle sizing for the SCALED legs:
     # spark.sql.shuffle.partitions is a runtime SQL conf, so the factor×
     # runs get factor-scaled partitions (capped) exactly as a cluster
-    # job sized for that volume would — measured in a same-process A/B,
-    # this is what keeps the big sort-merge joins out of spill (jaccard
-    # x30 at 32 parts: 208s, at 1024 parts: 35s — super-linear 76× →
-    # sub-linear 26×; AQE coalesces the small stages either way). The
-    # x1 legs keep the session's small-query setting. (A first cut
-    # raised AQE's initialPartitionNum instead — session-statically it
-    # taxed the 144 tiny queries +65%, and as a runtime override it did
-    # not reproduce the spill fix — so the probe scales the partition
-    # count itself.) Recorded in the output so the artifact states its
-    # own configuration.
+    # job sized for that volume would; AQE coalesces the small stages
+    # either way. The x1 legs keep the session's small-query setting.
+    # NOTE on history: an earlier revision here claimed a measured
+    # jaccard x30 A/B (208s at 32 parts → 35s at 1024). That claim was
+    # RETRACTED — it did not reproduce on an idle host at any width;
+    # session.py's CORRECTION comment (the single authoritative account)
+    # attributes the real fix to join-condition plan hygiene + integer
+    # gram ids + machine-proportional heap. Width scaling here remains
+    # because it is how a cluster job would size for the volume, not
+    # because of that retracted number. Recorded in the output so the
+    # artifact states its own configuration.
     conf_key = "spark.sql.shuffle.partitions"
     base_parts = int(spark.conf.get(conf_key))
     scaled_parts = min(4096, base_parts * factor)
