@@ -76,6 +76,20 @@ def _volume_partitions(
     its own floor, and the cap (a local-mode bound on tiny-task
     overhead) never cuts below that floor.
     """
+    est = _size_estimate(df_a, df_b)
+    if est is None:
+        return None
+    base = int(df_a.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    need = -(-est // est_bytes_per_partition)
+    if need <= base:
+        return None
+    return int(min(need, max(cap, base)))
+
+
+def _size_estimate(df_a: DataFrame, df_b: DataFrame | None = None) -> int | None:
+    """Catalyst input-size estimate in bytes (optimizedPlan stats —
+    driver-side analysis only, no job runs); None when unavailable or
+    the unknown-stats sentinel."""
     try:
         est = int(
             df_a._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -88,11 +102,17 @@ def _volume_partitions(
         return None
     if est <= 0 or est >= (1 << 60):  # Catalyst's unknown-stats sentinel
         return None
-    base = int(df_a.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    need = -(-est // est_bytes_per_partition)
-    if need <= base:
-        return None
-    return int(min(need, max(cap, base)))
+    return est
+
+
+# Below this input estimate the integer-gram-id verify path costs more
+# than it saves: the gid assignment adds two fixed stages (distinct-gram
+# id mint + per-doc array rebuild) whose payoff is proportional to the
+# candidate-pair volume. 8 MiB of input ≈ one _volume_partitions
+# partition's worth ≈ a quarter-GiB in-flight — comfortably inside the
+# measured regime where string-array intersects stay cold (the r12 gid
+# change cost the sf0.1 x1 leg ~1.4 s it never earns back there).
+_GID_MIN_EST_BYTES = 8 << 20
 
 
 def _grams(col, q: int):
@@ -314,6 +334,14 @@ def jaccard_join(
     # OPERATOR, not the caller's session conf: a user running a 30×
     # corpus with session defaults must not hit a spill cliff.
     n_parts = _volume_partitions(df_a, None if df_b is None else df_b)
+    # The integer-gram-id verify (below) is the at-volume path; under
+    # the estimate floor the small corpus verifies on its shingle-string
+    # arrays directly — identical intersection COUNTS either way (the
+    # gid map is a bijection), so results are byte-identical; only the
+    # two gid stages are skipped. Unknown estimate → assume big (the
+    # safe-at-scale default).
+    est = _size_estimate(df_a, None if df_b is None else df_b)
+    use_gid = est is None or est >= _GID_MIN_EST_BYTES
 
     def _widen(df, *cols):
         return df.repartition(n_parts, *cols) if n_parts else df
@@ -470,37 +498,47 @@ def jaccard_join(
     # deterministic: hash partitioning on _g fixes the partition, the
     # per-partition sort fixes the rank), never a single-partition
     # global window.
-    universe = (
-        freq.select("_g")
-        if self_join
-        else freq.select("_g").unionByName(
-            b.select(F.explode("_sb").alias("_g"))
-        ).distinct()
-    )
-    gid = universe.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_gid",
-        F.col("_pid").cast("long") * F.lit(1 << 40)
-        + F.row_number().over(Window.partitionBy("_pid").orderBy("_g")),
-    ).select("_g", "_gid")
-    gid = track(_widen(gid, "_g"))
-
-    def id_arrays(ex, idc):
-        # rebuild each doc's gram set as array<long>; grouping on the
-        # doc id reuses _widen's volume-proportional width
-        return (
-            _widen(ex.join(gid, "_g"), idc)
-            .groupBy(idc)
-            .agg(F.collect_list("_gid").alias(f"_v{idc[-1]}"))
+    if use_gid:
+        universe = (
+            freq.select("_g")
+            if self_join
+            else freq.select("_g").unionByName(
+                b.select(F.explode("_sb").alias("_g"))
+            ).distinct()
         )
+        gid = universe.withColumn("_pid", F.spark_partition_id()).withColumn(
+            "_gid",
+            F.col("_pid").cast("long") * F.lit(1 << 40)
+            + F.row_number().over(Window.partitionBy("_pid").orderBy("_g")),
+        ).select("_g", "_gid")
+        gid = track(_widen(gid, "_g"))
 
-    va = id_arrays(exploded_a, "_ida")
-    vb = (
-        va.select(F.col("_ida").alias("_idb"), F.col("_va").alias("_vb"))
-        if self_join
-        else id_arrays(
-            b.select("_idb", F.explode("_sb").alias("_g")), "_idb"
+        def id_arrays(ex, idc):
+            # rebuild each doc's gram set as array<long>; grouping on the
+            # doc id reuses _widen's volume-proportional width
+            return (
+                _widen(ex.join(gid, "_g"), idc)
+                .groupBy(idc)
+                .agg(F.collect_list("_gid").alias(f"_v{idc[-1]}"))
+            )
+
+        va = id_arrays(exploded_a, "_ida")
+        vb = (
+            va.select(F.col("_ida").alias("_idb"), F.col("_va").alias("_vb"))
+            if self_join
+            else id_arrays(
+                b.select("_idb", F.explode("_sb").alias("_g")), "_idb"
+            )
         )
-    )
+    else:
+        # small-corpus fast path: the shingle arrays are already built in
+        # prep(); intersect them directly
+        va = a.select("_ida", F.col("_sa").alias("_va"))
+        vb = (
+            va.select(F.col("_ida").alias("_idb"), F.col("_va").alias("_vb"))
+            if self_join
+            else b.select("_idb", F.col("_sb").alias("_vb"))
+        )
     # The nondeterministic no-op guard around the intersect is
     # LOAD-BEARING: the threshold filter below references both join
     # sides, so Catalyst would otherwise push it INTO the sort-merge
