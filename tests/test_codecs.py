@@ -706,6 +706,85 @@ def test_webp_lossless_palette_roundtrip_packed_and_unpacked():
     _rt_webp(big[rng.integers(0, 200, (11, 13))], use_palette=True)
 
 
+def test_webp_predictor_transform_all_modes_roundtrip():
+    """Spatial PREDICTOR transform: every one of the 14 modes decodes
+    back byte-exact as a fixed per-image mode, and a per-tile mode
+    cycle exercises the tile-lookup path of _inv_predictor."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    base = (np.arange(37)[None, :] * 3 + np.arange(23)[:, None] * 5) % 256
+    img = np.stack(
+        [base, (base * 2 + 17) % 256, (255 - base) % 256], axis=-1
+    ).astype(np.uint8)
+    img = ((img.astype(int) + rng.integers(0, 9, img.shape)) % 256).astype(
+        np.uint8
+    )
+    for mode in range(14):
+        _rt_webp(img, predictor_bits=2, predictor_mode=mode)
+    _rt_webp(img, predictor_bits=2)  # per-tile: cycles all 14 modes
+    _rt_webp(img, predictor_bits=4)  # coarser tiles, rows span tiles
+    # alpha flows through the per-channel prediction arithmetic too
+    img4 = np.dstack([img, ((base * 7 + 1) % 256).astype(np.uint8)])
+    _rt_webp(img4, predictor_bits=2)
+    # the transform must be load-bearing: the coded stream differs from
+    # the untransformed one, yet both decode to the same pixels
+    from astro_sdk_spark.multimodal.vp8l import encode_webp_lossless
+
+    assert encode_webp_lossless(img, predictor_bits=2) != (
+        encode_webp_lossless(img)
+    )
+
+
+def test_webp_cross_color_transform_roundtrip():
+    """CROSS-COLOR transform: fixed and per-tile (g2r, g2b, r2b)
+    deltas — including negative and extreme values — invert exactly,
+    alone and stacked with subtract-green + predictor."""
+    import numpy as np
+
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, (21, 33, 3)).astype(np.uint8)
+    _rt_webp(img, cross_color_bits=2)  # per-tile delta cycle
+    _rt_webp(img, cross_color_bits=3, cross_color=(-45, 33, -77))
+    _rt_webp(img, cross_color_bits=2, cross_color=(127, -128, 127))
+    # full stack: subtract-green → predictor → cross-color, then the
+    # decoder inverts all three in reverse order
+    _rt_webp(img, subtract_green=True, predictor_bits=2, cross_color_bits=2)
+
+
+def test_webp_meta_prefix_groups_roundtrip():
+    """META-PREFIX image: ≥2 prefix-code groups selected per tile. The
+    two checkerboard groups see disjoint palettes, so their code tables
+    genuinely differ; decode re-selects the group on every tile change
+    (including mid-row at coarse widths)."""
+    import numpy as np
+
+    from astro_sdk_spark.multimodal.vp8l import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(23)
+    # left/right halves from disjoint value ranges → per-group tables
+    img = np.empty((16, 24, 3), np.uint8)
+    img[:, :12] = rng.integers(0, 32, (16, 12, 3))
+    img[:, 12:] = rng.integers(224, 256, (16, 12, 3))
+    for kw in ({"meta_bits": 2}, {"meta_bits": 3},
+               {"meta_bits": 2, "predictor_bits": 2},
+               {"meta_bits": 2, "subtract_green": True}):
+        _rt_webp(img, **kw)
+    # literal-only restriction is enforced loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_webp_lossless(img, meta_bits=2, rle=True)
+    with pytest.raises(ValueError):
+        encode_webp_lossless(img, meta_bits=2, cache_bits=4)
+    # 1×1 tile grid degenerates to a single group and still decodes
+    assert (decode_webp(encode_webp_lossless(img[:4, :4], meta_bits=9))
+            == img[:4, :4]).all()
+
+
 def test_webp_lossy_and_corrupt_stay_gated():
     """Lossy VP8 payloads raise NotImplementedError (env gate — needs
     Pillow/libwebp); corrupt containers/bitstreams raise ValueError."""
