@@ -2,12 +2,13 @@
 
 The container has no Pillow/librosa/av, but PNG, uncompressed BMP, WAV,
 baseline+progressive JPEG (``multimodal.jpeg`` — a pure-numpy T.81
-codec), GIF, and lossless WebP (``multimodal.vp8l`` — a pure-python
-VP8L codec) are fully decodable with ``zlib``/``struct``/``wave`` +
-numpy — so the decode/resize stages in ``multimodal.ops`` are REAL for
-these formats; only codecs that require external libraries (lossy-VP8
-WebP, arithmetic JPEG, MP3, H.264, …) remain env-gated behind
-NotImplementedError.
+codec), GIF, and both WebP flavors (``multimodal.vp8l`` lossless,
+``multimodal.vp8`` lossy intra-frame — the latter verified bit-exact
+against libwebp) are fully decodable with ``zlib``/``struct``/``wave``
++ numpy — so the decode/resize stages in ``multimodal.ops`` are REAL
+for these formats; only codecs that require external libraries
+(animated WebP, arithmetic JPEG, MP3, H.264, …) remain env-gated
+behind NotImplementedError.
 
 Throughput note: these codecs favor clarity over speed (the PNG unfilter
 walks filtered rows byte-wise); at production scale swap the per-blob
@@ -194,9 +195,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
 
 
 def decode_webp(blob: bytes) -> np.ndarray:
-    """WebP → (H, W, 3|4) uint8; see ``multimodal.vp8l`` (pure-python
-    lossless VP8L codec — lossy VP8 and animation raise
-    NotImplementedError)."""
+    """WebP → (H, W, 3|4) uint8; lossless via ``multimodal.vp8l``,
+    lossy intra-frame via ``multimodal.vp8`` (both pure python —
+    animation raises NotImplementedError)."""
     from astro_sdk_spark.multimodal.vp8l import decode_webp as _dec
 
     return _dec(blob)

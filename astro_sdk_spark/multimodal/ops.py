@@ -324,7 +324,10 @@ def frame_sample_video(
     offset (the rest of the blob is never materialized) and emitted as a
     standalone baseline-JPEG blob — feed the frames straight to
     :func:`decode_image_batch` / :func:`image_phash_batch`;
-    ``frame_idx`` is the frame number. Containers without a stdlib
+    ``frame_idx`` is the frame number. Animated WebP is REAL too:
+    frames are composited per the container spec (blend/dispose state
+    means every frame up to the last sampled one must be decoded) and
+    re-emitted as standalone PNG blobs. Containers without a stdlib
     parser (mp4/h264/mkv) keep the deterministic byte-slice stub with
     ``frame_idx`` as a byte offset — honestly fake, shape-correct."""
 
@@ -342,6 +345,20 @@ def frame_sample_video(
                         ids.append(pid)
                         idxs.append(i)
                         frames.append(blob[o : o + s])
+                    continue
+                if (blob[:4] == b"RIFF" and blob[8:12] == b"WEBP"
+                        and b"ANMF" in blob):
+                    from astro_sdk_spark.multimodal import codecs
+                    from astro_sdk_spark.multimodal.vp8l import (
+                        decode_webp_frames,
+                    )
+
+                    composited, _durs = decode_webp_frames(blob)
+                    for i in range(0, len(composited),
+                                   max(every_n, 1))[:max_frames]:
+                        ids.append(pid)
+                        idxs.append(i)
+                        frames.append(codecs.encode_png(composited[i]))
                     continue
                 n = min(max_frames, max(1, len(blob) // max(every_n, 1)))
                 for i in range(n):

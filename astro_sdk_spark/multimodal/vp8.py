@@ -973,3 +973,76 @@ def decode_vp8_frame(data: bytes):
     _loop_filter(f, Y, U, V)
     cw, ch = (w + 1) // 2, (h + 1) // 2
     return Y[:h, :w].copy(), U[:ch, :cw].copy(), V[:ch, :cw].copy()
+
+
+# ---------------------------------------------------------------------------
+# output conversion: fancy chroma upsampling + fixed-point YUV→RGB
+# ---------------------------------------------------------------------------
+
+
+def _upsample_plane(C: np.ndarray, H: int, W: int) -> np.ndarray:
+    """2x chroma upsampling with libwebp's 'fancy' two-stage rounded
+    bilinear kernel (9-3-3-1 via diag intermediates). Bit-exact with
+    the reference upsampler."""
+    Hc, Wc = C.shape
+    rt = np.empty(H, np.intp)
+    rb = np.empty(H, np.intp)
+    kind = np.empty(H, np.intp)  # 0 = "top" line formulas, 1 = "bottom"
+    rt[0] = rb[0] = 0
+    kind[0] = 0
+    for j in range(1, H):
+        if j & 1:
+            k = (j + 1) >> 1
+            if k >= Hc:  # trailing odd row (even H): replicate last row
+                rt[j] = rb[j] = Hc - 1
+                kind[j] = 0
+            else:
+                rt[j], rb[j], kind[j] = k - 1, k, 0
+        else:
+            k = j >> 1
+            rt[j], rb[j], kind[j] = k - 1, k, 1
+    T = C[rt].astype(np.int32)
+    B = C[rb].astype(np.int32)
+    out = np.empty((H, W), np.int32)
+    k0 = kind == 0
+    out[:, 0] = np.where(k0, (3 * T[:, 0] + B[:, 0] + 2) >> 2,
+                         (3 * B[:, 0] + T[:, 0] + 2) >> 2)
+    lpp = (W - 1) >> 1
+    if lpp >= 1:
+        x = np.arange(1, lpp + 1)
+        a = T[:, x - 1]
+        b = T[:, x]
+        c = B[:, x - 1]
+        d = B[:, x]
+        diag12 = (a + 3 * b + 3 * c + d + 8) >> 3
+        diag03 = (3 * a + b + c + 3 * d + 8) >> 3
+        k0c = k0[:, None]
+        out[:, 2 * x - 1] = np.where(k0c, (diag12 + a) >> 1, (diag03 + c) >> 1)
+        out[:, 2 * x] = np.where(k0c, (diag03 + b) >> 1, (diag12 + d) >> 1)
+    if W >= 2 and W % 2 == 0:
+        out[:, W - 1] = np.where(k0, (3 * T[:, Wc - 1] + B[:, Wc - 1] + 2) >> 2,
+                                 (3 * B[:, Wc - 1] + T[:, Wc - 1] + 2) >> 2)
+    return out
+
+
+def _yuv_to_rgb(Y: np.ndarray, Uf: np.ndarray, Vf: np.ndarray) -> np.ndarray:
+    """libwebp's fixed-point BT.601 conversion (values are full planes)."""
+    y = (Y.astype(np.int32) * 19077) >> 8
+    u = Uf
+    v = Vf
+    r = y + ((v * 26149) >> 8) - 14234
+    g = y - ((u * 6419) >> 8) - ((v * 13320) >> 8) + 8708
+    b = y + ((u * 33050) >> 8) - 17685
+    out = np.empty(Y.shape + (3,), np.uint8)
+    out[..., 0] = np.clip(r >> 6, 0, 255)
+    out[..., 1] = np.clip(g >> 6, 0, 255)
+    out[..., 2] = np.clip(b >> 6, 0, 255)
+    return out
+
+
+def decode_vp8(data: bytes) -> np.ndarray:
+    """VP8 keyframe payload → (H, W, 3) uint8 RGB, matching libwebp's
+    default fancy-upsampling decode byte-for-byte."""
+    Y, U, V = decode_vp8_frame(data)
+    h, w = Y.shape
+    return _yuv_to_rgb(Y, _upsample_plane(U, h, w), _upsample_plane(V, h, w))

@@ -785,9 +785,11 @@ def test_webp_meta_prefix_groups_roundtrip():
             == img[:4, :4]).all()
 
 
-def test_webp_lossy_and_corrupt_stay_gated():
-    """Lossy VP8 payloads raise NotImplementedError (env gate — needs
-    Pillow/libwebp); corrupt containers/bitstreams raise ValueError."""
+def test_webp_corrupt_fails_loudly():
+    """Lossy VP8 and animation now decode (multimodal.vp8,
+    decode_webp_frames; see test_vp8_lossy.py); corrupt containers,
+    bare/truncated ANMF chunks, and truncated lossy payloads raise
+    ValueError."""
     import struct
 
     import numpy as np
@@ -798,10 +800,18 @@ def test_webp_lossy_and_corrupt_stay_gated():
         encode_webp_lossless,
     )
 
+    # an ANMF chunk without the VP8X/ANIM preamble is malformed
+    anim = b"ANMF" + struct.pack("<I", 4) + b"\x00" * 4
+    riff = b"WEBP" + anim
+    blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(ValueError):
+        decode_webp(blob)
+
+    # truncated lossy payload fails loudly, not silently
     lossy = b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
     riff = b"WEBP" + lossy
     blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
-    with pytest.raises(NotImplementedError, match="lossy"):
+    with pytest.raises(ValueError):
         decode_webp(blob)
 
     with pytest.raises(ValueError):
