@@ -49,6 +49,11 @@ FIXTURES = {
     "lossy_alpha_q70.webp": (
         (48, 64, 4),
         "2bce5c18b5567ca61bc58657ded73358c43b87dd3ea3aad0ac7444b60c3f101d"),
+    # mb_no_coeff_skip stream: 29/36 MBs skipped (exercises the skip
+    # bits + the Y2 context-preservation rule for adjacent B_PRED MBs)
+    "lossy_skip_q40.webp": (
+        (96, 96, 3),
+        "54d45dfcd2472b4e846605614e122e60a1ae924e991ff4659ad553e18f174ef9"),
 }
 
 
