@@ -5,10 +5,11 @@ baseline+progressive JPEG (``multimodal.jpeg`` — a pure-numpy T.81
 codec), GIF, and both WebP flavors (``multimodal.vp8l`` lossless,
 ``multimodal.vp8`` lossy intra-frame — the latter verified bit-exact
 against libwebp) are fully decodable with ``zlib``/``struct``/``wave``
-+ numpy — so the decode/resize stages in ``multimodal.ops`` are REAL
-for these formats; only codecs that require external libraries
-(animated WebP, arithmetic JPEG, MP3, H.264, …) remain env-gated
-behind NotImplementedError.
++ numpy — and arithmetic-coded JPEG, sequential and progressive
+(``multimodal.jpeg_arith``, QM-coder), decodes too — so the
+decode/resize stages in ``multimodal.ops`` are REAL for these formats;
+only codecs that require external libraries (lossless JPEG, MP3,
+H.264, …) remain env-gated behind NotImplementedError.
 
 Throughput note: these codecs favor clarity over speed (the PNG unfilter
 walks filtered rows byte-wise); at production scale swap the per-blob

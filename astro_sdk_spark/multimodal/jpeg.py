@@ -14,9 +14,16 @@ fixtures with. Progressive coefficient transport is lossless relative
 to baseline (same quantized DCT coefficients, reorganized), so the
 round-trip tests pin decode(progressive) == decode(baseline) EXACTLY.
 
-Arithmetic coding, 12-bit precision, and hierarchical mode remain
-honestly gated behind NotImplementedError; swap in Pillow/turbojpeg
-for those via the same per-blob function contract.
+ARITHMETIC-coded JPEG — sequential (SOF9) and progressive (SOF10),
+Annex F QM-coder — decodes via ``multimodal.jpeg_arith`` under the
+same exactness bar: an arithmetic encode carries the same quantized
+coefficients as its Huffman twin, so decode(SOF9/SOF10) ==
+decode(SOF0) byte-for-byte (pinned against live libjpeg encodes in
+tests/test_jpeg_arith.py). Every DCT-based T.81 process decodes here.
+
+Lossless mode, 12-bit precision, and hierarchical mode remain honestly
+gated behind NotImplementedError; swap in Pillow/turbojpeg for those
+via the same per-blob function contract.
 
 Performance note: the Huffman entropy loop is Python-level (the DCT/color
 math is vectorized numpy). That is fine for the metadata/feature passes
@@ -224,11 +231,13 @@ def _extend(v: int, t: int) -> int:
 def decode_jpeg(blob: bytes) -> np.ndarray:
     """JPEG → (H, W, C) uint8 (C = 1 grayscale or 3 RGB).
 
-    Supports SOF0/SOF1 (baseline/extended sequential) and SOF2
+    Supports SOF0/SOF1 (baseline/extended sequential), SOF2
     (progressive: spectral selection + successive approximation, DC/AC
-    first and refinement scans, EOB runs) with any sampling factors,
-    multiple DQT/DHT segments, and DRI/RSTn restarts. Arithmetic/
-    lossless/hierarchical SOFs raise NotImplementedError."""
+    first and refinement scans, EOB runs), and SOF9 (sequential with
+    arithmetic coding — see ``multimodal.jpeg_arith``) with any
+    sampling factors, multiple DQT/DHT segments, DAC conditioning, and
+    DRI/RSTn restarts. Progressive-arithmetic/lossless/hierarchical
+    SOFs raise NotImplementedError."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -238,6 +247,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     w = h = 0
     restart_interval = 0
     progressive = False
+    arith = False
+    dc_cond: dict[int, tuple] = {}  # DAC conditioning: tbl -> (L, U)
+    ac_cond: dict[int, int] = {}  # tbl -> Kx
     prog: dict | None = None  # coefficient state across progressive scans
     pos = 2
     while pos + 4 <= len(blob):
@@ -275,33 +287,48 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     bits, values
                 )
                 sp += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # seq/prog ×huf/arith
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("jpeg: only 8-bit precision")
-            progressive = marker == 0xC2
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"jpeg: SOF marker 0x{marker:02X} (arithmetic/lossless/"
-                "hierarchical) not supported by the built-in codec — "
-                "use Pillow"
+                f"jpeg: SOF marker 0x{marker:02X} (lossless/hierarchical) "
+                "not supported by the built-in codec — use Pillow"
             )
+        elif marker == 0xCC:  # DAC — arithmetic conditioning
+            sp = 0
+            while sp + 1 < len(seg):
+                tc, tb = seg[sp] >> 4, seg[sp] & 0x0F
+                cs = seg[sp + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 15, cs >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = cs  # Kx
+                sp += 2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             if progressive:
                 if prog is None:
                     prog = _init_prog_state(comps, w, h)
-                pos = _decode_prog_scan(
-                    blob, pos + 2 + seglen, seg, comps, prog,
-                    dc_tabs, ac_tabs, restart_interval,
-                )
+                if arith:
+                    pos = _decode_prog_scan_arith(
+                        blob, pos + 2 + seglen, seg, comps, prog,
+                        restart_interval, dc_cond, ac_cond,
+                    )
+                else:
+                    pos = _decode_prog_scan(
+                        blob, pos + 2 + seglen, seg, comps, prog,
+                        dc_tabs, ac_tabs, restart_interval,
+                    )
                 continue
             ns = seg[0]
             if ns != len(comps):
@@ -320,6 +347,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     {**comp, "dc": tdta >> 4, "ac": tdta & 0x0F}
                 )
             data_start = pos + 2 + seglen
+            if arith:
+                return _decode_scan_arith(
+                    blob, data_start, w, h, scan, qt, restart_interval,
+                    dc_cond, ac_cond,
+                )
             return _decode_scan(
                 blob, data_start, w, h, scan, qt, dc_tabs, ac_tabs,
                 restart_interval,
@@ -378,6 +410,70 @@ def _decode_scan(blob, pos, w, h, scan, qt, dc_tabs, ac_tabs, dri):
                     x0 = (mx * c["h"] + bx) * 8
                     planes[ci][y0:y0 + 8, x0:x0 + 8] = px
     return _finish_image(scan, planes, w, h, hmax, vmax)
+
+
+def _decode_scan_arith(blob, pos, w, h, scan, qt, dri, dc_cond, ac_cond):
+    """Sequential arithmetic-coded scan (SOF9): same MCU geometry and
+    reconstruction as _decode_scan, entropy layer from jpeg_arith."""
+    from astro_sdk_spark.multimodal.jpeg_arith import ArithEntropy
+
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        for c in scan
+    ]
+    ent = ArithEntropy(blob, pos, len(scan), dc_cond, ac_cond)
+    n_rst = 0
+    for m in range(mcux * mcuy):
+        if dri and m and m % dri == 0:
+            mk, resume = _arith_restart_pos(blob, ent)
+            if mk != 0xD0 + n_rst:
+                raise ValueError(
+                    f"jpeg: expected RST{n_rst}, found 0x{mk:02X}"
+                )
+            n_rst = (n_rst + 1) & 7
+            ent.restart(resume)
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(scan):
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[0] = ent.decode_dc(ci, c["dc"])
+                    ent.decode_ac(c["ac"], coef)
+                    block = np.zeros(64, dtype=np.float64)
+                    block[ZIGZAG] = coef
+                    block = block.reshape(8, 8) * qt[c["tq"]]
+                    px = _idct(block) + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+    return _finish_image(scan, planes, w, h, hmax, vmax)
+
+
+def _arith_restart_pos(blob, ent):
+    """Locate the restart marker at an interval boundary. The QM
+    decoder may already have run into it (recorded marker, bp at the
+    marker byte) or may not have consumed that far yet — in the latter
+    case skip remaining entropy bytes (0xFF00 pairs included) up to the
+    next real marker. Returns (marker, position after it)."""
+    dec = ent.dec
+    if dec.marker is not None:
+        return dec.marker, dec.bp + 1
+    i = dec.bp
+    while i + 1 < len(blob):
+        if blob[i] != 0xFF:
+            i += 1
+            continue
+        j = i + 1
+        while j < len(blob) and blob[j] == 0xFF:
+            j += 1
+        if j < len(blob) and blob[j] != 0:
+            return blob[j], j + 1
+        i = j + 1  # 0xFF00 stuffed pair: entropy data, keep scanning
+    raise ValueError("jpeg: missing restart marker")
 
 
 def _finish_image(comps, planes, w, h, hmax, vmax) -> np.ndarray:
@@ -467,6 +563,89 @@ def _decode_prog_scan(blob, data_start, seg, comps, prog,
         )
     # skip pad bits / stray restarts up to the next true marker
     p = reader.pos
+    while p + 1 < len(blob):
+        b2 = blob[p + 1]
+        if blob[p] == 0xFF and b2 != 0x00 and not (0xD0 <= b2 <= 0xD7):
+            return p
+        p += 1
+    return p
+
+
+def _decode_prog_scan_arith(blob, data_start, seg, comps, prog, dri,
+                            dc_cond, ac_cond) -> int:
+    """One progressive arithmetic-coded scan (SOF10, T.81 §G with Annex
+    F entropy): DC first/refinement over the interleaved MCU grid, AC
+    first/refinement over one component's blocks. Statistics and
+    decoder registers reset per scan and at every restart marker."""
+    from astro_sdk_spark.multimodal.jpeg_arith import ArithEntropy
+
+    ns = seg[0]
+    members = []
+    for i in range(ns):
+        cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+        ci = next(j for j, c in enumerate(comps) if c["id"] == cs)
+        members.append((ci, tdta >> 4, tdta & 0x0F))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+    ent = ArithEntropy(blob, data_start, len(comps), dc_cond, ac_cond)
+    mcux, mcuy = prog["mcux"], prog["mcuy"]
+    n_rst = 0
+
+    def handle_restart(m):
+        nonlocal n_rst
+        if dri and m and m % dri == 0:
+            mk, resume = _arith_restart_pos(blob, ent)
+            if mk != 0xD0 + n_rst:
+                raise ValueError(
+                    f"jpeg: expected RST{n_rst}, found 0x{mk:02X}"
+                )
+            n_rst = (n_rst + 1) & 7
+            ent.restart(resume)
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("jpeg: DC scan with Se != 0")
+        interleaved = len(members) > 1
+        if interleaved:
+            units = mcux * mcuy
+        else:
+            bh, bw_ = prog["nblocks"][members[0][0]]
+            units = bh * bw_
+        for m in range(units):
+            handle_restart(m)
+            for (ci, td, _ta) in members:
+                c = comps[ci]
+                if interleaved:
+                    my, mx = divmod(m, mcux)
+                    blocks = [(my * c["v"] + by, mx * c["h"] + bx)
+                              for by in range(c["v"]) for bx in range(c["h"])]
+                else:
+                    blocks = [divmod(m, prog["nblocks"][ci][1])]
+                for (y, x) in blocks:
+                    coef = prog["coefs"][ci][y, x]
+                    if ah == 0:
+                        coef[0] = ent.decode_dc(ci, td) << al
+                    elif ent.decode_dc_refine():
+                        coef[0] |= 1 << al
+    else:  # AC scan: one component
+        if ns != 1:
+            raise ValueError("jpeg: progressive AC scan must be 1-component")
+        ci, _td, ta = members[0]
+        bh, bw_ = prog["nblocks"][ci]
+        arr = prog["coefs"][ci]
+        for m in range(bh * bw_):
+            handle_restart(m)
+            by, bx = divmod(m, bw_)
+            if ah == 0:
+                ent.decode_ac_first(ta, arr[by, bx], ss, se, al)
+            else:
+                ent.decode_ac_refine(ta, arr[by, bx], ss, se, al)
+
+    # position of the next true marker after this scan's data
+    dec = ent.dec
+    if dec.marker is not None and not (0xD0 <= dec.marker <= 0xD7):
+        return dec.bp - 1
+    p = dec.bp
     while p + 1 < len(blob):
         b2 = blob[p + 1]
         if blob[p] == 0xFF and b2 != 0x00 and not (0xD0 <= b2 <= 0xD7):

@@ -377,18 +377,21 @@ def test_jpeg_progressive_undefined_huffman_table_is_valueerror():
             decode_jpeg(bytes(bad))
 
 
-def test_jpeg_arithmetic_still_gated():
+def test_jpeg_lossless_still_gated():
+    """Both arithmetic DCT processes (SOF9/SOF10) decode now
+    (test_jpeg_arith.py); lossless (SOF3) and hierarchical stay
+    gated."""
     import struct
 
     import pytest
 
     from astro_sdk_spark.multimodal.jpeg import decode_jpeg
 
-    sof9 = struct.pack(">BBHBHHB", 0xFF, 0xC9, 11, 8, 1, 1, 1) + bytes(
+    sof3 = struct.pack(">BBHBHHB", 0xFF, 0xC3, 11, 8, 1, 1, 1) + bytes(
         [1, 0x11, 0]
     )
     with pytest.raises(NotImplementedError, match="SOF"):
-        decode_jpeg(b"\xff\xd8" + sof9 + b"\xff\xd9")
+        decode_jpeg(b"\xff\xd8" + sof3 + b"\xff\xd9")
 
 
 def test_jpeg_sniff_and_batch_decode(spark, tmp_path):

@@ -53,13 +53,13 @@ def media_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("media")
     (d / "a.png").write_bytes(_tiny_png())
     (d / "b.wav").write_bytes(_tiny_wav())
-    # arithmetic-coded JPEG stub: SOI + SOF9 — the variant the built-in
-    # codec legitimately still gates (baseline AND progressive .jpg now
-    # decode for real)
-    sof9 = struct.pack(">BBHBHHB", 0xFF, 0xC9, 11, 8, 1, 1, 1) + bytes(
+    # lossless-JPEG stub: SOI + SOF3 — the variant the built-in codec
+    # legitimately still gates (baseline, progressive, AND arithmetic
+    # .jpg now decode for real)
+    sof3 = struct.pack(">BBHBHHB", 0xFF, 0xC3, 11, 8, 1, 1, 1) + bytes(
         [1, 0x11, 0]
     )
-    (d / "c.jpg").write_bytes(b"\xff\xd8" + sof9 + b"\xff\xd9")
+    (d / "c.jpg").write_bytes(b"\xff\xd8" + sof3 + b"\xff\xd9")
     (d / "d.mp4").write_bytes(b"\x00\x00\x00\x18ftypmp42" + bytes(range(256)))
     return str(d)
 
@@ -144,8 +144,8 @@ def test_resize_real_png_reencode(spark, media_dir):
 def test_resize_passthrough_for_unsupported(spark, media_dir):
     mt = media_table_from_files(spark, media_dir + "/*.jpg")
     row = resize_images(mt, 32, 32, on_unsupported="passthrough").collect()[0]
-    # the fixture is the arithmetic-JPEG stub — gated, passed through
-    assert bytes(row.content).startswith(b"\xff\xd8\xff\xc9")
+    # the fixture is the lossless-JPEG stub — gated, passed through
+    assert bytes(row.content).startswith(b"\xff\xd8\xff\xc3")
 
 
 def test_frame_sample_explodes_rows(spark, media_dir):
