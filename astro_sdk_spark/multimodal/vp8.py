@@ -818,25 +818,88 @@ def _simple_line(seq, edge_limit):
             _c128(qs0 - f1) + 128, q1, seq[6], seq[7])
 
 
+def _c128v(v):
+    return np.clip(v, -128, 127)
+
+
+def _filter_lines_vec(seq, interior, edge_limit, hev_t, mb_edge, simple):
+    """Vectorized line filter: seq is (N, 8) int32 [p3..q3] per line.
+    Returns the filtered (N, 8) array — same arithmetic as the scalar
+    spec transcription, all branches folded into masks."""
+    p3, p2, p1, p0 = seq[:, 0], seq[:, 1], seq[:, 2], seq[:, 3]
+    q0, q1, q2, q3 = seq[:, 4], seq[:, 5], seq[:, 6], seq[:, 7]
+    if simple:
+        mask = (np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2) <= edge_limit
+        ps1, ps0, qs0, qs1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
+        a = _c128v(_c128v(ps1 - qs1) + 3 * (qs0 - ps0))
+        f1 = _c128v(a + 4) >> 3
+        f2 = _c128v(a + 3) >> 3
+        out = seq.copy()
+        out[:, 3] = np.where(mask, _c128v(ps0 + f2) + 128, p0)
+        out[:, 4] = np.where(mask, _c128v(qs0 - f1) + 128, q0)
+        return out
+    mask = ((np.abs(p3 - p2) <= interior) & (np.abs(p2 - p1) <= interior)
+            & (np.abs(p1 - p0) <= interior) & (np.abs(q1 - q0) <= interior)
+            & (np.abs(q2 - q1) <= interior) & (np.abs(q3 - q2) <= interior)
+            & ((np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2) <= edge_limit))
+    hev = (np.abs(p1 - p0) > hev_t) | (np.abs(q1 - q0) > hev_t)
+    ps2, ps1, ps0 = p2 - 128, p1 - 128, p0 - 128
+    qs0, qs1, qs2 = q0 - 128, q1 - 128, q2 - 128
+    out = seq.copy()
+    if not mb_edge:
+        a = _c128v(np.where(hev, _c128v(ps1 - qs1), 0) + 3 * (qs0 - ps0))
+        f1 = _c128v(a + 4) >> 3
+        f2 = _c128v(a + 3) >> 3
+        n_q0 = _c128v(qs0 - f1) + 128
+        n_p0 = _c128v(ps0 + f2) + 128
+        a2 = (f1 + 1) >> 1
+        n_q1 = np.where(hev, q1, _c128v(qs1 - a2) + 128)
+        n_p1 = np.where(hev, p1, _c128v(ps1 + a2) + 128)
+        out[:, 2] = np.where(mask, n_p1, p1)
+        out[:, 3] = np.where(mask, n_p0, p0)
+        out[:, 4] = np.where(mask, n_q0, q0)
+        out[:, 5] = np.where(mask, n_q1, q1)
+        return out
+    filt = _c128v(_c128v(ps1 - qs1) + 3 * (qs0 - ps0))
+    w = np.where(hev, filt, 0)
+    f1 = _c128v(w + 4) >> 3
+    f2 = _c128v(w + 3) >> 3
+    hev_q0 = _c128v(qs0 - f1) + 128
+    hev_p0 = _c128v(ps0 + f2) + 128
+    fn = np.where(hev, 0, filt)
+    u27 = _c128v((27 * fn + 63) >> 7)
+    u18 = _c128v((18 * fn + 63) >> 7)
+    u9 = _c128v((9 * fn + 63) >> 7)
+    n_q0 = np.where(hev, hev_q0, _c128v(qs0 - u27) + 128)
+    n_p0 = np.where(hev, hev_p0, _c128v(ps0 + u27) + 128)
+    n_q1 = np.where(hev, q1, _c128v(qs1 - u18) + 128)
+    n_p1 = np.where(hev, p1, _c128v(ps1 + u18) + 128)
+    n_q2 = np.where(hev, q2, _c128v(qs2 - u9) + 128)
+    n_p2 = np.where(hev, p2, _c128v(ps2 + u9) + 128)
+    out[:, 1] = np.where(mask, n_p2, p2)
+    out[:, 2] = np.where(mask, n_p1, p1)
+    out[:, 3] = np.where(mask, n_p0, p0)
+    out[:, 4] = np.where(mask, n_q0, q0)
+    out[:, 5] = np.where(mask, n_q1, q1)
+    out[:, 6] = np.where(mask, n_q2, q2)
+    return out
+
+
 def _filter_edge(plane, x, y, length, vertical, interior, edge_limit,
                  hev_t, mb_edge, simple):
-    """Filter one edge of ``length`` lines. vertical=True means the edge
-    runs vertically at column x (lines are horizontal pixel runs)."""
-    for k in range(length):
-        if vertical:
-            seq = [int(v) for v in plane[y + k, x - 4:x + 4]]
-        else:
-            seq = [int(v) for v in plane[y - 4:y + 4, x + k]]
-        out = _simple_line(seq, edge_limit) if simple else _normal_line(
-            seq, interior, edge_limit, hev_t, mb_edge
-        )
-        if out is None:
-            continue
-        arr = np.array(out, np.uint8)
-        if vertical:
-            plane[y + k, x - 4:x + 4] = arr
-        else:
-            plane[y - 4:y + 4, x + k] = arr
+    """Filter one edge of ``length`` lines (vectorized across lines).
+    vertical=True means the edge runs vertically at column x (lines are
+    horizontal pixel runs)."""
+    if vertical:
+        seq = plane[y:y + length, x - 4:x + 4].astype(np.int32)
+    else:
+        seq = plane[y - 4:y + 4, x:x + length].T.astype(np.int32)
+    out = _filter_lines_vec(seq, interior, edge_limit, hev_t, mb_edge,
+                            simple)
+    if vertical:
+        plane[y:y + length, x - 4:x + 4] = out.astype(np.uint8)
+    else:
+        plane[y - 4:y + 4, x:x + length] = out.T.astype(np.uint8)
 
 
 def _mb_filter_level(f, i: int) -> int:

@@ -516,3 +516,27 @@ def test_animated_webp_frame_sampling_pipeline(spark, tmp_path):
         sampled.selectExpr("path", "frame as content")
     ).collect()
     assert {(d.width, d.height) for d in dec} == {(cw, ch)}
+
+
+def test_loop_filter_vectorization_matches_scalar():
+    """The vectorized line filter must agree with the scalar spec
+    transcription on every line — random and smooth, all three filter
+    kinds, multiple limit sets."""
+    import astro_sdk_spark.multimodal.vp8 as V
+
+    rng = np.random.default_rng(1)
+    for simple in (False, True):
+        for mb_edge in (False, True):
+            seqs = rng.integers(0, 256, (200, 8)).astype(np.int32)
+            seqs[100:] = np.clip(
+                seqs[100:, :1] + rng.integers(-6, 6, (100, 8)), 0, 255
+            )
+            for il, el, t in ((1, 10, 0), (3, 30, 1), (9, 60, 2)):
+                vec = V._filter_lines_vec(seqs, il, el, t, mb_edge, simple)
+                for i in range(200):
+                    seq = [int(v) for v in seqs[i]]
+                    ref = (V._simple_line(seq, el) if simple
+                           else V._normal_line(seq, il, el, t, mb_edge))
+                    exp = list(ref) if ref is not None else seq
+                    assert exp == [int(v) for v in vec[i]], (
+                        simple, mb_edge, il, el, t, i)
