@@ -819,7 +819,9 @@ def _simple_line(seq, edge_limit):
 
 
 def _c128v(v):
-    return np.clip(v, -128, 127)
+    # np.minimum/np.maximum directly: ~3x cheaper than np.clip's
+    # wrapper dispatch on the tiny per-edge arrays this path works on
+    return np.maximum(np.minimum(v, 127), -128)
 
 
 def _filter_lines_vec(seq, interior, edge_limit, hev_t, mb_edge, simple):
