@@ -188,8 +188,8 @@ def sniff_image(blob: bytes) -> str | None:
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
     """JPEG → (H, W, C) uint8; see ``multimodal.jpeg`` (pure numpy T.81
-    codec: baseline SOF0/1 AND progressive SOF2 — arithmetic/lossless
-    raise NotImplementedError)."""
+    codec: baseline SOF0/1, progressive SOF2, arithmetic SOF9/SOF10 —
+    lossless/hierarchical raise NotImplementedError)."""
     from astro_sdk_spark.multimodal.jpeg import decode_jpeg as _dec
 
     return _dec(blob)
@@ -283,6 +283,106 @@ def decode_gif(blob: bytes) -> np.ndarray:
             frame = canvas
         return np.ascontiguousarray(frame)
     raise ValueError("gif: no image data")
+
+
+def decode_gif_frames(blob: bytes):
+    """Animated (or still) GIF → (frames, delays_ms): composited
+    (H, W, 4) canvases per the GIF89a model — graphic-control disposal
+    (keep / restore-to-background / restore-to-previous), per-frame
+    transparency, local palettes, interlace. Mirrors
+    ``vp8l.decode_webp_frames``; restore-to-background clears to fully
+    transparent (the modern-decoder convention rather than the literal
+    background index)."""
+    blob = bytes(blob)
+    if blob[:4] != b"GIF8" or blob[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh = struct.unpack("<HH", blob[6:10])
+    packed = blob[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(blob[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((sh, sw, 4), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    transparent = None
+    delay_cs = 0
+    disposal = 0
+    while pos < len(blob):
+        b = blob[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = blob[pos + 1]
+            pos += 2
+            if label == 0xF9 and blob[pos] >= 4:  # graphic control
+                flags = blob[pos + 1]
+                delay_cs = blob[pos + 2] | (blob[pos + 3] << 8)
+                disposal = (flags >> 2) & 0x07
+                transparent = blob[pos + 4] if flags & 0x01 else None
+            while blob[pos]:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{b:02X}")
+        ix, iy, iw, ih = struct.unpack("<HHHH", blob[pos + 1:pos + 9])
+        ipacked = blob[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(blob[pos:pos + 3 * n],
+                                dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("gif: no palette")
+        interlaced = bool(ipacked & 0x40)
+        min_code = blob[pos]
+        pos += 1
+        data = bytearray()
+        while blob[pos]:
+            ln = blob[pos]
+            data += blob[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        indices = _lzw_decode(bytes(data), min_code, iw * ih)
+        idx = np.asarray(indices[: iw * ih], dtype=np.int32).reshape(ih, iw)
+        if interlaced:
+            out = np.empty_like(idx)
+            rows = (
+                list(range(0, ih, 8)) + list(range(4, ih, 8))
+                + list(range(2, ih, 4)) + list(range(1, ih, 2))
+            )
+            for src_r, dst_r in enumerate(rows):
+                out[dst_r] = idx[src_r]
+            idx = out
+        if ix + iw > sw or iy + ih > sh:
+            raise ValueError("gif: frame rectangle outside logical screen")
+        prev = canvas.copy() if disposal == 3 else None
+        rgb = pal[np.clip(idx, 0, len(pal) - 1)]
+        region = canvas[iy:iy + ih, ix:ix + iw]
+        if transparent is not None:
+            opaque = idx != transparent
+            region[opaque, :3] = rgb[opaque]
+            region[opaque, 3] = 255
+        else:
+            region[..., :3] = rgb
+            region[..., 3] = 255
+        frames.append(canvas.copy())
+        delays.append(delay_cs * 10)
+        if disposal == 2:  # restore to background
+            canvas[iy:iy + ih, ix:ix + iw] = 0
+        elif disposal == 3 and prev is not None:  # restore to previous
+            canvas = prev
+        transparent = None
+        delay_cs = 0
+        disposal = 0
+    if not frames:
+        raise ValueError("gif: no image data")
+    return frames, delays
 
 
 def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list[int]:

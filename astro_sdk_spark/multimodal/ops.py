@@ -346,14 +346,20 @@ def frame_sample_video(
                         idxs.append(i)
                         frames.append(blob[o : o + s])
                     continue
-                if (blob[:4] == b"RIFF" and blob[8:12] == b"WEBP"
-                        and b"ANMF" in blob):
+                anim_webp = (blob[:4] == b"RIFF" and blob[8:12] == b"WEBP"
+                             and b"ANMF" in blob)
+                anim_gif = blob[:4] == b"GIF8"
+                if anim_webp or anim_gif:
                     from astro_sdk_spark.multimodal import codecs
-                    from astro_sdk_spark.multimodal.vp8l import (
-                        decode_webp_frames,
-                    )
 
-                    composited, _durs = decode_webp_frames(blob)
+                    if anim_webp:
+                        from astro_sdk_spark.multimodal.vp8l import (
+                            decode_webp_frames,
+                        )
+
+                        composited, _durs = decode_webp_frames(blob)
+                    else:
+                        composited, _durs = codecs.decode_gif_frames(blob)
                     for i in range(0, len(composited),
                                    max(every_n, 1))[:max_frames]:
                         ids.append(pid)

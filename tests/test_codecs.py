@@ -843,3 +843,115 @@ def test_webp_sniff_and_batch_decode(spark, tmp_path):
     mt = media_table_from_files(spark, str(tmp_path) + "/*.webp")
     row = decode_image_batch(mt).collect()[0]
     assert (row.width, row.height, row.channels) == (36, 24, 3)
+
+
+def _gif_anim_bytes(sw, sh, palette, frames):
+    """Multi-frame GIF89a: frames = [(ix, iy, idx2d, transparent,
+    delay_cs, disposal), ...] — same uncompressed-LZW trick as
+    _gif_bytes, plus graphic-control extensions."""
+    import struct as _struct
+
+    import numpy as np
+
+    n = len(palette)
+    size_field = max(1, (n - 1).bit_length() - 1)
+    while (2 << size_field) < n:
+        size_field += 1
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | size_field, 0, 0])
+    for r, g, b in palette:
+        out += bytes([r, g, b])
+    out += b"\x00" * 3 * ((2 << size_field) - n)
+    min_code = max(2, size_field + 1)
+    clear, width = 1 << min_code, min_code + 1
+    for (ix, iy, idx, transparent, delay, disposal) in frames:
+        idx = np.asarray(idx)
+        h, w = idx.shape
+        flags = (disposal << 2) | (0x01 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, flags, delay & 0xFF, delay >> 8,
+                      transparent or 0, 0])
+        out += b"\x2C" + _struct.pack("<HHHH", ix, iy, w, h) + b"\x00"
+        codes = []
+        for v in idx.reshape(-1):
+            codes += [clear, int(v)]
+        codes.append(clear + 1)
+        acc = nbits = 0
+        data = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            data.append(acc & 0xFF)
+        out += bytes([min_code])
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def test_gif_animation_frames_composite():
+    """decode_gif_frames composites per GIF89a: transparent pixels keep
+    the canvas, disposal 2 clears the frame rect, disposal 3 restores
+    the pre-frame canvas; delays convert centiseconds → ms."""
+    import numpy as np
+
+    from astro_sdk_spark.multimodal.codecs import decode_gif_frames
+
+    pal = [(250, 10, 10), (10, 250, 10), (10, 10, 250), (0, 0, 0)]
+    full = np.zeros((8, 8), int)              # all red
+    patch = np.full((4, 4), 1, int)           # green patch
+    patch_t = np.array([[1, 3], [3, 1]])      # green + transparent(3)
+    frames, delays = decode_gif_frames(_gif_anim_bytes(8, 8, pal, [
+        (0, 0, full, None, 5, 0),
+        (2, 2, patch, None, 10, 3),           # restore-previous after
+        (0, 0, patch, None, 15, 2),           # clear own rect after
+        (4, 4, patch_t, 3, 20, 0),            # transparency keeps canvas
+    ]))
+    assert delays == [50, 100, 150, 200]
+    assert (frames[0][..., :3] == (250, 10, 10)).all()
+    assert (frames[0][..., 3] == 255).all()
+    # frame 1: green patch at (2,2) over red
+    assert (frames[1][2:6, 2:6, :3] == (10, 250, 10)).all()
+    assert (frames[1][0, 0, :3] == (250, 10, 10)).all()
+    # frame 2: disposal-3 restored frame 0 before drawing at (0,0)
+    assert (frames[2][0:4, 0:4, :3] == (10, 250, 10)).all()
+    assert (frames[2][2:6, 4:6, :3] == (250, 10, 10)).all()
+    # frame 3: frame 2's rect was cleared to transparent; the
+    # transparent-index pixels at (4,4) keep whatever the canvas held
+    assert (frames[3][0:4, 0:4, 3] == 0).all()
+    assert frames[3][4, 4, :3].tolist() == [10, 250, 10]
+    assert frames[3][4, 5].tolist() == list(frames[2][4, 5])
+
+
+def test_gif_animation_frame_sampling(spark, tmp_path):
+    """Animated .gif flows through frame_sample_video as composited
+    PNG frames, same contract as animated WebP and AVI."""
+    import numpy as np
+
+    from astro_sdk_spark.multimodal.codecs import (
+        decode_gif_frames,
+        decode_png,
+    )
+    from astro_sdk_spark.multimodal.ops import (
+        frame_sample_video,
+        media_table_from_files,
+    )
+
+    pal = [(i * 60 % 256, 255 - i * 60 % 256, 30) for i in range(4)]
+    frames = [(0, 0, np.full((8, 8), k, int), None, 10, 0) for k in range(4)]
+    blob = _gif_anim_bytes(8, 8, pal, frames)
+    (tmp_path / "anim.gif").write_bytes(blob)
+    mt = media_table_from_files(spark, str(tmp_path) + "/*.gif")
+    rows = sorted(frame_sample_video(mt, every_n=2, max_frames=8).collect(),
+                  key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 2]
+    ref, _d = decode_gif_frames(blob)
+    for r in rows:
+        assert np.array_equal(decode_png(bytes(r.frame)), ref[r.frame_idx])
