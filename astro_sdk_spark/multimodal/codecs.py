@@ -33,42 +33,23 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 _PNG_CTYPE = {1: 0, 3: 2, 2: 4, 4: 6}  # channels → color type
 
 
-def decode_png(blob: bytes) -> np.ndarray:
-    """PNG → (H, W, C) uint8 array. Supports 8-bit gray / gray+alpha /
-    RGB / RGBA, non-interlaced (the overwhelmingly common cases); palette
-    and 16-bit images raise."""
-    if not blob.startswith(PNG_SIG):
-        raise ValueError("not a PNG (bad signature)")
-    pos, idat, hdr = len(PNG_SIG), [], None
-    while pos + 8 <= len(blob):
-        (length,) = struct.unpack(">I", blob[pos : pos + 4])
-        typ = blob[pos + 4 : pos + 8]
-        data = blob[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # len + type + data + crc
-        if typ == b"IHDR":
-            hdr = struct.unpack(">IIBBBBB", data)
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-    if hdr is None or not idat:
-        raise ValueError("truncated PNG (missing IHDR/IDAT)")
-    w, h, depth, ctype, _comp, _filt, interlace = hdr
-    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"PNG depth={depth} ctype={ctype} interlace={interlace} "
-            "not supported by the built-in codec (needs Pillow)"
-        )
-    ch = _PNG_CHANNELS[ctype]
+# Adam7 interlace passes: (x0, y0, dx, dy)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_unfilter(raw: bytes, p: int, w: int, h: int, ch: int) -> tuple:
+    """Recover one (sub-)image's scanlines starting at byte offset p;
+    returns ((h, w*ch) uint8 array, next offset)."""
     stride, bpp = w * ch, ch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (1 + stride):
-        raise ValueError("PNG scanline data length mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
-    p = 0
     for y in range(h):
+        if p >= len(raw):
+            raise ValueError("PNG scanline data length mismatch")
         f = raw[p]
+        if p + 1 + stride > len(raw):
+            raise ValueError("PNG scanline data length mismatch")
         line = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int32)
         p += 1 + stride
         if f == 0:  # None
@@ -94,7 +75,77 @@ def decode_png(blob: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter byte {f}")
         out[y] = cur
         prev = cur
-    return out.reshape(h, w, ch)
+    return out, p
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """PNG → (H, W, C) uint8 array. Supports 8-bit gray / gray+alpha /
+    RGB / RGBA, PALETTE images (PLTE + optional tRNS → RGB/RGBA), and
+    Adam7 INTERLACED streams (each pass unfiltered as its own
+    sub-image, §4.5.2/§13.? of the spec); 16-bit depth and sub-byte
+    palette depths raise."""
+    if not blob.startswith(PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, hdr = len(PNG_SIG), [], None
+    plte = trns = None
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        typ = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data[: 3 * (len(data) // 3)],
+                                 np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(data, np.uint8)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if hdr is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    w, h, depth, ctype, _comp, _filt, interlace = hdr
+    paletted = ctype == 3
+    if depth != 8 or interlace not in (0, 1) or (
+            ctype not in _PNG_CHANNELS and not paletted):
+        raise NotImplementedError(
+            f"PNG depth={depth} ctype={ctype} interlace={interlace} "
+            "not supported by the built-in codec (needs Pillow)"
+        )
+    if paletted and plte is None:
+        raise ValueError("paletted PNG without PLTE chunk")
+    ch = 1 if paletted else _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        out, p = _png_unfilter(raw, 0, w, h, ch)
+        if p != len(raw):
+            raise ValueError("PNG scanline data length mismatch")
+        img = out.reshape(h, w, ch)
+    else:
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        p = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, p = _png_unfilter(raw, p, pw, ph, ch)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        if p != len(raw):
+            raise ValueError("PNG scanline data length mismatch")
+    if paletted:
+        idx = img[..., 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(256, 255, np.uint8)
+            alpha[: len(trns)] = trns
+            return np.ascontiguousarray(np.dstack([rgb, alpha[idx]]))
+        return np.ascontiguousarray(rgb)
+    return img
 
 
 def encode_png(arr: np.ndarray) -> bytes:
