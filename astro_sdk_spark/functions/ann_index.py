@@ -153,6 +153,17 @@ def _read_codebooks(spark: SparkSession, name: str, meta: dict):
     return [[by_sj[(s, j)] for j in range(k)] for s in range(m)]
 
 
+def _one_slice(spark: SparkSession, rows: list):
+    """A 1-slice RDD for a tiny local row set. ``createDataFrame(list)``
+    parallelizes into defaultParallelism (~#cores) slices, so writing a
+    1-row meta table pays ~30 task commits (and 30 near-empty files —
+    guide §6 small-files on the write side); an explicit single slice
+    writes one file with one commit. (``coalesce(1)`` is NOT equivalent:
+    measured 6-8 s per tiny write on local[32] — the coalesced task's
+    scheduling stalls — vs 0.4 s for a 1-slice parallelize.)"""
+    return spark.sparkContext.parallelize(rows, 1)
+
+
 def _write_centroids(
     spark: SparkSession,
     centroids: DataFrame,
@@ -180,11 +191,14 @@ def _write_codebooks(
 ) -> None:
     pq_m, pq_k = len(codebooks), len(codebooks[0])
     df = spark.createDataFrame(
-        [
-            (s, j, [float(x) for x in codebooks[s][j]], int(gen))
-            for s in range(pq_m)
-            for j in range(pq_k)
-        ],
+        _one_slice(
+            spark,
+            [
+                (s, j, [float(x) for x in codebooks[s][j]], int(gen))
+                for s in range(pq_m)
+                for j in range(pq_k)
+            ],
+        ),
         "s int, j int, vec array<double>, gen int",
     )
     w = df.write.format("parquet")
@@ -195,14 +209,17 @@ def _write_meta_row(
     spark: SparkSession, meta_t: str, meta: dict, append: bool = False
 ) -> None:
     df = spark.createDataFrame(
-        [
-            (
-                int(meta["n_centroids"]), int(meta["dim"]),
-                int(meta["round_digits"]), meta["metric"], meta["kind"],
-                int(meta["pq_m"]), int(meta["pq_k"]),
-                int(meta["encode_round_digits"]), int(meta["generation"]),
-            )
-        ],
+        _one_slice(
+            spark,
+            [
+                (
+                    int(meta["n_centroids"]), int(meta["dim"]),
+                    int(meta["round_digits"]), meta["metric"], meta["kind"],
+                    int(meta["pq_m"]), int(meta["pq_k"]),
+                    int(meta["encode_round_digits"]), int(meta["generation"]),
+                )
+            ],
+        ),
         "n_centroids int, dim int, round_digits int, metric string, "
         "kind string, pq_m int, pq_k int, encode_round_digits int, "
         "generation int",
@@ -242,11 +259,14 @@ def build_ann_index(
     # max-generation meta row, so a read racing a retrain can never mix
     # quantizer generations — see the module docstring
     _write_centroids(spark, centroids, cent_t, id_col, vec_col, gen=0)
-    n_cent = spark.table(cent_t).count()
-    dim_row = spark.table(cent_t).select(F.size("vec").alias("d")).head()
+    # count + dim in ONE job (they were two): same scan, half the
+    # driver round-trips — build runs four sequential tiny jobs already
+    crow = spark.table(cent_t).agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("vec")).alias("d")
+    ).head()
     meta = {
-        "n_centroids": n_cent,
-        "dim": dim_row.d,
+        "n_centroids": crow.n,
+        "dim": crow.d,
         "round_digits": _ROUND_DIGITS,
         "metric": "cosine",
         "kind": "flat" if codebooks is None else "pq",
