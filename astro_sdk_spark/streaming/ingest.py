@@ -191,8 +191,12 @@ def stream_ingest_neardup(
                 ).tobytes()
             else:
                 merged = batch_bloom
+            # 1-slice parallelize: a 1-row createDataFrame(list) fans the
+            # write across ~#cores task commits (ann_index._one_slice's
+            # measured pattern) — one slice, one file, one commit
             spark.createDataFrame(
-                [(bytearray(merged),)], "bitmap binary"
+                spark.sparkContext.parallelize([(bytearray(merged),)], 1),
+                "bitmap binary",
             ).write.mode("overwrite").saveAsTable(bloom_table)
             admitted.unpersist()
         finally:
