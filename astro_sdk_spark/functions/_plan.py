@@ -28,10 +28,53 @@ no expensive expression should appear on a ``Join condition:`` line).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["nd_guard"]
+__all__ = ["nd_guard", "spread_small_scan"]
+
+# spread_small_scan fires only when the WHOLE projected input is at most
+# this many bytes per available core (Catalyst estimate): small enough
+# that the spreading shuffle is trivial, while the per-row work it
+# unlocks parallelism for (md5/regex/Arrow batches) dominates.
+_SPREAD_BYTES_PER_CORE = 4 << 20
+
+
+def spread_small_scan(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Round-robin a SMALL input across the cluster before per-row-heavy
+    expressions (sketch hashing, regex cleaning, Arrow-batched scoring).
+
+    Parquet scan parallelism is bounded by ROW GROUPS, not byte splits: a
+    table written as one row group yields exactly one non-empty scan
+    task, so every expression fused into the scan stage runs on one core
+    no matter the cluster size. For heavy per-row operators that carry no
+    downstream key to piggyback on (unlike dedup's ``_spread_by_id``,
+    whose repartition doubles as the groupBy(id) exchange), the honest
+    fix is an explicit spread — but ONLY when the input is provably small
+    (``optimizedPlan().stats().sizeInBytes()``, driver-side analysis): at
+    real scale the estimate exceeds the threshold and the plan is
+    byte-identical to the unspread one, so no full-input shuffle is ever
+    added where the data itself provides parallelism. The same
+    estimate-gated adaptivity as fuzzy's ``_volume_partitions`` — and the
+    spread width is ``defaultParallelism``, so a session on fewer cores
+    spreads proportionally less.
+
+    ``cols``: project first (guide §2.3 — shuffle only the columns the
+    heavy expression needs). Row-level results are unchanged: round-robin
+    placement only changes which task computes a row, and every caller
+    aggregates or re-sorts downstream.
+    """
+    if cols is not None:
+        df = df.select(*cols)
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 - non-classic DF; leave untouched
+        return df
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism or 1
+    if 0 < est <= cores * _SPREAD_BYTES_PER_CORE:
+        return df.repartition(cores)
+    return df
 
 
 def nd_guard(col: Column) -> Column:

@@ -78,7 +78,12 @@ def build_bloom(
     if fanin < 2:
         raise ValueError("fanin must be >= 2")
     # null keys carry SQL join semantics (never equal to anything) — they
-    # set no bits, mirroring the anti-join they stand in for
+    # set no bits, mirroring the anti-join they stand in for.
+    # (Deliberately NOT spread_small_scan'd like the other sketch builds:
+    # the builder emits one n_bits/8-byte partial bitmap PER PARTITION,
+    # so spreading a small input multiplies partial-bitmap volume through
+    # the OR-fold — measured q_bloom_dedup 1.17 s → 1.72 s. Row-group-
+    # bound scan parallelism is the cheaper side of that trade here.)
     pos_df = df.filter(F.col(key_col).isNotNull()).select(
         bit_positions(key_col, n_bits, n_hashes).alias("_pos")
     )

