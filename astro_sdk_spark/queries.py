@@ -63,6 +63,30 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from astro_sdk_spark.session import ensure_worker_imports
 
     ensure_worker_imports(spark)
+    # Reader-HANDLE registry (not result caching): ``spark.read.parquet``
+    # costs ~80 ms of driver work per call (footer/schema read + relation
+    # construction), paid on EVERY query construction although the
+    # DataFrame it returns is immutable. A catalog-registered table would
+    # get exactly this from Spark's own relation cache (spark.table());
+    # direct-path reads don't, so keep the lazy handle per
+    # (session, sf_dir, table). Every execution still scans the parquet
+    # data from disk — only the plan-node construction is reused.
+    # applicationId keys the context lifetime: a stopped-and-recreated
+    # session gets a fresh id (stale handles are never served), unlike
+    # id(spark), which the allocator may reuse after GC
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _T_READERS.get(key)
+    if cached is not None:
+        return cached
+    df = _t_uncached(spark, sf_dir, name)
+    _T_READERS[key] = df
+    return df
+
+
+_T_READERS: dict = {}
+
+
+def _t_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
