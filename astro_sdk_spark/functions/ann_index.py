@@ -257,30 +257,54 @@ def build_ann_index(
     # every table row is stamped with the index GENERATION (bumped by
     # ann_index_retrain): readers bind every scan to the single
     # max-generation meta row, so a read racing a retrain can never mix
-    # quantizer generations — see the module docstring
-    _write_centroids(spark, centroids, cent_t, id_col, vec_col, gen=0)
-    # count + dim in ONE job (they were two): same scan, half the
-    # driver round-trips — build runs four sequential tiny jobs already
-    crow = spark.table(cent_t).agg(
-        F.count(F.lit(1)).alias("n"), F.max(F.size("vec")).alias("d")
-    ).head()
-    meta = {
-        "n_centroids": crow.n,
-        "dim": crow.d,
-        "round_digits": _ROUND_DIGITS,
-        "metric": "cosine",
-        "kind": "flat" if codebooks is None else "pq",
-        "pq_m": len(codebooks) if codebooks is not None else 0,
-        "pq_k": len(codebooks[0]) if codebooks is not None else 0,
-        "encode_round_digits": (
-            -1 if encode_round_digits is None else encode_round_digits
-        ),
-        "generation": 0,
-    }
-    _write_meta_row(spark, meta_t, meta)
-    if codebooks is not None:
-        _write_codebooks(spark, codebooks, cb_t, gen=0)
-    _append_assigned(spark, corpus, name, id_col, vec_col, first=True)
+    # quantizer generations — see the module docstring.
+    #
+    # Job overlap (guide §2.6): build's tiny jobs are independent of each
+    # other except through VALUES already in driver memory — the codebook
+    # write touches only cb_t, the meta write needs only crow, and the
+    # assignment needs cent_t plus the meta/codebook VALUES (threaded
+    # through as arguments, so it never reads back the tables this very
+    # call just wrote). Submitting the independent writes from driver
+    # threads lets their task sets back-fill each other's scheduling
+    # gaps; each job's own correctness is untouched (different target
+    # tables, no shared state). Exceptions propagate via .result().
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cb_fut = (
+            pool.submit(_write_codebooks, spark, codebooks, cb_t, 0)
+            if codebooks is not None
+            else None
+        )
+        _write_centroids(spark, centroids, cent_t, id_col, vec_col, gen=0)
+        # count + dim in ONE job (they were two): same scan, half the
+        # driver round-trips
+        crow = spark.table(cent_t).agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.size("vec")).alias("d")
+        ).head()
+        meta = {
+            "n_centroids": crow.n,
+            "dim": crow.d,
+            "round_digits": _ROUND_DIGITS,
+            "metric": "cosine",
+            "kind": "flat" if codebooks is None else "pq",
+            "pq_m": len(codebooks) if codebooks is not None else 0,
+            "pq_k": len(codebooks[0]) if codebooks is not None else 0,
+            "encode_round_digits": (
+                -1 if encode_round_digits is None else encode_round_digits
+            ),
+            "generation": 0,
+        }
+        meta_fut = pool.submit(_write_meta_row, spark, meta_t, meta)
+        # the assignment encodes against the in-memory codebook VALUES,
+        # so it runs concurrently with both metadata writes
+        _append_assigned(
+            spark, corpus, name, id_col, vec_col, first=True,
+            meta=meta, codebooks=codebooks,
+        )
+        meta_fut.result()
+        if cb_fut is not None:
+            cb_fut.result()
 
 
 def ann_index_add(
@@ -310,7 +334,11 @@ def _append_assigned(
     first: bool = False,
     dedupe: bool = True,
     meta: dict | None = None,
+    codebooks=None,
 ) -> None:
+    # ``codebooks``: the in-memory [m][k][dsub] values when the caller
+    # (build) just wrote them — skips the table read-back collect; adds
+    # from a fresh session still read the stored generation-bound rows
     cent_t, lists_t, _, _ = _tables(name)
     if meta is None:
         meta = _read_meta(spark, name)
@@ -368,7 +396,8 @@ def _append_assigned(
         enc_rd = meta["encode_round_digits"]
         codes = pq_encode(
             vecs,
-            _read_codebooks(spark, name, meta),
+            codebooks if codebooks is not None
+            else _read_codebooks(spark, name, meta),
             id_col="cand_id",
             vec_col="vec",
             round_digits=None if enc_rd < 0 else enc_rd,
