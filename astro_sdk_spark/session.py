@@ -64,7 +64,7 @@ def ensure_worker_imports(spark: SparkSession) -> None:
 def _default_driver_mem() -> str:
     """Heap for the local[*] JVM (driver == all executors in local
     mode), sized to the MACHINE instead of Spark's 1g-era default:
-    ~35% of physical RAM, clamped to [8g, 64g]. An N-thread local
+    ~35% of physical RAM, clamped to [8g, 16g]. An N-thread local
     session divides execution memory across N concurrent tasks — a
     fixed 8g on a 32-thread/128 GiB box gives each task ~90 MB before
     sort spill, which is exactly where a wide similarity join's
@@ -97,7 +97,25 @@ def _default_driver_mem() -> str:
         if avail_kb is None:  # pre-3.14 kernels: conservative fallback
             avail_kb = total_kb // 2
         budget_kb = min(int(avail_kb * 0.5), int(total_kb * 0.35))
-        gb = max(8, min(64, budget_kb // (1024 * 1024)))
+        # Cap at 16g (was 64g). Measured on the 32-thread/128 GiB box —
+        # a Firecracker guest with free page reporting ("Free page
+        # reporting enabled" in dmesg): every page the guest frees is
+        # returned to the HOST, and re-touching it pays a host-side
+        # fault + zeroing. A 44g heap exposes ~11M 4 KiB pages of
+        # first-touch per session, which surfaced as random 10–130 s
+        # stime storms in allocation-heavy jobs (see -Xms note in
+        # get_session). At 16g the same workloads ran storm-free
+        # (ingest reps 4.3/2.5/3.0 s vs 31/2.7/7.9 s at 44g) and the
+        # heaviest memory consumer — the 30×-volume jaccard probe that
+        # GC-thrashed at the old fixed 8g — stays clean: x30 min-of-3
+        # 47.0 s at 16g vs 44.0 s at 44g (-7%, inside leg noise), with
+        # pagerank x30 reps TIGHTER (42.7/40.5/42.0). More heap only
+        # helps when a stage exceeds execution memory; past that it is
+        # pure first-touch/reclaim exposure on virtualized hosts.
+        # -XX:+UseTransparentHugePages was also tried and REJECTED:
+        # ingest first-rep 131 s (direct-compaction stalls under the
+        # same page-reporting regime).
+        gb = max(8, min(16, budget_kb // (1024 * 1024)))
         return f"{gb}g"
     except Exception:  # noqa: BLE001 - non-Linux / unreadable meminfo
         return "8g"
@@ -128,9 +146,31 @@ def get_session(
     if shuffle_partitions is None:
         shuffle_partitions = max(32, int(cpus) if cpus else 32)
 
+    driver_mem = _default_driver_mem()
+    # Pin the initial heap to the max (-Xms == -Xmx). Spark's launcher
+    # passes only -Xmx, so G1 grows AND SHRINKS the committed heap at
+    # runtime; every allocation-heavy job after an uncommit re-commits
+    # tens of GiB and the kernel re-zeroes those pages on first touch.
+    # Measured on the 32-thread/128 GiB box (ingest job, identical input,
+    # same session): a post-uncommit rep burned 240 s of SYSTEM time
+    # (18 cores in the kernel, wall 13–65 s, utime also inflated by the
+    # re-warm) vs stime ≈ 0 s and wall 2.3 s once the heap stays
+    # committed — a random 5–20× inflation that hit whole bench stages.
+    # With -Xms pinned the first allocation storm pays first-touch once
+    # (~7 s) and every later job runs clean. -Xms commits VIRTUAL memory
+    # only (RSS still grows on touch), so idle sessions stay small;
+    # -XX:+AlwaysPreTouch is deliberately NOT set — it would move the
+    # zeroing to JVM start and slow every short-lived session (tests).
+    # A caller-supplied spark.driver.extraJavaOptions wins on conflict.
+    driver_opts = f"-Xms{driver_mem}"
+    user_opts = (extra_conf or {}).get("spark.driver.extraJavaOptions")
+    if user_opts:
+        driver_opts = f"{driver_opts} {user_opts}"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.extraJavaOptions", driver_opts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -185,10 +225,12 @@ def get_session(
         # compile is ~70% of a cold LSH-query run. Static conf: must be
         # set before the first session is created.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
-        .config("spark.driver.memory", _default_driver_mem())
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
+        if k == "spark.driver.extraJavaOptions":
+            continue  # already merged with the -Xms pin above
         builder = builder.config(k, v)
     return builder.getOrCreate()
 
