@@ -77,32 +77,6 @@ def connected_components(
     )
 
 
-def _ckpt_keep_partitioning(df: DataFrame) -> DataFrame:
-    """``localCheckpoint`` that PRESERVES the plan's output partitioning
-    and ordering in the resulting LogicalRDD.
-
-    Under adaptive execution the checkpoint captures the
-    ``AdaptiveSparkPlanExec``'s pre-execution ``outputPartitioning`` —
-    ``UnknownPartitioning`` — so a deliberately repartitioned+sorted
-    input loses exactly the properties the repartition paid for, and
-    every downstream same-key join re-exchanges it. Disabling AQE for
-    just the checkpoint's own job keeps the classic plan, whose
-    partitioning/ordering the LogicalRDD records verbatim (verified in
-    the executed plan: the checkpoint scan joins with no Exchange/Sort).
-    The checkpoint job itself is a fixed-width repartition that AQE
-    would not have improved; the conf is restored immediately
-    (window-of-one-job trade, same device as bench.py's probe sizing).
-    """
-    spark = df.sparkSession
-    key = "spark.sql.adaptive.enabled"
-    prev = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try:
-        return df.localCheckpoint()
-    finally:
-        spark.conf.set(key, prev)
-
-
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",
@@ -147,27 +121,8 @@ def pagerank(
         raw = raw.dropDuplicates(["_s", "_d"])
     deg = raw.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     # fold the STATIC out-degree into the edge table once — the naive
-    # loop re-joins deg every round, paying an extra shuffle × iters.
-    # Hash-partition AND sort the edges by the join key BEFORE the
-    # checkpoint (guide §2.4 — share one exchange across same-keyed
-    # operations): the checkpointed LogicalRDD preserves the physical
-    # plan's outputPartitioning/outputOrdering, so every round's
-    # e ⋈ pr sort-merge join finds its left side already distributed
-    # and sorted on ``_s`` — zero Exchange, zero Sort on the edge side
-    # in the executed plan (vs one of each per round before), and the
-    # contrib aggregate's own hashpartitioning then feeds the next
-    # round's join for free. Only the (one-row-per-node, small) rank
-    # side pays a sort per round. Valid at any scale: unlike a
-    # broadcast of the ranks, this never assumes the node set fits in
-    # memory.
-    n_parts = int(
-        spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    e = _ckpt_keep_partitioning(
-        raw.join(deg, "_s")
-        .repartition(n_parts, "_s")
-        .sortWithinPartitions("_s")
-    )
+    # loop re-joins deg every round, paying an extra shuffle × iters
+    e = raw.join(deg, "_s").localCheckpoint()
     # id read from the checkpointed DF itself — a global set diff races
     # with concurrent queries' checkpoints (see _cache.checkpoint_rdd_ids)
     _edge_ckpt = checkpoint_rdd_ids(e)
@@ -210,10 +165,7 @@ def pagerank(
             ).alias("_pr"),
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
-            # keep the aggregate's hashpartitioning across the checkpoint:
-            # the next round's join key (_s after the rename) is the same
-            # attribute, so the preserved partitioning saves pr's exchange
-            pr = _ckpt_keep_partitioning(pr)
+            pr = pr.localCheckpoint()
             new_ckpt = checkpoint_rdd_ids(pr)
             if prev_ckpt:
                 unpersist_rdd_ids(spark, prev_ckpt)
