@@ -121,6 +121,31 @@ def _default_driver_mem() -> str:
         return "8g"
 
 
+def _driver_java_options(driver_mem: str) -> str:
+    """Driver JVM options derived from the memory sizing plus the
+    opt-in pre-touch knob.
+
+    ``SPARK_GRAFT_PRETOUCH=1`` adds ``-XX:+AlwaysPreTouch``: with the
+    heap pinned (-Xms == -Xmx) the pages are still only COMMITTED, not
+    touched — a query whose allocations walk into virgin heap regions
+    pays the kernel's first-touch zeroing mid-query, and on a
+    virtualized host that has reclaimed the pages (free-page reporting)
+    the fault cost explodes. Measured on the 32-thread box while
+    reproducing the bench's residual storm reps: an untouched-heap rep
+    of q_embedding_neardup burned 324 s of SYSTEM time + 61 s of steal
+    across 1.4 M page faults (wall 14.8 s for a 2.3 s query); with
+    pre-touch, six consecutive reps ran 1.3–3.2 s with stime ≤ 4 s and
+    zero steal. The trade is ~20–25 s of one-time zeroing at JVM start,
+    which is why this is OPT-IN: long-lived measurement/serving
+    sessions (bench.py, tools/*) enable it and amortize the start-up
+    across hundreds of queries; the test suite's many short-lived
+    sessions keep the lazy default."""
+    opts = f"-Xms{driver_mem}"
+    if os.environ.get("SPARK_GRAFT_PRETOUCH", "") in ("1", "true", "yes"):
+        opts += " -XX:+AlwaysPreTouch"
+    return opts
+
+
 def get_session(
     app_name: str = "astro_sdk_spark",
     master: str | None = None,
@@ -159,10 +184,15 @@ def get_session(
     # With -Xms pinned the first allocation storm pays first-touch once
     # (~7 s) and every later job runs clean. -Xms commits VIRTUAL memory
     # only (RSS still grows on touch), so idle sessions stay small;
-    # -XX:+AlwaysPreTouch is deliberately NOT set — it would move the
-    # zeroing to JVM start and slow every short-lived session (tests).
+    # -XX:+AlwaysPreTouch is NOT set by default — it would move the
+    # zeroing to JVM start and slow every short-lived session (tests) —
+    # but long-lived sessions should set SPARK_GRAFT_PRETOUCH=1 (see
+    # _driver_java_options): on a virtualized host that reclaims free
+    # pages, lazily-touched heap regions re-fault at catastrophic cost
+    # mid-query (measured 324 s stime in one rep), and pre-touching at
+    # start-up is the standard big-heap production remedy.
     # A caller-supplied spark.driver.extraJavaOptions wins on conflict.
-    driver_opts = f"-Xms{driver_mem}"
+    driver_opts = _driver_java_options(driver_mem)
     user_opts = (extra_conf or {}).get("spark.driver.extraJavaOptions")
     if user_opts:
         driver_opts = f"{driver_opts} {user_opts}"

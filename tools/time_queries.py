@@ -37,6 +37,7 @@ def main() -> None:
             names.append(args[i])
             i += 1
 
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")  # long-lived measurement session
     from astro_sdk_spark import get_session
     from astro_sdk_spark.functions._cache import (
         release_intermediates,
