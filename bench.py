@@ -79,7 +79,9 @@ def main() -> None:
     do_warm = not os.environ.get("SPARK_GRAFT_NO_WARMUP") and os.path.isdir(warm_dir)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    bench_steal0 = _steal_sec()
     timings: dict[str, float] = {}
+    steal_by_query: dict[str, float] = {}
     for name, fn in spark_queries().items():
         if do_warm:
             try:
@@ -93,12 +95,19 @@ def main() -> None:
         # successes separately and keep the min of those.
         best = None
         for _ in range(reps):
+            st0 = _steal_sec()
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
                 df.count()
                 dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+                if best is None or dt < best:
+                    best = dt
+                    st1 = _steal_sec()
+                    if st0 is not None and st1 is not None:
+                        # steal delta of the rep that PRODUCED the kept
+                        # minimum — the provenance of the reported number
+                        steal_by_query[name] = round(st1 - st0, 2)
             except Exception as e:  # noqa: BLE001
                 print(f"# bench error in {name}: {e}", file=sys.stderr)
             # Some pipelines persist small intermediates (LSH candidate
@@ -172,17 +181,25 @@ def main() -> None:
             dt = None
             rep_loads = []
             rep_secs = []
+            rep_steals = []
             ing_calib_before = _calibrate(spark)
             for _ in range(ingest_reps):
                 try:
                     rep_loads.append(round(os.getloadavg()[0], 2))
                 except OSError:
                     rep_loads.append(None)
+                st0 = _steal_sec()
                 t0 = time.perf_counter()
                 eng.read_file(
                     File(path=src, filetype=FileType.NDJSON)
                 ).write.mode("overwrite").parquet(out)
                 rep_dt = time.perf_counter() - t0
+                st1 = _steal_sec()
+                rep_steals.append(
+                    round(st1 - st0, 2)
+                    if st0 is not None and st1 is not None
+                    else None
+                )
                 rep_secs.append(round(rep_dt, 3))
                 dt = rep_dt if dt is None else min(dt, rep_dt)
             ing_calib_after = _calibrate(spark)
@@ -194,6 +211,7 @@ def main() -> None:
                 "ingest_reps": ingest_reps,
                 "ingest_rep_sec": rep_secs,
                 "ingest_rep_load_avg": rep_loads,
+                "ingest_rep_steal": rep_steals,
                 "ingest_calib": [
                     round(ing_calib_before, 3), round(ing_calib_after, 3)
                 ],
@@ -371,6 +389,12 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - probe stage is best-effort
             print(f"# bench 30x scale-probe stage error: {e}", file=sys.stderr)
 
+    bench_steal1 = _steal_sec()
+    steal_total = (
+        round(bench_steal1 - bench_steal0, 1)
+        if bench_steal0 is not None and bench_steal1 is not None
+        else None
+    )
     print(
         json.dumps(
             {
@@ -378,6 +402,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # per-query hypervisor-steal CPU-seconds during the rep
+                # whose wall time is reported in "queries" — near-zero
+                # steal = trustworthy timing; a stolen rep indicts the
+                # host, not the plan (additive keys only; the existing
+                # schema is unchanged)
+                "queries_steal": steal_by_query,
+                "steal_total_sec": steal_total,
                 "sf": sf,
                 "load_avg": load_avg,
                 "calibration_ref_sec": round(calib_ref, 3),
@@ -459,6 +490,24 @@ def _loadavg1() -> float | None:
     try:
         return round(os.getloadavg()[0], 2)
     except OSError:
+        return None
+
+
+def _steal_sec() -> float | None:
+    """Cumulative hypervisor-steal CPU-seconds (all vCPUs, /proc/stat
+    field 8). Per-rep DELTAS attribute wall-time inflation to the host:
+    the round-13 paired profiles measured rep wall tracking steal
+    rep-for-rep on identical code (12.3 s wall at 24.9 CPU-s stolen vs
+    4.9 s wall at 2.8, user CPU constant), so a rep with a near-zero
+    steal delta is a trustworthy timing and a stolen one says so itself
+    — the same in-artifact self-attribution the calibration probes give
+    heavy legs, at per-rep granularity. load_avg cannot provide this:
+    the bench's own 32 threads saturate it."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) / float(os.sysconf("SC_CLK_TCK"))
+    except Exception:  # noqa: BLE001 - non-Linux / truncated stat
         return None
 
 
@@ -680,10 +729,18 @@ def _scale_probe_stage(
                 calib_before = _calibrate(spark)
                 best = None
                 rep_secs = []
+                rep_steals = []
                 for _ in range(max(1, min_of)):
+                    st0 = _steal_sec()
                     t0 = time.perf_counter()
                     op(mk(n)).count()
                     dt = time.perf_counter() - t0
+                    st1 = _steal_sec()
+                    rep_steals.append(
+                        round(st1 - st0, 2)
+                        if st0 is not None and st1 is not None
+                        else None
+                    )
                     rep_secs.append(round(dt, 3))
                     best = dt if best is None else min(best, dt)
                     spark.catalog.clearCache()
@@ -692,6 +749,7 @@ def _scale_probe_stage(
                 calib_after = _calibrate(spark)
                 entry[label] = round(best, 3)
                 entry[f"{label}_reps"] = rep_secs
+                entry[f"{label}_steal"] = rep_steals
                 entry[f"{label}_calib"] = [
                     round(calib_before, 3), round(calib_after, 3)
                 ]

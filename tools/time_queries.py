@@ -56,6 +56,7 @@ def main() -> None:
     qs = spark_queries()
     out: dict[str, float] = {}
     rep_out: dict[str, list[float]] = {}
+    steal_out: dict[str, list] = {}
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         fn = qs[name]
@@ -68,11 +69,19 @@ def main() -> None:
         sweep_persistent_rdds(spark)
         best = None
         rl = []
+        sl = []
         for _ in range(reps):
+            st0 = bench._steal_sec()
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
+                st1 = bench._steal_sec()
+                sl.append(
+                    round(st1 - st0, 2)
+                    if st0 is not None and st1 is not None
+                    else None
+                )
                 rl.append(round(dt, 3))
                 best = dt if best is None else min(best, dt)
             except Exception as e:  # noqa: BLE001
@@ -82,9 +91,10 @@ def main() -> None:
             sweep_persistent_rdds(spark)
         out[name] = round(best, 3) if best is not None else -1.0
         rep_out[name] = rl
+        steal_out[name] = sl
     calib2 = bench._calibrate(spark)
     print(json.dumps({
-        "queries": out, "reps": rep_out,
+        "queries": out, "reps": rep_out, "steal": steal_out,
         "calib": [round(calib, 3), round(calib2, 3)],
         "load": round(os.getloadavg()[0], 2),
     }))
