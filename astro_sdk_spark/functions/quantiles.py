@@ -102,7 +102,16 @@ def quantile_sketch_query(
     the lower bound of the first bucket whose running count reaches
     ``ceil(q·N)``. The sketch is ≤ groups × range/width rows, so the
     cumsum windows run over sketch cells, never data; with ``by`` the
-    window partitions by group (no single-partition bottleneck)."""
+    window partitions by group (no single-partition bottleneck).
+
+    SINGLE PASS over the sketch for ALL quantiles: the q values are
+    exploded into the cumsum rows in-plan and each (group, q)'s answer
+    is ``min(bucket)`` over the rows that reach the rank threshold — so
+    an unmaterialized sketch expression (the common build→query chain)
+    is computed once, not once per quantile. The previous one-branch-
+    per-q union re-evaluated the entire upstream pipeline (scans
+    included) ``len(qs)`` times. ``_qi`` (the position of q in ``qs``)
+    rides along so duplicate q values still come back one row each."""
     if not qs or any(not (0.0 < q <= 1.0) for q in qs):
         raise ValueError(f"quantiles must be in (0, 1], got {qs}")
     keys = list(by or [])
@@ -112,38 +121,33 @@ def quantile_sketch_query(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     value = (F.col("bucket") * width).cast("double") / F.lit(float(scale))
-    if keys:
-        # one row per group — no constant size bound under a
-        # high-cardinality ``by``, so no broadcast hint: AQE broadcasts
-        # at runtime when the actual group count is small. The join is
-        # NULL-SAFE on the group columns: build/merge keep NULL group
-        # values as their own group, so the totals join must reach them.
-        totals = sketch.groupBy(*keys).agg(F.sum("n").alias("_total"))
-        cums = sketch.select(*keys, "bucket", F.sum("n").over(w).alias("_cum"))
-        cond = [cums[g].eqNullSafe(totals[g]) for g in keys]
-        cum = cums.join(totals, cond).select(
-            *[cums[g] for g in keys], "bucket", "_cum", "_total"
-        )
-        wpick = Window.partitionBy(*keys).orderBy("bucket")
-        picks = [
-            cum.filter(F.col("_cum") >= F.ceil(F.lit(float(q)) * F.col("_total")))
-            .withColumn("_rk", F.row_number().over(wpick))
-            .filter(F.col("_rk") == 1)
-            .select(*keys, F.lit(float(q)).alias("q"), value.alias("value"))
-            for q in qs
-        ]
-    else:
-        cum = sketch.select(
-            "bucket", "n", F.sum("n").over(w).alias("_cum")
-        ).crossJoin(sketch.agg(F.sum("n").alias("_total")))
-        picks = [
-            cum.filter(F.col("_cum") >= F.ceil(F.lit(float(q)) * F.col("_total")))
-            .orderBy("bucket")
-            .limit(1)
-            .select(F.lit(float(q)).alias("q"), value.alias("value"))
-            for q in qs
-        ]
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out
+    # the q·N threshold multiplies as IEEE double in BOTH engines
+    # (bit-stability contract) — keep q an explicit double literal
+    qpairs = F.array(*[
+        F.struct(F.lit(i).alias("_qi"), F.lit(float(q)).alias("q"))
+        for i, q in enumerate(qs)
+    ])
+    # the group total is a whole-partition window sum over the SAME
+    # partitioning the cumsum already pays one exchange for — same
+    # ``sum(n)`` as the old separate totals aggregate, but the sketch
+    # pipeline is never evaluated a second time (previously: a
+    # crossJoin'd re-aggregate without ``by``, a null-safe-joined
+    # groupBy with it — each re-running every upstream scan). Window
+    # partitioning keeps NULL group values as their own group, so NULL
+    # groups get their own totals exactly like the old null-safe join.
+    cum = sketch.select(
+        *keys,
+        "bucket",
+        F.sum("n").over(w).alias("_cum"),
+        F.sum("n").over(Window.partitionBy(*keys)).alias("_total"),
+    )
+    return (
+        cum.select(*keys, "bucket", "_cum", "_total", F.explode(qpairs).alias("_p"))
+        .select(*keys, "bucket", "_cum", "_total", "_p._qi", "_p.q")
+        .filter(F.col("_cum") >= F.ceil(F.col("q") * F.col("_total")))
+        # groupBy keeps NULL group values as their own group, matching
+        # the window partitioning of the per-q formulation
+        .groupBy(*keys, "_qi", "q")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(*keys, "q", value.alias("value"))
+    )
