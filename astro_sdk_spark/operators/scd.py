@@ -26,10 +26,15 @@ Contract (one snapshot applied to a history table):
 - history rows (``is_current = false``) pass through untouched.
 
 Scale shape: ONE shuffle — current rows FULL OUTER JOIN the key-deduped
-snapshot on the dimension key. Both output branches (target-side
-keep/close rows, source-side new versions) project the same join, so
-Spark's ReuseExchange serves them from one exchange; history rows are a
-scan-through union with no shuffle. The staged result goes live through
+snapshot on the dimension key, evaluated ONCE: each joined row fans out
+into its (up to 2) output rows in-plan via ``inline()``, so the
+target-side keep/close rows and the source-side new versions come from
+a single evaluation of the join and everything beneath it. (A
+two-filtered-branch union does NOT get this from ReuseExchange:
+Catalyst rewrites full-outer + one-sided filters into separate
+Left/RightOuter joins per branch — measured as 2× input scans and 2×
+source dedup aggregates.) History rows are a scan-through union with no
+shuffle. The staged result goes live through
 the same atomic DROP+RENAME swap the type-1 update path uses
 (operators/swap.py). At 100 TB the dimension is usually the SMALL side —
 but nothing here assumes that: no broadcast, no collect, AQE free to pick
@@ -115,7 +120,8 @@ def scd2_plan(
         close = close | (~s_present & F.col("_eff_max").isNotNull())
     else:
         close_at = eff
-    target_side = j.filter(t_present).select(
+    target_row = F.struct(
+        t_present.alias("_keep"),
         *[F.col(f"t.{k}").alias(k) for k in keys],
         *[F.col(f"t.{c}").alias(c) for c in tracked],
         F.col(f"t.{valid_from_col}").alias(valid_from_col),
@@ -128,7 +134,8 @@ def scd2_plan(
     )
 
     # source-side rows: a NEW open version for changed and brand-new keys
-    source_side = j.filter(s_present & (~t_present | changed)).select(
+    source_row = F.struct(
+        (s_present & (~t_present | changed)).alias("_keep"),
         *[F.col(f"s.{k}").alias(k) for k in keys],
         *[F.col(f"s.{c}").alias(c) for c in tracked],
         eff.alias(valid_from_col),
@@ -136,7 +143,22 @@ def scd2_plan(
         F.lit(True).alias(current_col),
     )
 
-    return hist.unionByName(target_side).unionByName(source_side)
+    # BOTH output rows of a joined pair are emitted from ONE evaluation
+    # of the join: inline() fans each joined row into its (up to 2)
+    # output rows and the _keep flag drops the side that doesn't apply.
+    # The previous two-filtered-branch union re-evaluated the join — and
+    # every scan/aggregate under it — once per branch (Catalyst splits
+    # the full-outer into separate Left/RightOuter joins per branch, so
+    # ReuseExchange never fires; measured: 4 scans of the inputs, 2
+    # source dedup aggregates). array() reconciles the two structs'
+    # field types exactly like unionByName did.
+    fanned = (
+        j.select(F.inline(F.array(target_row, source_row)))
+        .filter(F.col("_keep"))
+        .select(*out_cols)
+    )
+
+    return hist.unionByName(fanned)
 
 
 def merge_scd2(
