@@ -108,22 +108,37 @@ def merge_insert_plan(tgt, src, cmap: dict[str, str], keys: list[str]):
 def merge_update_plan(tgt, src, cmap: dict[str, str], keys: list[str]):
     """Full post-merge contents under if_conflicts='update': matched rows get
     mapped columns from source (unmapped preserved), unmatched target rows
-    unchanged, new source rows inserted."""
+    unchanged, new source rows inserted.
+
+    ONE full-outer join evaluated once: every output row class (unchanged /
+    matched / inserted) is a per-row column choice on the joined row, so
+    neither input is scanned more than once. (The previous three-branch
+    union — anti + inner + anti — evaluated both inputs three times; the
+    scans do not dedupe because each branch optimizes to a different join
+    type.) Presence markers rather than key-null tests keep NULL-keyed rows
+    correct: they never equi-match, so a NULL-keyed target row surfaces as
+    unchanged and a NULL-keyed source row as inserted, exactly like the
+    anti-join formulation."""
     src_shaped = _mapped_source(src, cmap, tgt.schema)
     mapped_tgt_cols = set(cmap.values())
-    unchanged = tgt.join(src_shaped.select(*keys), on=keys, how="left_anti")
-    matched = (
-        tgt.alias("t")
-        .join(src_shaped.alias("s"), on=keys, how="inner")
-        .select(
-            *[
-                (F.col(f"s.{c}") if c in mapped_tgt_cols and c not in keys else F.col(f"t.{c}")).alias(c)
-                for c in tgt.columns
-            ]
-        )
-    )
-    inserted = src_shaped.join(tgt.select(*keys), on=keys, how="left_anti").select(*tgt.columns)
-    return unchanged.unionByName(matched).unionByName(inserted)
+    t = tgt.withColumn("_tm", F.lit(1)).alias("t")
+    s = src_shaped.withColumn("_sm", F.lit(1)).alias("s")
+    # USING-style join: the key columns come out coalesced(t, s), which is
+    # the right value for every row class
+    j = t.join(s, on=keys, how="full_outer")
+    t_present = F.col("t._tm").isNotNull()
+    s_present = F.col("s._sm").isNotNull()
+
+    def pick(c: str):
+        if c in keys:
+            return F.col(c)
+        if c in mapped_tgt_cols:
+            # matched AND inserted rows take the (cast) source value
+            return F.when(s_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+        # unmapped columns: preserved on matched/unchanged, NULL on inserted
+        return F.when(t_present, F.col(f"t.{c}")).otherwise(F.col(f"s.{c}"))
+
+    return j.select(*[pick(c).alias(c) for c in tgt.columns])
 
 
 def table_provider(spark: SparkSession, qualified_name: str) -> str | None:
