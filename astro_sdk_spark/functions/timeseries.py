@@ -182,7 +182,13 @@ def funnel(
     AQE/exchange reuse co-locates the whole chain; no window over raw
     events, no per-user arrays (a collect_list walk would buffer every
     event of a hot user; the min-aggregate chain never materializes more
-    than one row per user per step)."""
+    than one row per user per step). Each iteration references the
+    accumulated per-user table ONCE: step i's events LEFT-join onto it
+    and the step timestamp is ``min(ts WHERE ts > prev)`` grouped by the
+    user plus the carried step columns — a join-then-filter-then-rejoin
+    shape would evaluate the whole prefix chain twice per step (the
+    filtered aggregate and the left join back), compounding to 2^(i-1)
+    scans of the first step's events."""
     if len(steps) < 2:
         raise ValueError(f"funnel needs at least 2 steps, got {list(steps)}")
     ts = F.col(ts_col)
@@ -194,14 +200,21 @@ def funnel(
     for i, s in enumerate(steps[1:], start=2):
         prev = f"step_{i-1}_ts"
         cond = ts > F.col(prev) if strict else ts >= F.col(prev)
-        nxt = (
-            df.filter(F.col(type_col) == s)
-            .join(carry.select(user_col, prev), user_col)
-            .filter(cond)
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias(f"step_{i}_ts"))
+        carried = [f"step_{n}_ts" for n in range(1, i)]
+        # users with no qualifying step-i event keep their row (left
+        # join + the conditional min over zero qualifying rows is NULL),
+        # exactly like the old filtered-aggregate-then-left-join pair;
+        # grouping by the carried step columns is grouping by user
+        # (carry has one row per user), they just ride along
+        carry = (
+            carry.join(
+                df.filter(F.col(type_col) == s).select(user_col, ts_col),
+                user_col,
+                "left",
+            )
+            .groupBy(user_col, *carried)
+            .agg(F.min(F.when(cond, ts)).alias(f"step_{i}_ts"))
         )
-        carry = carry.join(nxt, user_col, "left")
     reached = sum(
         (F.col(f"step_{i}_ts").isNotNull().cast("int") for i in range(2, len(steps) + 1)),
         F.lit(1),
