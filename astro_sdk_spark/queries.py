@@ -4710,9 +4710,10 @@ _SESSIONIZE_ORACLE = """
                AS is_session_start
       FROM g)
     SELECT user_id, event_id, ts, is_session_start,
-           sum(CASE WHEN is_session_start THEN 1 ELSE 0 END) OVER (
+           CAST(sum(CASE WHEN is_session_start THEN 1 ELSE 0 END) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_n
     FROM s
 """
 
@@ -5187,7 +5188,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TPCH_Q18_ORACLE = """
     WITH big AS (
-      SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
       FROM lineitem GROUP BY l_orderkey
       HAVING sum(CAST(l_quantity AS BIGINT)) > 200)
     SELECT c.c_name, c.c_custkey, o.o_orderkey,
@@ -5546,7 +5548,7 @@ _CMS_MERGE_ORACLE = """
     halves AS (
       SELECT half, d, cell, count(*) AS n
       FROM cells GROUP BY half, d, cell)
-    SELECT d, cell, sum(n) AS n FROM halves GROUP BY d, cell
+    SELECT d, cell, CAST(sum(n) AS BIGINT) AS n FROM halves GROUP BY d, cell
 """
 
 
@@ -6633,10 +6635,10 @@ def _l_receiptdate():
 
 _TPCH_Q12_ORACLE = f"""
     SELECT l_shipmode,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM (
       SELECT l_orderkey, {_L_SHIPMODE_SQL} AS l_shipmode,
              {_L_COMMIT_SQL} AS l_commitdate,
