@@ -39,8 +39,28 @@ __all__ = ["nd_guard", "spread_small_scan"]
 # unlocks parallelism for (md5/regex/Arrow batches) dominates.
 _SPREAD_BYTES_PER_CORE = 4 << 20
 
+# Width of the spread: one partition per this many estimated input bytes
+# (floored at _SPREAD_MIN_PARTS, capped at defaultParallelism). The r13
+# form used defaultParallelism unconditionally, which over-shuffles tiny
+# inputs on wide sessions: the 8-core scaling run had the doc-corpus
+# spread consumers FASTER at 8 cores than 32 (q_doc_line_dedup 0.34,
+# q_line_dedup/q_substring_dedup 0.61), and a width-curve measurement on
+# this box (min-of-3, steal-checked) put the doc tokenize/regex class at
+# 0.18 s at width 8 vs 0.78 s at width 32 — a sub-MB doc input split 32
+# ways pays 32 task commits and a 32-wide exchange the per-row work
+# never repays. The EXCEPTION is the per_row_heavy class (cms md5×depth
+# over narrow rows): the same curve ran 0.63 s at width 32 vs 1.34 s at
+# width 4, monotonically better with width — row count, not byte size,
+# is what its cost tracks, so it keeps the full-width spread.
+_SPREAD_TARGET_BYTES = 1 << 20
+_SPREAD_MIN_PARTS = 4
 
-def spread_small_scan(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+
+def spread_small_scan(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    per_row_heavy: bool = False,
+) -> DataFrame:
     """Round-robin a SMALL input across the cluster before per-row-heavy
     expressions (sketch hashing, regex cleaning, Arrow-batched scoring).
 
@@ -60,9 +80,12 @@ def spread_small_scan(df: DataFrame, cols: list[str] | None = None) -> DataFrame
     spreads proportionally less.
 
     ``cols``: project first (guide §2.3 — shuffle only the columns the
-    heavy expression needs). Row-level results are unchanged: round-robin
-    placement only changes which task computes a row, and every caller
-    aggregates or re-sorts downstream.
+    heavy expression needs). ``per_row_heavy``: the caller's per-row cost
+    is high relative to row WIDTH (md5/hash chains over narrow rows) —
+    spread to the full core count; the default sizes the width from the
+    byte estimate (see the width-curve note above). Row-level results are
+    unchanged: round-robin placement only changes which task computes a
+    row, and every caller aggregates or re-sorts downstream.
     """
     if cols is not None:
         df = df.select(*cols)
@@ -73,7 +96,10 @@ def spread_small_scan(df: DataFrame, cols: list[str] | None = None) -> DataFrame
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism or 1
     if 0 < est <= cores * _SPREAD_BYTES_PER_CORE:
-        return df.repartition(cores)
+        if per_row_heavy:
+            return df.repartition(cores)
+        width = min(cores, max(_SPREAD_MIN_PARTS, est // _SPREAD_TARGET_BYTES))
+        return df.repartition(int(width))
     return df
 
 
