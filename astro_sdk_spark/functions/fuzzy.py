@@ -183,12 +183,18 @@ def edit_distance_join(
 
     def prefixes(grams, idc):
         w = Window.partitionBy(idc).orderBy(F.asc("_f"), F.asc("_g"), F.asc("_k"))
+        # the candidate join below matches on a 64-bit gram hash instead
+        # of the gram text (guide §2.3, narrower shuffle keys): equal
+        # grams hash equal, so no candidate is lost; a hash collision can
+        # only ADD a candidate pair, which the exact levenshtein verify
+        # discards — results are unchanged while the candidate exchange
+        # carries 8 bytes per gram instead of a string
         return (
             grams.join(freq, "_g", "left")
             .withColumn("_f", F.coalesce("_f", F.lit(0)))
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= prefix_k)
-            .select(idc, "_g", "_k")
+            .select(idc, F.xxhash64("_g").alias("_h"), "_k")
         )
 
     # Spark does not reuse aliased self-join branches (see the LSH notes
@@ -199,12 +205,12 @@ def edit_distance_join(
 
     pa = track(prefixes(ga, "_ida"))
     if self_join:
-        pb = pa.select(F.col("_ida").alias("_idb"), "_g", "_k")
+        pb = pa.select(F.col("_ida").alias("_idb"), "_h", "_k")
     else:
         pb = prefixes(exploded(b, "_idb", "_tb"), "_idb")
 
     cand = (
-        pa.join(pb, ["_g", "_k"]).filter(pair_guard).select("_ida", "_idb").distinct()
+        pa.join(pb, ["_h", "_k"]).filter(pair_guard).select("_ida", "_idb").distinct()
     )
     # the nondeterministic guard keeps the levenshtein verify OUT of the
     # join condition: Catalyst pushes a both-sides filter into the
@@ -406,6 +412,12 @@ def jaccard_join(
         # survives into the output: the candidate join's POSITIONAL
         # filter needs it.
         rkc = f"_rk{idc[-1]}"
+        # candidates match on the gram's 64-bit hash, not its text
+        # (guide §2.3, narrower shuffle keys): equal shingles hash
+        # equal, so no candidate pair is lost; a collision only ADDS a
+        # pair, which the exact gram-id array_intersect verify discards
+        # — results unchanged, the persisted prefix exchange carries 8
+        # bytes per shingle instead of the shingle string
         return (
             _widen(
                 ex.join(freq, "_g", "left").withColumn(
@@ -415,23 +427,23 @@ def jaccard_join(
             )
             .withColumn(rkc, F.row_number().over(w))
             .filter(_prefix_rank_ok(F.col(rkc), F.col(nc)))
-            .select(idc, nc, rkc, "_g")
+            .select(idc, nc, rkc, F.xxhash64("_g").alias("_h"))
         )
 
     # widened BY THE JOIN KEY before persist: the cached blocks are
-    # already hash-distributed on _g, so the candidate sort-merge join
+    # already hash-distributed on _h, so the candidate sort-merge join
     # below (and its self-join mirror, which reuses this exchange) sorts
     # volume-proportional partitions instead of session-default ones
-    pa = track(_widen(prefixes(a, "_ida", "_na"), "_g"))
+    pa = track(_widen(prefixes(a, "_ida", "_na"), "_h"))
     pb = (
         pa.select(
             F.col("_ida").alias("_idb"),
             F.col("_na").alias("_nb"),
             F.col("_rka").alias("_rkb"),
-            "_g",
+            "_h",
         )
         if self_join
-        else _widen(prefixes(b, "_idb", "_nb"), "_g")
+        else _widen(prefixes(b, "_idb", "_nb"), "_h")
     )
 
     # PPJoin POSITIONAL filter (Xiao et al. §3.2): a shared prefix gram
@@ -464,7 +476,7 @@ def jaccard_join(
         nag - F.col("_rka"), F.col("_nb") - F.col("_rkb")
     )
     cand = (
-        pa.join(pb, "_g")
+        pa.join(pb, "_h")
         .filter(pair_guard)
         .withColumn("_nag", _nd_guard(F.col("_na")))
         # rational size filter τ·|B| ≤ |A| ∧ τ·|A| ≤ |B|: num·n ≤ den·m in
