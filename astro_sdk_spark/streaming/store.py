@@ -75,6 +75,24 @@ def read_store_meta(
     return rows[0] if rows else None
 
 
+def _statically_empty(df: DataFrame) -> bool:
+    """True iff the optimizer already PROVED the batch empty (an empty
+    ``LocalRelation`` — the direct-call path used by the tests; a
+    streaming file-source batch is never statically empty). Driver-side
+    plan analysis only, no job. This guard matters because
+    ``PropagateEmptyRelation`` folds a statically-empty subtree away
+    *including its CollectMetrics node*, so the observation below would
+    never flush for such a batch."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        return (
+            plan.getClass().getSimpleName() == "LocalRelation"
+            and int(plan.data().size()) == 0
+        )
+    except Exception:  # noqa: BLE001 - non-classic DF; fall through
+        return False
+
+
 def merge_sketch_batch(
     spark: SparkSession,
     sketch_table: str,
@@ -107,35 +125,58 @@ def merge_sketch_batch(
             )
         if meta["_run_id"] == run_id and batch_id <= meta["_batch_id"]:
             return  # replayed batch of THIS run — already merged
-    if not batch_df.take(1):
+    if _statically_empty(batch_df):
         return  # empty micro-batch — no-op, watermark does not advance
-    batch_sketch = build(batch_df).select(*data_cols)
-    if meta is not None:
-        merged = merge(spark.table(sketch_table).select(*data_cols), batch_sketch)
-    else:
-        merged = batch_sketch
-    # Materialize ONCE, off the driver, BEFORE writing: localCheckpoint
-    # computes the merged sketch into executor block storage and truncates
-    # lineage against the table the swap is about to replace, so the
-    # emptiness probe and the table write below both read the checkpointed
-    # blocks instead of recomputing (or worse, collecting) the merge. This
-    # keeps a grouped store (``by=`` with many groups) fully distributed —
-    # the driver never holds the sketch rows, whatever the group
-    # cardinality.
+    # Emptiness probes FUSED into the materializing action (guide §1.2
+    # driver-side work): instead of the former per-batch
+    # ``batch_df.take(1)`` + eager checkpoint + ``merged.take(1)``
+    # sequence, the sketch is localCheckpoint'ed LAZILY and the action
+    # that materializes it is a ``count()`` — one job yields both the
+    # executor-storage materialization and the emptiness signal. (A
+    # CollectMetrics observation on the checkpoint was tried first and
+    # REJECTED: inside ``foreachBatch`` the observed-metrics row comes
+    # back schema-less and ``Observation.get`` dies in ``toPyRow``, and a
+    # statically-empty batch folds the metrics node away entirely.)
+    #
+    # An empty or all-null micro-batch now takes the no-op return from
+    # the BATCH SKETCH's count: the store table is not created/rewritten
+    # and the watermark does not advance — same policy as before, except
+    # that an all-null batch merging into an EXISTING store previously
+    # rewrote the table with identical values (advancing the watermark)
+    # and is now the cheaper no-op; replay semantics are unaffected
+    # because merging an empty sketch adds nothing either way.
+    #
+    # Materialization stays ONCE, off the driver, BEFORE writing: the
+    # localCheckpoint computes the sketch into executor block storage and
+    # truncates lineage against the table the swap is about to replace,
+    # so the table write reads checkpointed blocks instead of recomputing
+    # the merge. A grouped store (``by=`` with many groups) remains fully
+    # distributed — the driver never holds the sketch rows.
     from astro_sdk_spark.functions._cache import (
         checkpoint_rdd_ids,
         unpersist_rdd_ids,
     )
 
-    merged = merged.select(*data_cols).localCheckpoint(eager=True)
-    # ids read from the checkpointed DataFrame itself — a global
-    # before/after set diff would swallow RDDs persisted concurrently by
-    # OTHER queries (e.g. a second always-on ingest) and unpersist them
-    # mid-use, killing that stream with block-not-found
-    _ckpt_ids = checkpoint_rdd_ids(merged)
+    batch_sketch = (
+        build(batch_df).select(*data_cols).localCheckpoint(eager=False)
+    )
+    _ckpt_ids = checkpoint_rdd_ids(batch_sketch)
     try:
-        if not merged.take(1):
-            return  # batch sketched to nothing (e.g. all-null) — no-op
+        if not batch_sketch.count():
+            return  # empty/all-null micro-batch — no-op, no watermark move
+        if meta is not None:
+            merged = (
+                merge(
+                    spark.table(sketch_table).select(*data_cols),
+                    batch_sketch,
+                )
+                .select(*data_cols)
+                .localCheckpoint(eager=False)
+            )
+            _ckpt_ids |= checkpoint_rdd_ids(merged)
+            merged.count()  # materialize the merge off the swapped table
+        else:
+            merged = batch_sketch
         out = merged.withColumn("_run_id", F.lit(run_id)).withColumn(
             "_batch_id", F.lit(batch_id)
         )
