@@ -463,13 +463,19 @@ def ann_index_topk(
     # guard job below catches external corruption (a hand-deleted
     # generation), not mid-commit states.
     cent = _live(spark.table(cent_t), g).select("cent_id", "vec")
-    crow = cent.select(
-        F.count(F.lit(1)).alias("n"), F.max(F.size("vec")).alias("d")
-    ).head()
-    if crow.n == 0 or crow.d != meta["dim"]:
+    # The geometry guard is FUSED with the centroid collect the probe
+    # assignment needs anyway (guide §1.2 driver-side work): one job
+    # fetches the contractually-small centroid set, the guard reads
+    # count/dim from the collected rows, and ``nearest_centroids`` /
+    # ``ivfpq_scan_lists`` receive the same rows instead of re-collecting
+    # — two driver-synchronous jobs per topk call become one.
+    cent_rows = cent.collect()
+    c_n = len(cent_rows)
+    c_d = max((len(r.vec) for r in cent_rows), default=None)
+    if c_n == 0 or c_d != meta["dim"]:
         raise ValueError(
             f"ANN index {name!r}: generation {g} centroids are "
-            f"inconsistent with meta ({crow.n} rows, dim {crow.d} vs "
+            f"inconsistent with meta ({c_n} rows, dim {c_d} vs "
             f"meta dim {meta['dim']}) — the index is corrupt; rebuild "
             f"with build_ann_index"
         )
@@ -491,6 +497,7 @@ def ann_index_topk(
             round_digits=digits,
             cent_id_col="cent_id",
             cent_vec_col="vec",
+            _cents_rows=cent_rows,
         )
     qdf = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
@@ -504,6 +511,7 @@ def ann_index_topk(
         cent_id_col="cent_id",
         cent_vec_col="vec",
         round_digits=digits,
+        _cents_rows=cent_rows,
     )
     # the probe set is contractually small (|queries| × nprobe — the same
     # tiny-side device as the PQ codebooks), so collect the probed list

@@ -415,6 +415,7 @@ def ivfpq_scan_lists(
     cent_col: str = "cent_id",
     cent_id_col: str | None = None,
     cent_vec_col: str | None = None,
+    _cents_rows: list | None = None,
 ) -> DataFrame:
     """The IVFADC scan of :func:`ivfpq_topk` over PRE-BUILT inverted
     lists — ``lists`` carries ``(id_col, code_col, cent_col)`` rows, e.g.
@@ -437,6 +438,7 @@ def ivfpq_scan_lists(
         queries.select(F.col(id_col).alias("_qid"), F.col(vec_col)),
         centroids, id_col="_qid", vec_col=vec_col, n=nprobe,
         cent_id_col=cent_id_col, cent_vec_col=cent_vec_col,
+        _cents_rows=_cents_rows,
     ).collect()
     probe_map: dict = {}
     for r in probe_rows:

@@ -241,11 +241,18 @@ def nearest_centroids(
     cent_vec_col: str = "embedding",
     round_digits: int = 4,
     use_arrow: bool = True,
+    _cents_rows: list | None = None,
 ) -> DataFrame:
     """``(id_col, cent_id)`` — each vector's ``n`` nearest centroids by
     cosine, rounded to ``round_digits`` before ranking, ties broken on
     ascending centroid id (the determinism contract every oracle here
     replicates).
+
+    ``_cents_rows`` (private): the centroid rows, pre-collected by the
+    caller as ``centroids.select(cent_id_col, cent_vec_col).collect()``
+    — lets a caller that already needed the rows (e.g. the persisted
+    index's geometry guard) skip this function's own collect job. Only
+    honoured on the Arrow path; the broadcast-join fallback ignores it.
 
     This is THE inner loop of centroid-based indexing (IVF build +
     probe, SemDeDup clustering): dense matrix × small-matrix. Default
@@ -263,7 +270,9 @@ def nearest_centroids(
             use_arrow = False
     if use_arrow:
         cents = sorted(
-            centroids.select(cent_id_col, cent_vec_col).collect(),
+            _cents_rows
+            if _cents_rows is not None
+            else centroids.select(cent_id_col, cent_vec_col).collect(),
             key=lambda r: r[0],
         )
         cent_ids = np.array([r[0] for r in cents])
