@@ -586,45 +586,24 @@ def near_dup_clusters(
     def _star_round(ends, stats_df):
         # ---- large-star: for each node u, connect larger neighbors to
         # min(closed neighborhood of u). Emitted edges (v, m) keep v > m.
-        # ``ends`` arrives hash-partitioned on _n (the same persisted
-        # exchange the convergence aggregate consumed) and ``stats_df``
-        # inherits that partitioning through its aggregate, so this join
-        # adds NO exchange on either side (guide §2.4 — operations keyed
-        # the same way share one exchange).
         sym = ends.select(F.col("_n").alias("_u"), F.col("_nb").alias("_v"))
         lmin = stats_df.select(
             F.col("_n").alias("_u"), F.least("_n", "_mv").alias("_m")
         )
-        # ONE explicit hash exchange on the child id _a serves the whole
-        # small-star phase: hashpartitioning(_a) co-locates equal
-        # (_a, _b) rows, so the duplicate-drop, the per-child min
-        # aggregate, AND the join back all reuse it (previously each
-        # paid its own exchange: dropDuplicates keyed (_a, _b) does not
-        # satisfy the groupBy(_a)/join(_a) distribution).
         ls = (
             sym.join(lmin, "_u")
             .filter(F.col("_v") > F.col("_u"))
             .select(F.col("_v").alias("_a"), F.col("_m").alias("_b"))
-            .repartition("_a")
             .dropDuplicates(["_a", "_b"])
         )
         # ---- small-star: for each node u over its smaller neighbors N,
-        # connect N ∪ {u} (minus the min itself) to min(N). After the
-        # dedup exactly one row per group carries _b == min, so BOTH
-        # output classes fan out of the single join row-for-row — the
-        # b == m row becomes (u, m), every other becomes (b, m) — which
-        # is the old filter-branch ∪ smin union, without the union's
-        # second evaluation of smin.
+        # connect N ∪ {u} (minus the min itself) to min(N)
         smin = ls.groupBy("_a").agg(F.min("_b").alias("_m"))
         return (
             ls.join(smin, "_a")
-            .select(
-                F.when(F.col("_b") == F.col("_m"), F.col("_a"))
-                .otherwise(F.col("_b"))
-                .alias("_a2"),
-                F.col("_m").alias("_b2"),
-            )
-            .select(F.col("_a2").alias("_a"), F.col("_b2").alias("_b"))
+            .filter(F.col("_b") != F.col("_m"))
+            .select(F.col("_b").alias("_a"), F.col("_m").alias("_b"))
+            .unionByName(smin.select("_a", F.col("_m").alias("_b")))
             .dropDuplicates(["_a", "_b"])
         )
 
@@ -645,14 +624,7 @@ def near_dup_clusters(
         # aggregate lets the large-star join read whatever the check
         # already computed from cache instead of paying the endpoint
         # shuffle twice.
-        # ONE explicit hash exchange on the node id feeds the whole
-        # first phase of the round: the persisted partitioned endpoints
-        # serve the convergence aggregate AND the large-star join's big
-        # side (sym), and the aggregate's output inherits the
-        # partitioning for the join's small side — where the aggregate's
-        # own exchange previously coexisted with a second exchange of
-        # sym inside the join (guide §2.4).
-        ends = _ends(sm).repartition("_n").persist()
+        ends = _ends(sm)
         node_stats = _node_stats(ends).persist()
         n_not_star = (
             node_stats.filter(
@@ -663,12 +635,10 @@ def near_dup_clusters(
         )
         if not n_not_star:
             node_stats.unpersist()
-            ends.unpersist()
             converged = True
             break
         if rounds >= max_iter:
             node_stats.unpersist()
-            ends.unpersist()
             break
         # exactly ONE star round per checkpoint: round N+1's transforms
         # reference their input several times (sym + stats, ls twice in
@@ -684,7 +654,6 @@ def near_dup_clusters(
         unpersist_rdd_ids(spark_session, _ckpt_ids)
         _ckpt_ids = _new_ids
         node_stats.unpersist()
-        ends.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged
