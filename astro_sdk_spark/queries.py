@@ -5010,28 +5010,49 @@ _HARD_NEG_ORACLE = """
 
 @q("q_hard_negatives", _HARD_NEG_ORACLE)
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query top-5 cross-label nearest neighbors: one cosine_topk
-    call per label partition (queries of label l vs candidates of every
-    other label), unioned — each call is the broadcast-query Arrow
-    matmul scan the ANN family already uses."""
-    from functools import reduce
-
-    from astro_sdk_spark.functions.similarity import cosine_topk
+    """Per-query top-5 cross-label nearest neighbors in ONE masked
+    broadcast scan. The r13 shape unioned one cosine_topk call per label
+    partition (queries of label l vs candidates of every other label) —
+    4 full corpus scans and 4 rank windows (16 parquet scans in the
+    executed plan). Every query carries exactly ONE label, so the union
+    of per-label parts IS the single pair set {(q, c) : label(q) ≠
+    label(c)} with per-query ranks unchanged — computed here as one
+    broadcast join with the label mask in the condition: one corpus
+    scan, one window (guide §1.3). Expression chain (cosine → round(4)
+    → rank by (cosine desc, cand_id)) is copied verbatim from
+    cosine_topk, so results are bit-identical (oracle + canonical hash
+    gated)."""
+    from astro_sdk_spark.functions.similarity import cosine_similarity_col
+    from pyspark.sql.window import Window
 
     emb = T(spark, sf_dir, "embeddings").withColumn(
         "label", F.pmod(F.col("vec_id"), F.lit(4))
     )
     qs = emb.filter(F.col("vec_id") < 8)
-    parts = [
-        cosine_topk(
-            qs.filter(F.col("label") == lbl).drop("label"),
-            emb.filter(F.col("label") != lbl).drop("label"),
-            k=5,
-            round_digits=4,
-        )
-        for lbl in range(4)
-    ]
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    q_side = qs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("_ql"),
+        F.col("embedding").alias("_qvec"),
+    )
+    c_side = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("_cl"),
+        F.col("embedding").alias("_cvec"),
+    )
+    scored = c_side.join(
+        F.broadcast(q_side),
+        (F.col("_ql") != F.col("_cl")) & (F.col("query_id") != F.col("cand_id")),
+    ).select(
+        "query_id",
+        "cand_id",
+        F.round(
+            cosine_similarity_col(F.col("_qvec"), F.col("_cvec")), 4
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
 
 
 # --------------------------------------------------------------------------
