@@ -4,10 +4,17 @@ The r13 session default ``spark.sql.join.preferSortMergeJoin=false`` was
 committed with wall-clock wins but WITHOUT plan evidence: at sf0.1 the
 64 MB ``autoBroadcastJoinThreshold`` absorbs every dimension side, so the
 committed plans show BroadcastHashJoin either way and the conf never
-binds. This probe creates the condition where it does bind — broadcast
-joins disabled (``autoBroadcastJoinThreshold=-1``), the at-scale proxy
-where dim tables exceed any broadcast threshold — and, for each
-join-heavy query:
+binds. This probe creates the condition where it does bind. NOTE: setting
+``autoBroadcastJoinThreshold=-1`` does NOT work — Spark's
+``canBuildLocalHashMap`` (the SHJ size condition) is
+``stats < autoBroadcastJoinThreshold × numShufflePartitions``, so -1
+disables SHJ selection along with broadcast (measured: zero SHJ in any
+plan under -1). The honest at-scale proxy is a SMALL positive threshold
+(default 1 MB here): dims above it stop broadcasting — as they would at
+real scale against any fixed threshold — while SHJ's local-hash-map
+bound (threshold × partitions = 32 MB here) still admits
+moderately-small build sides, exactly the regime the conf targets.
+For each join-heavy query the probe:
 
 - captures ``explain("formatted")`` under ``preferSortMergeJoin`` true
   AND false (plans/r14/shj_probe/<q>__{smj,shj}.txt),
@@ -15,7 +22,8 @@ join-heavy query:
 - times the query noop-sunk, min-of-N, the two configs interleaved in
   one session (guide §1.4), with per-rep /proc/stat steal.
 
-Usage: python tools/probe_shj.py [--sf DIR] [--reps N] [--out DIR] [q ...]
+Usage: python tools/probe_shj.py [--sf DIR] [--reps N] [--out DIR]
+       [--threshold BYTES] [q ...]
 Prints one JSON line with per-query {smj,shj} node counts and min times.
 """
 
@@ -54,6 +62,7 @@ def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     reps = 3
     outdir = "plans/r14/shj_probe"
+    threshold = str(1 << 20)
     names: list[str] = []
     i = 0
     while i < len(args):
@@ -65,6 +74,9 @@ def main() -> None:
             i += 2
         elif args[i] == "--out":
             outdir = args[i + 1]
+            i += 2
+        elif args[i] == "--threshold":
+            threshold = args[i + 1]
             i += 2
         else:
             names.append(args[i])
@@ -85,12 +97,19 @@ def main() -> None:
     spark = get_session(app_name="shj_probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1).count()
-    # the at-scale proxy: no broadcast absorption, the planner must pick
-    # SMJ or SHJ for every equi-join
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # the at-scale proxy: dims above the (small) threshold stop
+    # broadcasting, while SHJ's local-hash-map bound
+    # (threshold × numShufflePartitions) still admits moderate builds —
+    # see the module docstring for why -1 would instead disable SHJ too
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
 
     qs = spark_queries()
-    out: dict = {"sf_dir": sf_dir, "reps": reps, "queries": {}}
+    out: dict = {
+        "sf_dir": sf_dir,
+        "reps": reps,
+        "autoBroadcastJoinThreshold": threshold,
+        "queries": {},
+    }
     for name in names:
         fn = qs[name]
         rec: dict = {}
